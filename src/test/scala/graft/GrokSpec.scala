@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.parsers.{GrokRule, GrokStage}
+import graft.transcripts.Transcripts
+
+class GrokSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(lines: String*): Seq[(String, Map[String, String], Seq[String])] = {
+    val df = lines.toDF("text")
+    GrokStage(df, "text", GrokStage.transcriptRules)
+      .select(col("rule_id"), col("fields"), col("tags"))
+      .collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1).toMap, r.getSeq[String](2)))
+      .toSeq
+  }
+
+  test("syslog line parses into typed captures") {
+    val Seq((rule, fields, tags)) =
+      parse("<36>May  5 04:04:28 host-4 prog-4[104]: action=exec status=ok")
+    assert(rule == "syslog")
+    assert(fields("pri") == "36" && fields("host") == "host-4" &&
+      fields("prog") == "prog-4" && fields("pid") == "104" &&
+      fields("action") == "exec" && fields("status") == "ok")
+    assert(tags.isEmpty)
+  }
+
+  test("kv, json, csv lines each hit their rule") {
+    val got = parse(
+      "event=tool_call tool=search duration_ms=77 ok=true",
+      """{"event":"turn","role":"system","tokens":76,"status":"ok"}""",
+      "conv-000000,4,user,83").map(_._1)
+    assert(got == Seq("kv", "json", "csv"))
+  }
+
+  test("unmatched rows get the parse-error tag, are not dropped") {
+    val Seq((rule, fields, tags)) = parse("~~CORRUPT#194##")
+    assert(rule == null && fields.isEmpty && tags == Seq(GrokStage.ParseErrorTag))
+  }
+
+  test("first-match-wins ordering") {
+    val rules = Seq(
+      GrokRule("broad", """^a(\w+)$""", Seq("x")),
+      GrokRule("narrow", """^ab(\w+)$""", Seq("y")))
+    val df = Seq("abc").toDF("text")
+    val r = GrokStage(df, "text", rules).select("rule_id").as[String].head()
+    assert(r == "broad")
+  }
+
+  test("full corpus: every non-garbage line parses, garbage is tagged") {
+    val t = Transcripts.load(spark, sfUnit)
+    val p = GrokStage(t, "text", GrokStage.transcriptRules).cache()
+    val err = p.filter(array_contains(col("tags"), GrokStage.ParseErrorTag))
+    assert(err.filter(!col("text").startsWith("~~CORRUPT")).count() == 0)
+    assert(p.filter(col("rule_id").isNull && !array_contains(col("tags"), GrokStage.ParseErrorTag)).count() == 0)
+    assert(p.count() == t.count()) // nothing dropped
+    p.unpersist()
+  }
+}
