@@ -1,21 +1,83 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-import graft.transcripts.Transcripts
+import graft.enrich.ContextualData
 import graft.parsers.GrokStage
+import graft.routing.{RouteSpec, Router}
+import graft.transcripts.Transcripts
 
-/** The flagship end-to-end job: parse → enrich → route → aggregate over the
-  * transcript table (north rule). Placeholder stages are swapped for the real
-  * router/enricher as they land.
+/** The flagship end-to-end job (north rule): parse → enrich → route →
+  * aggregate over the transcript table.
+  *
+  * Physical shape (SURVEY.md §2.7): ONE projection computes parse results,
+  * enrichment and all route flags — narrow transformations fused by
+  * whole-stage codegen around the single mapPartitions parse; fan-out to
+  * sinks is N filters over that one plan (persist before multi-sink writes
+  * so the parse runs once, the analog of the reference's COW-clone fan-out).
   */
 object Pipeline {
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
+
+  /** Route set (FIXTURES.md §3): statement order matters for `final`.
+    * `sink_all` is the catch-all path: it receives every row but — like a
+    * path with its own source scope — does not mark rows as "matched" for
+    * fallback purposes (reference catch-all semantics, lib/cfg-tree.c:628).
+    */
+  def routeSpecs(fields: String => Column, text: Column, tool: Column): Seq[RouteSpec] = Seq(
+    RouteSpec("all", lit(true), countsAsMatch = false),
+    RouteSpec("tool_calls", tool.isNotNull && (fields("event") === "tool_call"), isFinal = true),
+    RouteSpec("errors",
+      fields("status").isin("error", "fail") ||
+        (fields("ok") === "false") ||
+        text.rlike("(?i)error")),
+    RouteSpec("fallback", lit(true), isFallback = true))
+
+  /** parse + enrich + route flags: the single wide projection. */
+  def flagged(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Transcripts.load(spark, sfDir)
     val parsed = GrokStage(t, "text", GrokStage.transcriptRules)
-    parsed
-      .groupBy(col("role"), col("rule_id"), date_trunc("hour", col("ts")).as("bucket"))
+    val enriched = ContextualData.enrich(
+      parsed,
+      ContextualData.lookupDf(spark),
+      coalesce(concat(lit("tool:"), col("tool")), concat(lit("role:"), col("role"))))
+    withRoutes(enriched)
+  }
+
+  def withRoutes(enriched: DataFrame): DataFrame =
+    Router.withRouteFlags(
+      enriched,
+      routeSpecs(k => col("fields")(k), col("text"), col("tool")))
+
+  /** Per-sink hash aggregate: routed-row counts by role/tool/hour bucket. */
+  def sinkCounts(flagged: DataFrame): DataFrame =
+    flagged
+      .select(explode(col("routes")).as("sink"), col("role"),
+        coalesce(col("tool"), lit("none")).as("tool"),
+        date_trunc("hour", col("ts")).as("bucket"))
+      .groupBy("sink", "role", "tool", "bucket")
       .agg(count(lit(1)).as("n"))
+
+  /** Full job: returns the per-sink aggregate (driver smoke target). */
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    sinkCounts(flagged(spark, sfDir))
+
+  /** Multi-sink write: one persisted pass, N filtered writes + the aggregate
+    * and a stats table — the production shape of the job.
+    */
+  def writeSinks(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
+    val f = flagged(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sinkNames = Seq("all", "tool_calls", "errors", "fallback")
+      val counts = sinkNames.map { s =>
+        val rows = Router.sink(f, s)
+          .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "rule_id")
+        rows.write.mode("overwrite").parquet(s"$outDir/sink_$s")
+        s -> rows.count()
+      }.toMap
+      sinkCounts(f).write.mode("overwrite").parquet(s"$outDir/agg_counts")
+      counts
+    } finally { f.unpersist() }
   }
 }

@@ -1,0 +1,130 @@
+package graft.filters
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.model.SyslogNames
+
+/** The reference's filter algebra (reference lib/filter/) re-expressed as
+  * `Column` predicate builders. Boolean composition (`and/or/not`, reference
+  * lib/filter/filter-op.c) is native `&& || !` on Column — Catalyst gets
+  * short-circuiting, simplification and pushdown for free.
+  *
+  * Non-match is a routing signal, not row deletion (reference
+  * lib/filter/filter-pipe.c:82-86) — these predicates feed the Router's
+  * flag computation; only `drop-unmatched` paths turn them into `.filter`.
+  */
+object Filters {
+
+  // --- pri-family filters (reference lib/filter/filter-pri.c) -------------
+
+  /** facility(f1, f2, ...) — facility-name bitmask over pri >> 3. */
+  def facility(pri: Column, names: String*): Column =
+    SyslogNames.facilityNum(pri).isin(names.map(SyslogNames.facilityByName): _*)
+
+  /** severity range `low..high` inclusive by name, e.g. emerg..warning. */
+  def severityRange(pri: Column, worst: String, least: String): Column = {
+    val lo = SyslogNames.severityByName(worst)
+    val hi = SyslogNames.severityByName(least)
+    SyslogNames.severityNum(pri).between(lo, hi)
+  }
+
+  def severityIn(pri: Column, names: String*): Column =
+    SyslogNames.severityNum(pri).isin(names.map(SyslogNames.severityByName): _*)
+
+  // --- string/regex matchers (reference lib/filter/filter-re.c,
+  //     lib/logmatcher.c backends: pcre / string / glob) -------------------
+
+  def matchRe(value: Column, re: String): Column = value.rlike(re)
+
+  def matchReIgnoreCase(value: Column, re: String): Column =
+    value.rlike("(?i)" + re)
+
+  def matchLiteral(value: Column, s: String, ignoreCase: Boolean = false): Column =
+    if (ignoreCase) lower(value) === s.toLowerCase else value === s
+
+  def matchPrefix(value: Column, p: String): Column = value.startsWith(p)
+
+  def matchSubstring(value: Column, s: String): Column = value.contains(s)
+
+  /** glob backend: `*` and `?` wildcards (reference logmatcher.c:216-251). */
+  def matchGlob(value: Column, glob: String): Column = {
+    val escaped = glob.flatMap {
+      case '*' => "%"
+      case '?' => "_"
+      case c @ ('%' | '_' | '\\') => "\\" + c
+      case c => c.toString
+    }
+    value.like(escaped)
+  }
+
+  // --- in-list() (reference lib/filter/filter-in-list.c) ------------------
+
+  /** field ∈ fixed set; Catalyst turns large sets into a hash-set lookup
+    * (InSet) — the broadcast-semi-join alternative is only needed when the
+    * list itself is a table.
+    */
+  def inList(value: Column, values: Seq[String]): Column =
+    value.isin(values: _*)
+
+  // --- tags() (reference lib/filter/filter-tags.c) ------------------------
+
+  /** true if any of the listed tags is set on the row. */
+  def hasAnyTag(tags: Column, names: String*): Column =
+    arrays_overlap(tags, array(names.map(lit): _*))
+
+  // --- comparisons (reference lib/filter/filter-cmp.c) --------------------
+
+  /** Type-aware comparison: when both sides parse as numbers compare
+    * numerically, else lexicographically (reference filter-cmp.c:118-235
+    * GenericNumber coercion). `op` ∈ < <= == != >= >.
+    */
+  def cmpTypeAware(l: Column, r: Column, op: String): Column = {
+    val ln = l.try_cast("double")
+    val rn = r.try_cast("double")
+    val numeric = ln.isNotNull && rn.isNotNull
+    def both(f: (Column, Column) => Column): Column =
+      when(numeric, f(ln, rn)).otherwise(f(l.cast("string"), r.cast("string")))
+    op match {
+      case "<"  => both(_ < _)
+      case "<=" => both(_ <= _)
+      case "==" => both(_ === _)
+      case "!=" => both(_ =!= _)
+      case ">=" => both(_ >= _)
+      case ">"  => both(_ > _)
+    }
+  }
+
+  /** String-forced comparison (the reference's `lt/le/eq/ne/ge/gt`). */
+  def cmpString(l: Column, r: Column, op: String): Column = op match {
+    case "lt" => l.cast("string") < r.cast("string")
+    case "le" => l.cast("string") <= r.cast("string")
+    case "eq" => l.cast("string") === r.cast("string")
+    case "ne" => l.cast("string") =!= r.cast("string")
+    case "ge" => l.cast("string") >= r.cast("string")
+    case "gt" => l.cast("string") > r.cast("string")
+  }
+
+  /** `===` / `!==`: type AND value equality (reference filter-cmp.c:274). */
+  def cmpTypedEq(l: Column, r: Column): Column = l <=> r
+
+  // --- netmask() (reference lib/filter/filter-netmask.c) ------------------
+
+  def ipv4ToLong(ip: Column): Column = {
+    val p = split(ip, "\\.")
+    element_at(p, 1).cast("long") * 16777216L +
+      element_at(p, 2).cast("long") * 65536L +
+      element_at(p, 3).cast("long") * 256L +
+      element_at(p, 4).cast("long")
+  }
+
+  /** saddr within CIDR, e.g. netmask(col, "10.10.0.0/16"). */
+  def netmask(ip: Column, cidr: String): Column = {
+    val Array(base, bitsS) = cidr.split("/")
+    val bits = bitsS.toInt
+    val baseLong = base.split("\\.").map(_.toLong)
+      .foldLeft(0L)((a, b) => a * 256 + b)
+    val mask = if (bits == 0) 0L else (0xFFFFFFFFL << (32 - bits)) & 0xFFFFFFFFL
+    ipv4ToLong(ip).bitwiseAND(lit(mask)) === lit(baseLong & mask)
+  }
+}

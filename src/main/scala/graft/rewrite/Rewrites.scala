@@ -1,0 +1,143 @@
+package graft.rewrite
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.model.SyslogNames
+
+/** The reference's rewrite operators (reference lib/rewrite/) as
+  * DataFrame → DataFrame projections. Every rewrite supports an optional
+  * guard `condition()` (reference lib/rewrite/rewrite-expr.c:36-48): when the
+  * condition is false the row passes through unchanged — `when(cond, new)
+  * .otherwise(old)`, never a filter.
+  */
+object Rewrites {
+
+  private def guarded(df: DataFrame, name: String, value: Column, condition: Option[Column]): DataFrame = {
+    val old: Column =
+      if (df.columns.contains(name)) col(name) else lit(null).cast("string")
+    condition match {
+      case None       => df.withColumn(name, value)
+      case Some(cond) => df.withColumn(name, when(cond, value).otherwise(old))
+    }
+  }
+
+  /** set(value, NAME) — reference lib/rewrite/rewrite-set.c:49. */
+  def set(df: DataFrame, name: String, value: Column, condition: Option[Column] = None): DataFrame =
+    guarded(df, name, value, condition)
+
+  /** unset(NAME) — reference lib/rewrite/rewrite-unset.c:39. */
+  def unset(df: DataFrame, name: String): DataFrame = df.drop(name)
+
+  /** rename(A, B) — reference lib/rewrite/rewrite-rename.c:37. */
+  def rename(df: DataFrame, from: String, to: String): DataFrame =
+    df.withColumnRenamed(from, to)
+
+  /** subst(re, replacement, NAME) — reference lib/rewrite/rewrite-subst.c:50.
+    * Default = first match only; `global = true` replaces all (reference
+    * subst flags(global)).
+    */
+  def subst(df: DataFrame, name: String, re: String, replacement: String,
+      global: Boolean = false, condition: Option[Column] = None): DataFrame = {
+    val replaced =
+      if (global) regexp_replace(col(name), re, replacement)
+      else GraftFunctions.regexp_replace_first(col(name), re, replacement)
+    guarded(df, name, replaced, condition)
+  }
+
+  /** groupset(value, globs) — set every column whose name matches one of the
+    * glob patterns (reference lib/rewrite/rewrite-groupset.c:72). The glob is
+    * resolved against the schema at plan time (the schema is the NVTable
+    * registry analog).
+    */
+  def groupSet(df: DataFrame, globs: Seq[String], value: Column): DataFrame = {
+    val regexes = globs.map(g => ("^" + g.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    } + "$").r)
+    df.columns.foldLeft(df) { (acc, c) =>
+      if (regexes.exists(_.findFirstIn(c).isDefined)) acc.withColumn(c, value.cast(df.schema(c).dataType))
+      else acc
+    }
+  }
+
+  /** set-tag(t) — reference lib/rewrite/rewrite-set-tag.c:62. */
+  def setTag(df: DataFrame, tagsCol: String, tag: Column, condition: Option[Column] = None): DataFrame = {
+    val added = array_union(col(tagsCol), array(tag))
+    guarded(df, tagsCol, added, condition)
+  }
+
+  /** clear-tag(t). */
+  def clearTag(df: DataFrame, tagsCol: String, tag: Column): DataFrame =
+    df.withColumn(tagsCol, array_remove(col(tagsCol), tag))
+
+  /** set-pri(template) — bounded 0..191 int parse, invalid values leave the
+    * pri unchanged (reference lib/rewrite/rewrite-set-pri.c:58).
+    */
+  def setPri(df: DataFrame, priCol: String, value: Column): DataFrame = {
+    val parsed = value.cast("string").try_cast("int")
+    df.withColumn(priCol,
+      when(parsed.isNotNull && parsed.between(0, 191), parsed).otherwise(col(priCol)))
+  }
+
+  /** set-severity(name-or-num) — reference rewrite-set-severity.c:84. */
+  def setSeverity(df: DataFrame, priCol: String, value: Column): DataFrame = {
+    val bySev = severityNumFromValue(value)
+    df.withColumn(priCol,
+      when(bySev.isNotNull, SyslogNames.mkPri(SyslogNames.facilityNum(col(priCol)), bySev))
+        .otherwise(col(priCol)))
+  }
+
+  /** set-facility(name-or-num) — reference rewrite-set-facility.c:83. */
+  def setFacility(df: DataFrame, priCol: String, value: Column): DataFrame = {
+    val byFac = facilityNumFromValue(value)
+    df.withColumn(priCol,
+      when(byFac.isNotNull, SyslogNames.mkPri(byFac, SyslogNames.severityNum(col(priCol))))
+        .otherwise(col(priCol)))
+  }
+
+  private def severityNumFromValue(v: Column): Column = {
+    val names = SyslogNames.severities
+    val byName = names.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (n, i)) => when(lower(v.cast("string")) === n, lit(i)).otherwise(acc)
+    }
+    val num = v.cast("string").try_cast("int")
+    when(num.isNotNull && num.between(0, 7), num).otherwise(byName)
+  }
+
+  private def facilityNumFromValue(v: Column): Column = {
+    val byName = SyslogNames.facilities.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (n, i)) => when(lower(v.cast("string")) === n, lit(i)).otherwise(acc)
+    }
+    val num = v.cast("string").try_cast("int")
+    when(num.isNotNull && num.between(0, 23), num).otherwise(byName)
+  }
+
+  /** fix-time-zone / set-time-zone (reference modules/timestamp/) — reinterpret
+    * or convert the event timestamp's zone.
+    */
+  def setTimeZone(df: DataFrame, tsCol: String, fromTz: String, toTz: String): DataFrame =
+    df.withColumn(tsCol, convert_timezone(lit(fromTz), lit(toTz), col(tsCol)))
+
+  /** map-value-pairs / column-glob selection helper (reference
+    * lib/value-pairs): build a map column from schema columns selected by
+    * glob with optional key transforms (add-prefix, upper, lower).
+    */
+  def valuePairs(df: DataFrame, includeGlobs: Seq[String], excludeGlobs: Seq[String] = Nil,
+      keyTransform: String => String = identity): Column = {
+    def toRe(g: String) = ("^" + g.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    } + "$").r
+    val inc = includeGlobs.map(toRe)
+    val exc = excludeGlobs.map(toRe)
+    val selected = df.columns.filter(c =>
+      inc.exists(_.findFirstIn(c).isDefined) && !exc.exists(_.findFirstIn(c).isDefined))
+    map(selected.flatMap(c => Seq(lit(keyTransform(c)), col(c).cast("string"))): _*)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.rewrite.Rewrites
+
+class RewritesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("regexp_replace_first replaces only the first match (codegen path)") {
+    val df = Seq("a1 b22 c333", "none").toDF("t")
+    val got = df.select(
+      GraftFunctions.regexp_replace_first(col("t"), "\\d+", "#").as("r"))
+      .as[String].collect().toSeq
+    assert(got == Seq("a# b22 c333", "none"))
+  }
+
+  test("subst global vs first") {
+    val df = Seq(("x", "a1 b2")).toDF("id", "t")
+    val first = Rewrites.subst(df, "t", "\\d", "#").select("t").as[String].head()
+    val global = Rewrites.subst(df, "t", "\\d", "#", global = true).select("t").as[String].head()
+    assert(first == "a# b2" && global == "a# b#")
+  }
+
+  test("set with condition leaves non-matching rows unchanged") {
+    val df = Seq((1, "keep"), (2, "orig")).toDF("id", "v")
+    val got = Rewrites.set(df, "v", lit("NEW"), Some(col("id") === 2))
+      .orderBy("id").select("v").as[String].collect().toSeq
+    assert(got == Seq("keep", "NEW"))
+  }
+
+  test("set-pri bounds: invalid values leave pri unchanged") {
+    val df = Seq((100, "300"), (100, "42"), (100, "junk")).toDF("pri", "v")
+    val got = Rewrites.setPri(df, "pri", col("v")).select("pri").as[Int].collect().toSeq
+    assert(got == Seq(100, 42, 100))
+  }
+
+  test("set-severity by name keeps facility") {
+    val df = Seq(165).toDF("pri") // local4.notice: fac=20 sev=5
+    val got = Rewrites.setSeverity(df, "pri", lit("err")).select("pri").as[Int].head()
+    assert(got == 20 * 8 + 3)
+  }
+
+  test("set-facility by number keeps severity") {
+    val df = Seq(165).toDF("pri")
+    val got = Rewrites.setFacility(df, "pri", lit("0")).select("pri").as[Int].head()
+    assert(got == 5)
+  }
+
+  test("groupset sets all glob-matched columns") {
+    val df = Seq(("a", "b", "c")).toDF("f_one", "f_two", "other")
+    val got = Rewrites.groupSet(df, Seq("f_*"), lit("X")).collect().head
+    assert(got.getString(0) == "X" && got.getString(1) == "X" && got.getString(2) == "c")
+  }
+
+  test("set-tag / clear-tag") {
+    val df = Seq((1, Seq("t0"))).toDF("id", "tags")
+    val added = Rewrites.setTag(df, "tags", lit("t1"))
+      .select("tags").as[Seq[String]].head()
+    assert(added.toSet == Set("t0", "t1"))
+    val cleared = Rewrites.clearTag(df.withColumn("tags", array(lit("t0"), lit("t1"))), "tags", lit("t0"))
+      .select("tags").as[Seq[String]].head()
+    assert(cleared == Seq("t1"))
+  }
+
+  test("valuePairs builds a map from glob-selected columns") {
+    val df = Seq(("h1", "p1", 7)).toDF("host", "prog", "pid")
+    val m = df.select(Rewrites.valuePairs(df, Seq("h*", "p*"), Seq("pid"),
+      keyTransform = k => "nv." + k).as("m"))
+      .as[Map[String, String]].head()
+    assert(m == Map("nv.host" -> "h1", "nv.prog" -> "p1"))
+  }
+}
