@@ -7,6 +7,7 @@ import graft.enrich.ContextualData
 import graft.filters.Filters
 import graft.functions.GraftFunctions
 import graft.model.SyslogNames
+import graft.operators.Correlation
 import graft.parsers.{FieldParsers, GrokStage}
 import graft.rewrite.Rewrites
 import graft.transcripts.Transcripts
@@ -160,6 +161,91 @@ object SparkEntry {
 
     "q_sink_counts" -> ((s, dir) => Pipeline.run(s, dir)),
 
+    // ================= §2.6 rewrites (completeness) =================
+    "q_rewrite_set_unset_rename" -> ((s, dir) => {
+      var p = transcripts(s, dir)
+      p = Rewrites.set(p, "status_text",
+        concat_ws(":", col("role"), coalesce(col("tool"), lit("-"))))
+      p = Rewrites.set(p, "text", upper(col("text")), Some(col("role") === "system"))
+      p = Rewrites.rename(p, "conv_id", "conversation_id")
+      p = Rewrites.unset(p, "ts")
+      p.select(col("conversation_id"), col("turn_idx"), col("status_text"), col("text"))
+    }),
+
+    "q_rewrite_set_pri" -> ((s, dir) => {
+      var p = grokked(s, dir).filter(col("rule_id") === "syslog")
+        .withColumn("pri", f("pri").cast("int"))
+      p = Rewrites.setSeverity(p, "pri", when(f("status") === "error", lit("crit")))
+      p = Rewrites.setFacility(p, "pri", when(f("action") === "login", lit("auth")))
+      p = Rewrites.setPri(p, "pri", when(f("action") === "exec", lit("100"))
+        .otherwise(lit("999"))) // 999 is out of range 0..191 → leaves pri unchanged
+      p.select(col("conv_id"), col("turn_idx"), col("pri"))
+    }),
+
+    "q_rewrite_groupset" -> ((s, dir) => {
+      val p = transcripts(s, dir)
+        .withColumn("meta_a", col("role"))
+        .withColumn("meta_b", coalesce(col("tool"), lit("-")))
+      Rewrites.groupSet(p, Seq("meta_*", "to?l"), lit("redacted"))
+        .select(col("conv_id"), col("turn_idx"), col("role"),
+          col("tool"), col("meta_a"), col("meta_b"))
+    }),
+
+    "q_value_pairs" -> ((s, dir) => {
+      val p = grokked(s, dir).filter(col("rule_id") === "syslog")
+        .select(col("conv_id"), col("turn_idx"),
+          f("host").as("host"), f("prog").as("prog"),
+          f("pid").as("pid"), f("action").as("action"))
+      val m = Rewrites.valuePairs(p, Seq("h*", "a*", "p*"), Seq("pid", "turn_idx"), "sd." + _)
+      p.select(col("conv_id"), col("turn_idx"),
+        concat_ws(",",
+          array_sort(transform(map_entries(m),
+            e => concat(e("key"), lit("="), e("value"))))).as("pairs"))
+    }),
+
+    // ================= §2.4 stateful/correlation =================
+    "q_grouping_by" -> ((s, dir) => {
+      Correlation.groupingBy(
+        transcripts(s, dir),
+        keys = Seq(col("conv_id")),
+        ts = col("ts"),
+        timeout = "8 hours",
+        aggs = Seq(
+          count(lit(1)).as("n_turns"),
+          sum(when(col("tool").isNotNull, 1L).otherwise(0L)).as("n_tool_turns")),
+        having = Some(col("n_turns") >= 2))
+    }),
+
+    "q_rate_limit" -> ((s, dir) => {
+      Correlation.rateLimit(
+        transcripts(s, dir),
+        keys = Seq(col("role")),
+        ts = col("ts"),
+        bucket = "day",
+        rate = 3,
+        tieBreak = Seq(col("turn_idx"), col("conv_id")))
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("ts"))
+    }),
+
+    "q_suppress" -> ((s, dir) => {
+      val sy = grokked(s, dir).filter(col("rule_id") === "syslog")
+        .select(col("conv_id"), col("turn_idx"), col("ts"),
+          f("host").as("host"), f("action").as("action"))
+      Correlation.suppress(sy,
+          key = Seq(col("host")), dupKey = col("action"), ts = col("ts"),
+          intervalSeconds = 7200L,
+          tieBreak = Seq(col("conv_id"), col("turn_idx")))
+        .select(col("host"), col("action"), col("ts"), col("repeated"))
+    }),
+
+    "q_metrics_probe" -> ((s, dir) => {
+      Correlation.metricsProbe(
+        grokked(s, dir),
+        stage = "parse",
+        labels = Map("rule_id" -> col("rule_id"), "role" -> col("role")),
+        increment = coalesce(f("duration_ms").cast("long"), lit(0L)))
+    }),
+
     // ================= §2.4 grouping =================
     "q_group_lines" -> ((s, dir) => {
       transcripts(s, dir)
@@ -275,6 +361,77 @@ object SparkEntry {
          SELECT sink, role, coalesce(tool, 'none') AS tool,
                 date_trunc('hour', ts) AS bucket, count(*) AS n
          FROM routed GROUP BY 1, 2, 3, 4"""),
+
+    "q_rewrite_set_unset_rename" -> Transcripts.oracle(
+      """SELECT conv_id AS conversation_id, turn_idx,
+           concat(role, ':', coalesce(tool, '-')) AS status_text,
+           CASE WHEN role = 'system' THEN upper(text) ELSE text END AS text
+         FROM transcripts"""),
+
+    "q_rewrite_set_pri" -> Transcripts.oracle(
+      """, p0 AS (SELECT conv_id, turn_idx, status, action, fac * 8 + sev AS pri
+                  FROM transcripts_full WHERE variant = 0)
+         , p1 AS (SELECT conv_id, turn_idx, action,
+                    CASE WHEN status = 'error' THEN (pri // 8) * 8 + 2 ELSE pri END AS pri FROM p0)
+         , p2 AS (SELECT conv_id, turn_idx, action,
+                    CASE WHEN action = 'login' THEN 32 + pri % 8 ELSE pri END AS pri FROM p1)
+         SELECT conv_id, turn_idx,
+           cast(CASE WHEN action = 'exec' THEN 100 ELSE pri END AS int) AS pri FROM p2"""),
+
+    "q_rewrite_groupset" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx, role, 'redacted' AS tool,
+           'redacted' AS meta_a, 'redacted' AS meta_b
+         FROM transcripts"""),
+
+    "q_value_pairs" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           concat('sd.action=', action,
+                  ',sd.host=host-', cast(hostnum AS varchar),
+                  ',sd.prog=prog-', cast(prognum AS varchar)) AS pairs
+         FROM transcripts_full WHERE variant = 0"""),
+
+    "q_grouping_by" -> Transcripts.oracle(
+      """, s0 AS (SELECT conv_id, ts, turn_idx, tool,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 8 HOUR THEN 1 ELSE 0 END AS ns
+                  FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+         , s1 AS (SELECT *, sum(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                          ROWS UNBOUNDED PRECEDING) AS sid FROM s0)
+         SELECT conv_id, cast(count(*) AS bigint) AS n_turns,
+           cast(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_tool_turns,
+           min(ts) AS session_start, max(ts) + INTERVAL 8 HOUR AS session_end
+         FROM s1 GROUP BY conv_id, sid HAVING count(*) >= 2"""),
+
+    "q_rate_limit" -> Transcripts.oracle(
+      """, rl AS (SELECT conv_id, turn_idx, role, ts,
+                   row_number() OVER (PARTITION BY date_trunc('day', ts), role
+                                      ORDER BY ts, turn_idx, conv_id) AS rn
+                  FROM transcripts)
+         SELECT conv_id, turn_idx, role, ts FROM rl WHERE rn <= 3"""),
+
+    "q_suppress" -> Transcripts.oracle(
+      """, sy AS (SELECT concat('host-', cast(hostnum AS varchar)) AS host, action, ts,
+                    conv_id, turn_idx
+                  FROM transcripts_full WHERE variant = 0)
+         , m AS (SELECT *, CASE WHEN lag(action) OVER w IS NULL
+                                  OR lag(action) OVER w <> action
+                                  OR cast(floor(epoch(ts)) AS bigint) - cast(floor(epoch(lag(ts) OVER w)) AS bigint) > 7200
+                                THEN 1 ELSE 0 END AS keep
+                 FROM sy WINDOW w AS (PARTITION BY host ORDER BY ts, conv_id, turn_idx))
+         , r AS (SELECT *, sum(keep) OVER (PARTITION BY host ORDER BY ts, conv_id, turn_idx
+                                           ROWS UNBOUNDED PRECEDING) AS run FROM m)
+         SELECT host, action, ts, repeated FROM (
+           SELECT host, action, ts, keep,
+                  cast(count(*) OVER (PARTITION BY host, run) AS bigint) - 1 AS repeated
+           FROM r) WHERE keep = 1"""),
+
+    "q_metrics_probe" -> Transcripts.oracle(
+      """SELECT CASE variant WHEN 0 THEN 'syslog' WHEN 1 THEN 'kv'
+                             WHEN 2 THEN 'json' WHEN 3 THEN 'csv' END AS rule_id,
+           role, cast(count(*) AS bigint) AS n_msgs,
+           cast(sum(CASE WHEN variant = 1 THEN duration_ms ELSE 0 END) AS bigint) AS value,
+           'parse' AS stage
+         FROM transcripts_full GROUP BY 1, 2"""),
 
     "q_group_lines" -> Transcripts.oracle(
       """SELECT conv_id, count(*) AS n_turns,

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's stateful/correlation operators (its only aggregations —
+  * reference modules/correlation/) re-expressed Spark-first for batch; the
+  * streaming variants live in graft.streaming.
+  *
+  * State in the reference is keyed by CorrelationKey (scope + templated key,
+  * reference modules/correlation/correlation-key.h:28-59) and expired by an
+  * event-time timer wheel (modules/correlation/timerwheel.c, advanced by
+  * message timestamps — grouping-parser.c:80-127). The batch equivalents are
+  * `session_window` (event-time gap sessions ≡ timeout() expiry) and window
+  * functions over a deterministic `(ts, turn_idx)` order.
+  */
+object Correlation {
+
+  /** grouping-by(key(), timeout(), aggregate(), having()) — reference
+    * modules/correlation/groupingby.c:116. Batch shape: event-time session
+    * windows per key; `timeout()` is the session gap; `having()` is a
+    * post-aggregation filter (groupingby.c:94-99); `aggregate()` templates
+    * become agg Columns over the context (count/collect/first — the
+    * $(context-*) template function family).
+    *
+    * Scale: one hash-shuffle on the key; sessionization is a sort within
+    * each key partition — no cross-key state, so it scales linearly with
+    * executors and AQE handles skewed keys.
+    */
+  def groupingBy(
+      df: DataFrame,
+      keys: Seq[Column],
+      ts: Column,
+      timeout: String,
+      aggs: Seq[Column],
+      having: Option[Column] = None): DataFrame = {
+    val sw = session_window(ts, timeout)
+    val grouped = df
+      .groupBy((sw +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+    having.fold(grouped)(grouped.filter)
+  }
+
+  /** rate-limit(key(), rate()) — reference modules/rate-limit-filter/
+    * rate-limit.c:68-142. The reference is a wall-clock token bucket (1s
+    * refill); arrival order is nondeterministic there. The batch semantics
+    * (documented delta, SURVEY.md §7.3): within each (key, time-bucket) the
+    * first `rate` rows in deterministic `(ts, tieBreak...)` order pass.
+    */
+  def rateLimit(
+      df: DataFrame,
+      keys: Seq[Column],
+      ts: Column,
+      bucket: String,
+      rate: Int,
+      tieBreak: Seq[Column]): DataFrame = {
+    val w = Window
+      .partitionBy((date_trunc(bucket, ts) +: keys): _*)
+      .orderBy((ts +: tieBreak).map(_.asc): _*)
+    df.withColumn("rl_rn", row_number().over(w))
+      .filter(col("rl_rn") <= rate)
+      .drop("rl_rn")
+  }
+
+  /** suppress(seconds) — duplicate elision in the writer (reference
+    * lib/logwriter.c suppress logic): a message identical to the previous
+    * one on the same key within the interval is suppressed; the survivor
+    * carries `repeated` = number of suppressed duplicates that followed it
+    * (the reference's "last message repeated N times" synthetic line).
+    *
+    * Batch shape: lag() over a per-key event-time order marks suppressed
+    * rows; a run-id (sum of keep-markers) groups each survivor with its
+    * duplicates — two window passes, one shuffle on the key.
+    */
+  def suppress(
+      df: DataFrame,
+      key: Seq[Column],
+      dupKey: Column,
+      ts: Column,
+      intervalSeconds: Long,
+      tieBreak: Seq[Column]): DataFrame = {
+    val order = (ts +: tieBreak).map(_.asc)
+    val w = Window.partitionBy(key: _*).orderBy(order: _*)
+    val prevDup = lag(dupKey, 1).over(w)
+    val prevTs = lag(ts, 1).over(w)
+    val keep = prevDup.isNull || prevDup =!= dupKey ||
+      unix_timestamp(ts) - unix_timestamp(prevTs) > intervalSeconds
+    val marked = df
+      .withColumn("sup_keep", keep)
+      .withColumn("sup_run", sum(when(col("sup_keep"), 1).otherwise(0)).over(w))
+    val runW = Window.partitionBy((col("sup_run") +: key): _*)
+    marked
+      .withColumn("repeated", count(lit(1)).over(runW) - 1)
+      .filter(col("sup_keep"))
+      .drop("sup_keep", "sup_run")
+  }
+
+  /** metrics-probe(key(), labels(), increment()) — reference
+    * modules/metrics-probe/metrics-probe.c:93-106: per-message counters
+    * keyed by evaluated label templates. Batch: one hash aggregate emitting
+    * stats-table rows (stage, labels..., count, sum-of-increment) — partial
+    * (map-side) aggregation makes this a near-free pass at any scale.
+    */
+  def metricsProbe(
+      df: DataFrame,
+      stage: String,
+      labels: Map[String, Column],
+      increment: Column = lit(1L)): DataFrame = {
+    val labelCols = labels.toSeq.sortBy(_._1)
+    df.groupBy(labelCols.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("n_msgs"), sum(increment).as("value"))
+      .withColumn("stage", lit(stage))
+  }
+
+  /** logscheduler(partitions(N)) — reference lib/logscheduler.c:62-112
+    * load-balances re-injected messages across N partitions while keeping
+    * per-key order: `repartition(N, key)` is exactly that contract.
+    */
+  def schedule(df: DataFrame, numPartitions: Int, keys: Column*): DataFrame =
+    if (keys.isEmpty) df.repartition(numPartitions)
+    else df.repartition(numPartitions, keys: _*)
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Correlation
+
+/** Stateful/correlation operators (reference modules/correlation/) against
+  * hand-computed expectations — the analog of the reference's
+  * test_grouping_by.c / rate-limit unit tests.
+  */
+class CorrelationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  private lazy val turns = Seq(
+    // (conv, turn, tool, minutes)
+    ("a", 0, null, 0L), ("a", 1, "bash", 5L), ("a", 2, null, 20L),
+    // a: 90-min gap -> second session at 12m timeout
+    ("a", 3, "bash", 110L), ("a", 4, null, 115L),
+    // b: one single-turn session
+    ("b", 0, null, 7L),
+    ("b", 1, "search", 200L), ("b", 2, null, 204L))
+    .toDF("conv_id", "turn_idx", "tool", "m")
+    .withColumn("ts", timestamp_millis(col("m") * 60000L))
+
+  test("grouping-by: session windows per key, timeout gap, having") {
+    val got = Correlation.groupingBy(
+      turns,
+      keys = Seq(col("conv_id")),
+      ts = col("ts"),
+      timeout = "12 minutes",
+      aggs = Seq(count(lit(1)).as("n_turns"),
+        sum(when(col("tool").isNotNull, 1L).otherwise(0L)).as("n_tool")),
+      having = Some(col("n_turns") >= 2))
+      .select("conv_id", "n_turns", "n_tool", "session_start", "session_end")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4)))
+      .sortBy(x => (x._1, x._4.getTime))
+
+    // a: turns 0,1 merge (gap 5m), turn 2 merges (gap 15m>12m? no — 15m >= 12m splits)
+    assert(got === Seq(
+      ("a", 2L, 1L, ts(0), ts(5 + 12)),
+      ("a", 2L, 1L, ts(110), ts(115 + 12)),
+      ("b", 2L, 1L, ts(200), ts(204 + 12))))
+  }
+
+  test("rate-limit: first `rate` rows per key+bucket in deterministic order") {
+    val got = Correlation.rateLimit(
+      turns, keys = Seq(col("conv_id")), ts = col("ts"),
+      bucket = "hour", rate = 2, tieBreak = Seq(col("turn_idx")))
+      .select("conv_id", "turn_idx").as[(String, Int)].collect().sorted
+    // a hour0: turns 0,1 pass, 2 dropped; a hour1: 3,4 pass; b: all pass
+    assert(got === Seq(("a", 0), ("a", 1), ("a", 3), ("a", 4),
+      ("b", 0), ("b", 1), ("b", 2)).sorted)
+  }
+
+  test("suppress: consecutive same-key duplicates within interval elided, repeated counted") {
+    val msgs = Seq(
+      ("h1", "up", 0L), ("h1", "up", 10L), ("h1", "up", 20L), // run of 3 -> 1 survivor, repeated=2
+      ("h1", "down", 25L), // different msg -> survives
+      ("h1", "down", 200L), // same msg but > interval -> survives alone
+      ("h2", "up", 0L)) // other key
+      .toDF("host", "msg", "m")
+      .withColumn("ts", timestamp_millis(col("m") * 60000L))
+    val got = Correlation.suppress(msgs,
+      key = Seq(col("host")), dupKey = col("msg"), ts = col("ts"),
+      intervalSeconds = 3600L, tieBreak = Seq(col("m")))
+      .select("host", "msg", "m", "repeated")
+      .as[(String, String, Long, Long)].collect().sortBy(x => (x._1, x._3))
+    assert(got === Seq(
+      ("h1", "up", 0L, 2L), ("h1", "down", 25L, 0L),
+      ("h1", "down", 200L, 0L), ("h2", "up", 0L, 0L)).sortBy(x => (x._1, x._3)))
+  }
+
+  test("metrics-probe: label-keyed counters with increment") {
+    val got = Correlation.metricsProbe(
+      turns, "probe",
+      labels = Map("conv" -> col("conv_id")),
+      increment = when(col("tool").isNotNull, 10L).otherwise(1L))
+      .select("stage", "conv", "n_msgs", "value")
+      .as[(String, String, Long, Long)].collect().sortBy(_._2)
+    assert(got === Seq(("probe", "a", 5L, 23L), ("probe", "b", 3L, 12L)))
+  }
+
+  test("logscheduler: repartition keeps per-key co-location") {
+    val p = Correlation.schedule(turns, 3, col("conv_id"))
+    assert(p.rdd.getNumPartitions === 3)
+    // every conv_id lands in exactly one partition
+    val perKey = p.withColumn("pid", spark_partition_id())
+      .groupBy("conv_id").agg(countDistinct("pid").as("n"))
+      .as[(String, Long)].collect()
+    assert(perKey.forall(_._2 == 1L))
+  }
+}
