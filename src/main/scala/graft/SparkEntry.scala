@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.enrich.ContextualData
 import graft.filters.Filters
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, Templates}
 import graft.model.SyslogNames
 import graft.operators.Correlation
 import graft.parsers.{FieldParsers, GrokStage}
@@ -203,6 +203,39 @@ object SparkEntry {
             e => concat(e("key"), lit("="), e("value"))))).as("pairs"))
     }),
 
+    // ================= §2.8 templates/macros/functions =================
+    "q_template_eval" -> ((s, dir) => {
+      val p = grokked(s, dir).filter(col("rule_id") === "syslog")
+        .withColumn("pri", f("pri").cast("int"))
+        .withColumn("ts", col("ts").cast("timestamp")) // ntz → session-UTC instant
+      val r = Templates.standardResolver(
+        p.columns.toSet, col("ts"), col("pri"), col("fields"))
+      p.select(col("conv_id"), col("turn_idx"),
+        Templates.compile(
+          "<$PRI>$HOST $PROGRAM[$PID]: action=${action} note=${missing:-none} $FACILITY.$SEVERITY",
+          r).as("line"),
+        Templates.compile("$YEAR-$MONTH-$DAY $HOUR:$MIN:$SEC @$UNIXTIME", r).as("when"))
+    }),
+
+    "q_template_funcs" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val r: Templates.Resolver =
+        name => if (t.columns.contains(name)) Some(col(name)) else None
+      t.select(col("conv_id"), col("turn_idx"),
+        Templates.compile("$(uppercase $role)|$(+ $turn_idx 1)|$(padding $turn_idx 6 0)", r).as("a"),
+        Templates.compile("$(sha256 $conv_id 8)|$(if $tool T -)|$(substr $conv_id 5)", r).as("b"),
+        Templates.compile("$(or $tool fallback)|$(min $turn_idx 2)|$(length $text)", r).as("c"))
+    }),
+
+    "q_template_format" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val r: Templates.Resolver =
+        name => if (t.columns.contains(name)) Some(col(name)) else None
+      t.select(col("conv_id"), col("turn_idx"),
+        Templates.compile("$(format-json conv=$conv_id role=$role n=$turn_idx)", r).as("j"),
+        Templates.compile("$(format-welf id=$conv_id role=$role tool=${tool:-na})", r).as("w"))
+    }),
+
     // ================= §2.4 stateful/correlation =================
     "q_grouping_by" -> ((s, dir) => {
       Correlation.groupingBy(
@@ -389,6 +422,39 @@ object SparkEntry {
                   ',sd.host=host-', cast(hostnum AS varchar),
                   ',sd.prog=prog-', cast(prognum AS varchar)) AS pairs
          FROM transcripts_full WHERE variant = 0"""),
+
+    "q_template_eval" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           concat('<', cast(fac * 8 + sev AS varchar), '>host-', cast(hostnum AS varchar),
+                  ' prog-', cast(prognum AS varchar), '[', cast(pid AS varchar), ']: action=',
+                  action, ' note=none ',
+                  (['kern','user','mail','daemon','auth','syslog','lpr','news',
+                    'uucp','cron','authpriv','ftp','ntp','security','console',
+                    'solaris-cron','local0','local1','local2','local3','local4',
+                    'local5','local6','local7'])[fac + 1], '.',
+                  (['emerg','alert','crit','err','warning','notice','info','debug'])[sev + 1]) AS line,
+           concat(strftime(ts, '%Y-%m-%d %H:%M:%S'), ' @',
+                  cast(floor(epoch(ts)) AS bigint)) AS "when"
+         FROM transcripts_full WHERE variant = 0"""),
+
+    "q_template_funcs" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           concat(upper(role), '|', cast(turn_idx + 1 AS varchar), '|',
+                  lpad(cast(turn_idx AS varchar), 6, '0')) AS a,
+           concat(substr(sha256(conv_id), 1, 8), '|',
+                  CASE WHEN tool IS NOT NULL THEN 'T' ELSE '-' END, '|',
+                  substr(conv_id, 6)) AS b,
+           concat(coalesce(tool, 'fallback'), '|',
+                  cast(least(turn_idx, 2) AS varchar), '|',
+                  cast(length(text) AS varchar)) AS c
+         FROM transcripts"""),
+
+    "q_template_format" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           concat('{"conv":"', conv_id, '","role":"', role, '","n":"',
+                  cast(turn_idx AS varchar), '"}') AS j,
+           concat('id=', conv_id, ' role=', role, ' tool=', coalesce(tool, 'na')) AS w
+         FROM transcripts"""),
 
     "q_grouping_by" -> Transcripts.oracle(
       """, s0 AS (SELECT conv_id, ts, turn_idx, tool,

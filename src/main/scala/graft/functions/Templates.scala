@@ -1,0 +1,327 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's template language compiled to Catalyst expressions.
+  *
+  * Templates `"$HOST ${field:-default} $(func a b)"` compile to a list of
+  * literal/value-ref/function elements (reference lib/template/compiler.c:
+  * 151-195, templates.c:193) and evaluate per message to a string
+  * (lib/template/eval.c:126-244). Here a template compiles to exactly a
+  * `concat(...)` Column tree — the reference's "trivial template"
+  * short-circuit (templates.c:56-104) falls out naturally: a bare `$NAME`
+  * compiles to a bare column read.
+  *
+  * Unset values render as the empty string, `${NAME:-default}` substitutes
+  * the default — both via `coalesce`, matching the reference's eval
+  * semantics. `$$` escapes a dollar.
+  */
+object Templates {
+
+  sealed trait Elem
+  final case class Lit(s: String) extends Elem
+  final case class Ref(name: String, default: Option[Seq[Elem]]) extends Elem
+  final case class Call(fn: String, args: Seq[Seq[Elem]]) extends Elem
+
+  /** Value/macro resolution: given a name, a Column or None (unset). */
+  type Resolver = String => Option[Column]
+
+  // ------------------------------------------------------------------ parse
+
+  /** Recursive-descent parse of the template text (the reference's
+    * log_template_compile, lib/template/compiler.c).
+    */
+  def parse(tmpl: String): Seq[Elem] = {
+    val (elems, rest) = parseElems(tmpl, 0, stopAt = Set.empty)
+    require(rest == tmpl.length, s"template parse error at offset $rest in: $tmpl")
+    elems
+  }
+
+  // unbraced $NAME: alnum + underscore only (dotted names need ${braces},
+  // as in the reference's macro lexer); function names also allow - and .
+  private val nameChar = (c: Char) => c.isLetterOrDigit || c == '_'
+  private val fnNameChar = (c: Char) => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'
+
+  /** Parse until EOF or an unescaped char in stopAt at depth 0. */
+  private def parseElems(s: String, start: Int, stopAt: Set[Char]): (Seq[Elem], Int) = {
+    val out = Seq.newBuilder[Elem]
+    val lit = new StringBuilder
+    var i = start
+    def flush(): Unit = if (lit.nonEmpty) { out += Lit(lit.toString); lit.clear() }
+    while (i < s.length && !stopAt.contains(s(i))) {
+      val c = s(i)
+      if (c == '$' && i + 1 < s.length) {
+        s(i + 1) match {
+          case '$' => lit += '$'; i += 2
+          case '{' =>
+            flush()
+            val close = s.indexOf('}', i + 2)
+            require(close > 0, s"unterminated $${ in: $s")
+            val body = s.substring(i + 2, close)
+            val (name, dflt) = body.indexOf(":-") match {
+              case -1 => (body, None)
+              case k  => (body.take(k), Some(parse(body.drop(k + 2))))
+            }
+            out += Ref(name, dflt)
+            i = close + 1
+          case '(' =>
+            flush()
+            val (call, next) = parseCall(s, i + 2)
+            out += call
+            i = next
+          case c2 if nameChar(c2) =>
+            flush()
+            var j = i + 1
+            while (j < s.length && nameChar(s(j))) j += 1
+            out += Ref(s.substring(i + 1, j), None)
+            i = j
+          case _ => lit += c; i += 1
+        }
+      } else { lit += c; i += 1 }
+    }
+    flush()
+    (out.result(), i)
+  }
+
+  /** Parse `name arg arg ...)` starting after `$(`. Args are whitespace-
+    * separated; quoted args keep spaces; args are themselves templates;
+    * nested `$(...)` calls are supported.
+    */
+  private def parseCall(s: String, start: Int): (Call, Int) = {
+    var i = start
+    while (i < s.length && fnNameChar(s(i))) i += 1
+    // operator-named functions ($(+ 1 2), $(% a b), …): a symbol run
+    if (i == start) while (i < s.length && !s(i).isWhitespace && s(i) != ')') i += 1
+    val fn = s.substring(start, i)
+    val args = Seq.newBuilder[Seq[Elem]]
+    while (i < s.length && s(i) != ')') {
+      if (s(i).isWhitespace) i += 1
+      else if (s(i) == '"' || s(i) == '\'') {
+        val q = s(i)
+        val close = s.indexOf(q, i + 1)
+        require(close > 0, s"unterminated quote in: $s")
+        args += parse(s.substring(i + 1, close))
+        i = close + 1
+      } else if (s(i) == '$' && i + 1 < s.length && s(i + 1) == '(') {
+        val (call, next) = parseCall(s, i + 2)
+        args += Seq(call)
+        i = next
+      } else {
+        val j0 = i
+        while (i < s.length && !s(i).isWhitespace && s(i) != ')') i += 1
+        args += parse(s.substring(j0, i))
+      }
+    }
+    require(i < s.length, s"unterminated $$( in: $s")
+    (Call(fn, args.result()), i + 1)
+  }
+
+  // ---------------------------------------------------------------- compile
+
+  /** One compiled function argument: its Column, plus the literal text if
+    * the arg is static (functions like substr/padding need plan-time ints).
+    */
+  final case class Arg(elems: Seq[Elem], resolver: Resolver) {
+    lazy val col: Column = compileElems(elems, resolver)
+    def literal: Option[String] = elems match {
+      case Seq(Lit(s)) => Some(s)
+      case Seq()       => Some("")
+      case _           => None
+    }
+    def int: Int = literal
+      .getOrElse(sys.error("static integer arg required")).trim.toInt
+  }
+
+  def compile(tmpl: String, resolver: Resolver): Column =
+    compileElems(parse(tmpl), resolver)
+
+  private[functions] def compileElems(elems: Seq[Elem], resolver: Resolver): Column = {
+    val cols = elems.map {
+      case Lit(s) => lit(s)
+      case Ref(name, dflt) =>
+        val base = resolver(name).map(_.cast("string"))
+        val fallback = dflt.map(d => compileElems(d, resolver)).getOrElse(lit(""))
+        base.map(c => coalesce(c, fallback)).getOrElse(fallback)
+      case Call(fn, args) =>
+        val f = TemplateFunctions.registry.getOrElse(
+          fn, sys.error(s"unknown template function: $$($fn)"))
+        coalesce(f(args.map(Arg(_, resolver))).cast("string"), lit(""))
+    }
+    cols match {
+      case Seq()  => lit("")
+      case Seq(c) => c
+      case many   => concat(many: _*)
+    }
+  }
+
+  // --------------------------------------------------------------- resolver
+
+  /** The standard macro resolver over a parsed transcript frame (the ≈180
+    * macro names of reference lib/template/macros.c:49-280, the subset our
+    * schema supports): identity macros from grok fields, pri-derived
+    * FACILITY/SEVERITY, and the event-time date family; unknown names fall
+    * back to top-level columns then the `fields` map.
+    */
+  def standardResolver(
+      columns: Set[String],
+      ts: Column,
+      pri: Column,
+      fields: Column): Resolver = {
+    val fixed: Map[String, Column] = Map(
+      "MESSAGE" -> col("text"), "MSG" -> col("text"),
+      "HOST" -> fields("host"), "PROGRAM" -> fields("prog"),
+      "PID" -> fields("pid"),
+      "PRI" -> pri.cast("string"),
+      "FACILITY" -> graft.model.SyslogNames.facilityName(pri),
+      "FACILITY_NUM" -> graft.model.SyslogNames.facilityNum(pri).cast("string"),
+      "SEVERITY" -> graft.model.SyslogNames.severityName(pri),
+      "LEVEL" -> graft.model.SyslogNames.severityName(pri),
+      "SEVERITY_NUM" -> graft.model.SyslogNames.severityNum(pri).cast("string"),
+      "LEVEL_NUM" -> graft.model.SyslogNames.severityNum(pri).cast("string"),
+      "TAGS" -> concat_ws(",", col("tags")),
+      // date family, event-time base (reference S_* prefix; the unprefixed
+      // family follows the stamp too)
+      "YEAR" -> date_format(ts, "yyyy"), "MONTH" -> date_format(ts, "MM"),
+      "DAY" -> date_format(ts, "dd"), "HOUR" -> date_format(ts, "HH"),
+      "MIN" -> date_format(ts, "mm"), "SEC" -> date_format(ts, "ss"),
+      "WEEKDAY" -> date_format(ts, "EEE"),
+      "MONTH_ABBREV" -> date_format(ts, "MMM"),
+      "ISODATE" -> date_format(ts, "yyyy-MM-dd'T'HH:mm:ssxxx"),
+      "DATE" -> date_format(ts, "MMM dd HH:mm:ss"),
+      "UNIXTIME" -> unix_timestamp(ts).cast("string"),
+      "WEEK_DAY" -> dayofweek(ts).cast("string"),
+      "ISOWEEK" -> weekofyear(ts).cast("string"))
+    (name: String) =>
+      fixed.get(name)
+        .orElse(if (columns.contains(name)) Some(col(name)) else None)
+        .orElse(Some(fields(name)))
+  }
+}
+
+/** The template-function registry — the reference's UDF surface
+  * (TEMPLATE_FUNCTION plugins, inventory in reference
+  * modules/basicfuncs/basic-funcs.c:76-150). Every function is a thin
+  * wrapper over codegen'd builtins; nothing here is a Scala UDF.
+  */
+object TemplateFunctions {
+  import Templates.Arg
+
+  type TFunc = Seq[Arg] => Column
+
+  /** Numbers render like the reference's int64-first GenericNumber: integral
+    * results print without a decimal point.
+    */
+  private def num(c: Column): Column = c.cast("double")
+  private def renderNum(d: Column): Column =
+    when(d === floor(d), d.cast("long").cast("string")).otherwise(d.cast("string"))
+  private def fold(args: Seq[Arg], f: (Column, Column) => Column): Column =
+    renderNum(args.map(a => num(a.col)).reduce(f))
+
+  /** k=v argument pair of $(format-json)/$(format-welf): the key is the
+    * static text before '=', the value the template after it.
+    */
+  private def kvArgs(args: Seq[Arg]): Seq[(String, Column)] = args.map { a =>
+    a.elems match {
+      case Templates.Lit(s) +: rest if s.contains('=') =>
+        val k = s.takeWhile(_ != '=')
+        val vLit = s.drop(k.length + 1)
+        val vElems = (if (vLit.nonEmpty) Seq(Templates.Lit(vLit)) else Nil) ++ rest
+        k -> Templates.compileElems(vElems, a.resolver)
+      case _ => sys.error("format-json/welf args must be key=value")
+    }
+  }
+
+  // list values are comma-separated strings (reference LM_VT_LIST,
+  // lib/scanner/list-scanner) — split/join on ','
+  private def asList(a: Arg): Column = split(a.col, ",")
+  private def render(l: Column): Column = concat_ws(",", l)
+
+  val registry: Map[String, TFunc] = Map(
+    // --- cond (basic-funcs.c) -------------------------------------------
+    "if" -> (a => when(truthy(a(0).col), a(1).col).otherwise(a(2).col)),
+    "or" -> (a => coalesce(a.map(x => nullif(x.col, lit(""))): _*)),
+    // --- strings --------------------------------------------------------
+    "echo" -> (a => concat_ws(" ", a.map(_.col): _*)),
+    "length" -> (a => length(a(0).col).cast("string")),
+    "lowercase" -> (a => lower(a(0).col)),
+    "uppercase" -> (a => upper(a(0).col)),
+    "strip" -> (a => trim(a(0).col)),
+    // substr(str, offset, [len]) — 0-based offset (reference str-funcs)
+    "substr" -> (a =>
+      if (a.length > 2) substring(a(0).col, a(1).int + 1, a(2).int)
+      else a(0).col.substr(lit(a(1).int + 1), length(a(0).col))),
+    "sanitize" -> (a => regexp_replace(a(0).col, "[^a-zA-Z0-9_.-]", "_")),
+    // replace-delimiter("from_chars", "to_char", text) — any of from_chars
+    // becomes to_char (reference str-funcs.c tf_replace_delimiter)
+    "replace-delimiter" -> (a => {
+      val from = a(0).literal.getOrElse(sys.error("static from-chars required"))
+      val to = a(1).literal.getOrElse(sys.error("static to-char required"))
+      translate(a(2).col, from, to.head.toString * from.length)
+    }),
+    "padding" -> (a => lpad(a(0).col,
+      a(1).int, a.lift(2).flatMap(_.literal).getOrElse(" "))),
+    "indent-multi-line" -> (a => regexp_replace(a(0).col, "\n", "\n        ")),
+    "dirname" -> (a => when(a(0).col.contains("/"),
+      regexp_extract(a(0).col, "^(.*)/[^/]*$", 1)).otherwise(lit("."))),
+    "basename" -> (a => regexp_extract(a(0).col, "([^/]*)$", 1)),
+    "url-encode" -> (a => url_encode(a(0).col)),
+    "url-decode" -> (a => url_decode(a(0).col)),
+    "base64-encode" -> (a => base64(to_binary(a(0).col, lit("utf-8")))),
+    // --- numeric (numeric-funcs.c) — int64-first rendering ---------------
+    "+" -> (fold(_, _ + _)),
+    "-" -> (fold(_, _ - _)),
+    "*" -> (fold(_, _ * _)),
+    "/" -> (a => renderNum(floor(num(a(0).col) / num(a(1).col)))),
+    "%" -> (a => renderNum(pmod(num(a(0).col), num(a(1).col)))),
+    "sum" -> (fold(_, _ + _)),
+    "min" -> (a => renderNum(least(a.map(x => num(x.col)): _*))),
+    "max" -> (a => renderNum(greatest(a.map(x => num(x.col)): _*))),
+    "average" -> (a => renderNum(a.map(x => num(x.col)).reduce(_ + _) / a.length)),
+    "round" -> (a => renderNum(round(num(a(0).col),
+      a.lift(1).map(_.int).getOrElse(0)))),
+    "ceil" -> (a => renderNum(ceil(num(a(0).col)))),
+    "floor" -> (a => renderNum(floor(num(a(0).col)))),
+    // --- lists (list-funcs.c) — comma-separated LIST values --------------
+    "list-concat" -> (a => render(concat(a.map(asList): _*))),
+    "list-head" -> (a => element_at(asList(a(0)), 1)),
+    "list-nth" -> (a => element_at(asList(a(0)), a(1).int + 1)),
+    "list-tail" -> (a => render(slice(asList(a(0)), 2, 1000000))),
+    "list-count" -> (a => size(asList(a(0))).cast("string")),
+    "list-append" -> (a => render(concat(asList(a(0)),
+      array(a.drop(1).map(_.col): _*)))),
+    "list-slice" -> (a => render(slice(asList(a(0)), a(1).int + 1,
+      a(2).int - a(1).int))),
+    "list-search" -> (a => (array_position(asList(a(1)), a(0).col) - 1).cast("string")),
+    // --- ip ---------------------------------------------------------------
+    "ipv4-to-int" -> (a => graft.filters.Filters.ipv4ToLong(a(0).col).cast("string")),
+    // --- crypto (modules/cryptofuncs) -------------------------------------
+    "sha256" -> (a => truncHash(sha2(a(0).col, 256), a)),
+    "sha1" -> (a => truncHash(sha1(a(0).col), a)),
+    "md5" -> (a => truncHash(md5(a(0).col), a)),
+    "hash" -> (a => truncHash(sha2(a(0).col, 256), a)),
+    // --- format (modules/json/format-json.c, kvformat/format-welf.c) ------
+    "format-json" -> (a => to_json(struct(kvArgs(a).map {
+      case (k, v) => v.as(k) }: _*))),
+    "format-flat-json" -> (a => to_json(struct(kvArgs(a).map {
+      case (k, v) => v.as(k.replace(".", "_")) }: _*))),
+    "format-welf" -> (a => concat_ws(" ", kvArgs(a).sortBy(_._1).map {
+      case (k, v) => concat(lit(k + "="),
+        when(v.contains(" "), concat(lit("\""), v, lit("\""))).otherwise(v))
+    }: _*)),
+    // --- tags --------------------------------------------------------------
+    "tag" -> (a => when(array_contains(col("tags"), a(0).col), "1").otherwise("0")),
+    "tags-head" -> (a => element_at(col("tags"), 1))
+  )
+
+  /** Truthiness of a rendered value (reference $(if) evaluates a filter; our
+    * curated surface: non-empty, non-zero, non-false strings are true).
+    */
+  def truthy(c: Column): Column = {
+    val s = lower(trim(c.cast("string")))
+    s.isNotNull && s =!= "" && s =!= "0" && s =!= "false"
+  }
+
+  private def truncHash(h: Column, a: Seq[Arg]): Column =
+    if (a.length > 1) substring(h, 1, a.last.int) else h
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Templates
+
+/** Template compiler + function registry — the analog of the reference's
+  * lib/template/tests/test_template.c / test_macro.c table-driven cases.
+  */
+class TemplatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("conv-1", 3, "assistant", "hello world", "bash", 12, 34, "10.1.2.3", "a,b,c", "/var/log/app.log"))
+    .toDF("conv_id", "turn_idx", "role", "text", "tool", "n1", "n2", "ip", "lst", "path")
+
+  private val resolver: Templates.Resolver = name =>
+    if (df.columns.contains(name)) Some(col(name)) else None
+
+  private def eval(tmpl: String): String =
+    df.select(Templates.compile(tmpl, resolver).as("v")).as[String].head()
+
+  test("literals, refs, braces, defaults, $$ escape") {
+    assert(eval("plain") === "plain")
+    assert(eval("$role") === "assistant")
+    assert(eval("${role}x") === "assistantx")
+    assert(eval("a $conv_id:$turn_idx b") === "a conv-1:3 b")
+    assert(eval("${missing:-dflt}") === "dflt")
+    assert(eval("${missing:-$role}") === "assistant")
+    assert(eval("${tool}") === "bash")
+    assert(eval("cost: $$5") === "cost: $5")
+    assert(eval("") === "")
+  }
+
+  test("string functions") {
+    assert(eval("$(uppercase $role)") === "ASSISTANT")
+    assert(eval("$(lowercase ABC)") === "abc")
+    assert(eval("$(length $text)") === "11")
+    assert(eval("$(substr $text 6 5)") === "world")
+    assert(eval("$(substr $text 6)") === "world")
+    assert(eval("$(strip '  x  ')") === "x")
+    assert(eval("$(echo $role $tool)") === "assistant bash")
+    assert(eval("$(padding $turn_idx 4 0)") === "0003")
+    assert(eval("$(sanitize 'a b/c')") === "a_b_c")
+    assert(eval("$(replace-delimiter ' ' '-' $text)") === "hello-world")
+    assert(eval("$(basename $path)") === "app.log")
+    assert(eval("$(dirname $path)") === "/var/log")
+    assert(eval("$(base64-encode hi)") === "aGk=")
+  }
+
+  test("numeric functions render int64-first") {
+    assert(eval("$(+ $n1 $n2)") === "46")
+    assert(eval("$(- $n2 $n1)") === "22")
+    assert(eval("$(* 6 7)") === "42")
+    assert(eval("$(/ $n2 $n1)") === "2")
+    assert(eval("$(% $n2 $n1)") === "10")
+    assert(eval("$(min $n1 $n2 5)") === "5")
+    assert(eval("$(max $n1 $n2)") === "34")
+    assert(eval("$(average 2 4)") === "3")
+    assert(eval("$(round 3.7)") === "4")
+    assert(eval("$(+ 1.5 1)") === "2.5")
+    assert(eval("$(+ 1 $(* 2 3))") === "7") // nested call
+  }
+
+  test("cond + list + crypto functions") {
+    assert(eval("$(if $tool yes no)") === "yes")
+    assert(eval("$(if '' yes no)") === "no")
+    assert(eval("$(or '' $role)") === "assistant")
+    assert(eval("$(list-head $lst)") === "a")
+    assert(eval("$(list-nth $lst 1)") === "b")
+    assert(eval("$(list-tail $lst)") === "b,c")
+    assert(eval("$(list-count $lst)") === "3")
+    assert(eval("$(list-append $lst d)") === "a,b,c,d")
+    assert(eval("$(list-slice $lst 0 2)") === "a,b")
+    assert(eval("$(ipv4-to-int $ip)") === "167838211")
+    assert(eval("$(sha256 x 8)") === "2d711642") // sha256("x") prefix
+    assert(eval("$(md5 x 8)") === "9dd4e461")
+  }
+
+  test("format functions") {
+    assert(eval("$(format-json role=$role n=$turn_idx)") ===
+      """{"role":"assistant","n":"3"}""")
+    assert(eval("$(format-welf id=$conv_id msg=$text)") ===
+      """id=conv-1 msg="hello world"""")
+  }
+
+  test("macro resolver: pri + date family over parsed rows") {
+    val parsed = Seq(("2026-03-05 06:07:08", 165, "boot msg"))
+      .toDF("tss", "pri", "text")
+      .withColumn("ts", col("tss").cast("timestamp"))
+      .withColumn("fields", map(lit("host"), lit("h1"), lit("prog"), lit("p1")))
+      .withColumn("tags", array(lit("t1"), lit("t2")))
+    val r = Templates.standardResolver(parsed.columns.toSet, col("ts"), col("pri"), col("fields"))
+    def ev(t: String): String =
+      parsed.select(Templates.compile(t, r).as("v")).as[String].head()
+    assert(ev("$FACILITY.$SEVERITY") === "local4.notice") // 165 = 20*8+5
+    assert(ev("$PRI") === "165")
+    assert(ev("$YEAR-$MONTH-$DAY $HOUR:$MIN:$SEC") === "2026-03-05 06:07:08")
+    assert(ev("$UNIXTIME") === "1772690828")
+    assert(ev("$HOST/$PROGRAM: $MSG") === "h1/p1: boot msg")
+    assert(ev("$TAGS") === "t1,t2")
+    assert(ev("$(tag t1)/$(tag t9)") === "1/0")
+    assert(ev("$(tags-head)") === "t1")
+  }
+}
