@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.corpus.{Dedup, Multimodal, Similarity, TextStats}
 import graft.enrich.ContextualData
 import graft.filters.Filters
 import graft.functions.{GraftFunctions, Templates}
@@ -32,7 +33,41 @@ object SparkEntry {
   private def grokked(s: SparkSession, dir: String): DataFrame =
     GrokStage(transcripts(s, dir), "text", GrokStage.transcriptRules)
 
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
   private def f(key: String): Column = col("fields")(key)
+
+  // ---- shared oracle fragments: corpus ops (DuckDB dialect) --------------
+  /** word 3-shingle sets per doc (matches Dedup.shingles(k=3)). */
+  private val DOC_SHINGLES =
+    """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT doc_id, text,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in generate_series(1, len(w) - 2)]) AS s
+              FROM tok)"""
+
+  private val DOC_JACCARD_05 =
+    s"""$DOC_SHINGLES
+       , pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  len(list_intersect(a.s, b.s))::double /
+                  len(list_distinct(list_concat(a.s, b.s)))::double AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, jaccard FROM pr WHERE jaccard >= 0.5"""
+
+  /** 16-bit simhash from md5 nibble MSBs (matches Dedup.simhash(bits=16)). */
+  private def simhash16(wExpr: String): String = (0 until 16).map { i =>
+    s"(CASE WHEN list_sum([CASE WHEN substr(md5(t), ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END for t in $wExpr]) >= 0 THEN '1' ELSE '0' END)"
+  }.mkString("concat(", ", ", ")")
+
+  /** sequential-fold cosine (matches Similarity.cosine). */
+  private val COSINE =
+    """list_sum(list_transform(list_zip(qv, cv), x -> CAST(x[1] AS double) * CAST(x[2] AS double))) /
+       (sqrt(list_sum(list_transform(qv, x -> CAST(x AS double) * CAST(x AS double)))) *
+        sqrt(list_sum(list_transform(cv, x -> CAST(x AS double) * CAST(x AS double)))))"""
 
   // ---- shared oracle fragments (route ground truth, DuckDB dialect) ------
   private val R_TOOL = "(variant = 1 AND tool IS NOT NULL)"
@@ -289,6 +324,69 @@ object SparkEntry {
               x => x("text"))).as("joined"))
     }),
 
+    // ================= corpus: dedup =================
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(documents(s, dir), col("doc_id"), col("text"))
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLsh(documents(s, dir), col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+    }),
+
+    "q_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(documents(s, dir), col("doc_id"), col("text"),
+        shingleK = 3, threshold = 0.5)
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhash(documents(s, dir), col("doc_id"), col("text"), bits = 16)
+    }),
+
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(documents(s, dir), col("doc_id"), col("text"),
+        bits = 16, bands = 4, maxHamming = 3)
+    }),
+
+    // ================= corpus: similarity search =================
+    "q_embed_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.cosineTopK(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 3)
+    }),
+
+    "q_embed_ivf" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.ivfTopK(
+        e, col("vec_id"), col("embedding"), col("label"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), col("label"),
+        k = 3)
+    }),
+
+    // ================= corpus: text analysis =================
+    "q_text_stats" -> ((s, dir) => {
+      documents(s, dir).select(col("doc_id"),
+        TextStats.wsTokenCount(col("text")).as("n_ws_tokens"),
+        TextStats.bpeTokenEstimate(col("text")).as("n_bpe_tokens"),
+        TextStats.stopwordRatio(col("text")).as("stop_ratio"),
+        TextStats.qualityScore(col("text")).as("quality"),
+        TextStats.isEnglish(col("text")).as("is_english"))
+    }),
+
+    "q_text_fingerprint" -> ((s, dir) => {
+      documents(s, dir).select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // ================= corpus: multimodal =================
+    "q_multimodal_meta" -> ((s, dir) => {
+      Multimodal.decode(Multimodal.withPayload(documents(s, dir), "text"))
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"))
+    }),
+
     // ================= relational baseline =================
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -503,6 +601,91 @@ object SparkEntry {
       """SELECT conv_id, count(*) AS n_turns,
            string_agg(text, chr(10) ORDER BY turn_idx) AS joined
          FROM transcripts GROUP BY conv_id"""),
+
+    "q_dedup_exact" ->
+      """SELECT sha256(lower(trim(text))) AS content_hash, min(doc_id) AS keep_id,
+           cast(count(*) AS bigint) AS n_copies
+         FROM documents GROUP BY 1""",
+
+    // LSH is candidate generation; semantics = the Jaccard threshold, so the
+    // oracle is the exact pairwise recompute (recall must be — and is — 1).
+    "q_dedup_minhash" -> DOC_JACCARD_05,
+    "q_dedup_ngram" -> DOC_JACCARD_05,
+
+    "q_dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id, ${simhash16("w")} AS simhash FROM tok""",
+
+    // 4 bands over 16 bits: any pair within Hamming 3 shares an intact band
+    // (pigeonhole), so banding has exact recall and the oracle is pairwise.
+    "q_dedup_simhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         , sig AS (SELECT doc_id, ${simhash16("w")} AS sh FROM tok)
+         , pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    cast(list_sum([CASE WHEN substr(a.sh, i, 1) <> substr(b.sh, i, 1)
+                                        THEN 1 ELSE 0 END
+                                   for i in generate_series(1, 16)]) AS int) AS hamming
+                  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 3""",
+
+    "q_embed_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5)
+         , c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings)
+         , s AS (SELECT query_id, neighbor_id, $COSINE AS score
+                 FROM q, c WHERE query_id <> neighbor_id)
+         , r AS (SELECT query_id, neighbor_id, score,
+                   cast(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, neighbor_id) AS int) AS rank
+                 FROM s)
+         SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 3""",
+
+    "q_embed_ivf" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id < 5)
+         , c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings)
+         , s AS (SELECT query_id, neighbor_id, $COSINE AS score
+                 FROM q JOIN c USING (label) WHERE query_id <> neighbor_id)
+         , r AS (SELECT query_id, neighbor_id, score,
+                   cast(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, neighbor_id) AS int) AS rank
+                 FROM s)
+         SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 3""",
+
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+         , m AS (SELECT doc_id, text, w,
+             len(list_filter(w, x -> x IN ('the','a','an','of','and','to','in','is','it','that')))::double
+               / len(w)::double AS stop_ratio,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::double AS punct,
+             len(list_distinct(w))::double / len(w)::double AS diversity
+           FROM t)
+         SELECT doc_id,
+           cast(len(w) AS int) AS n_ws_tokens,
+           cast(list_sum([cast(ceil(length(p) / 4.0) AS int)
+                          for p in regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')]) AS int)
+             AS n_bpe_tokens,
+           stop_ratio,
+           (least(len(w)::double / 50.0, 1.0)
+            + greatest(0.0, 1.0 - punct * 5.0 / length(text)::double)
+            + least(diversity * 2.0, 1.0)) / 3.0 AS quality,
+           (stop_ratio >= 0.05 AND
+            length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::double
+              / length(text)::double >= 0.9) AS is_english
+         FROM m""",
+
+    "q_text_fingerprint" ->
+      s"""$DOC_SHINGLES
+         SELECT doc_id,
+           CASE WHEN len(s) > 0 THEN list_min([md5('fp:' || g) for g in s])
+                ELSE md5('fp:' || text) END AS fingerprint
+         FROM sh""",
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+           CASE length(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+           cast(64 + (ascii(substr(text, 1, 1)) % 8) * 16 AS int) AS width,
+           cast(64 + (length(text) % 8) * 16 AS int) AS height,
+           cast(length(text) AS bigint) AS n_bytes
+         FROM documents""",
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n

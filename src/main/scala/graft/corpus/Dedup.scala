@@ -1,0 +1,187 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines, over a
+  * corpus table `(doc_id, text, ...)`.
+  *
+  * Scale design (100 TB): nothing here compares all pairs. Exact dedup is
+  * one hash aggregate; MinHash-LSH confines candidate generation to
+  * band-bucket collisions (explode → hash-shuffle on bucket → within-bucket
+  * join); n-gram Jaccard uses a posting-list join on shared shingles so the
+  * shuffle is bounded by the posting lists, not n². All hashes are md5 of
+  * seeded strings — engine-portable and deterministic (no Murmur3 seeds that
+  * differ between engines).
+  */
+object Dedup {
+
+  /** Words → word k-shingles (space-joined), distinct. Empty when the doc
+    * has fewer than k words.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val w = split(text, " ")
+    val grams = transform(
+      sequence(lit(1), size(w) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(o => element_at(w, i + o)): _*))
+    // sequence(1, n) with n < 1 would count DOWN — short docs get no shingles
+    array_distinct(when(size(w) >= k, grams).otherwise(array()))
+  }
+
+  /** Exact dedup: hash-groupBy on a normalization of the text. Emits one row
+    * per distinct content with the surviving (minimum) doc_id and the
+    * duplicate count — one map-side-combinable aggregate, the canonical
+    * first pass of any corpus pipeline.
+    */
+  def exact(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs
+      .groupBy(sha2(lower(trim(text)), 256).as("content_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** One MinHash value: the minimum seeded md5 over the shingle set. Fixed-
+    * width lowercase hex compares lexicographically like the underlying
+    * 128-bit integer, so `array_min` over hex strings IS min-hashing.
+    */
+  private def minhash(sh: Column, seed: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(s"mh$seed:"), s))))
+
+  /** MinHash + LSH banding near-duplicate pairs.
+    *
+    * numHashes signatures in bands of rowsPerBand; docs sharing any band
+    * bucket become candidates; candidates are verified with exact Jaccard ≥
+    * threshold (LSH is candidate generation only — semantics are the
+    * Jaccard threshold, LSH is the scale path that avoids the n² compare).
+    *
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sh = docs.select(id.as("doc_id"), shingles(text, shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.select(
+      Seq(col("doc_id"), col("sh")) ++
+        (0 until numHashes).map(j => minhash(col("sh"), j).as(s"h$j")): _*)
+    // band hash = md5 over the band's signature slice
+    val bands = sig.select(col("doc_id"), col("sh"),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bucket"))
+    // within-bucket candidate pairs (shuffle on (band, bucket), not n²)
+    val l = bands.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = bands.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Exact n-gram Jaccard pairs via posting-list join: explode distinct
+    * shingles, join docs sharing a shingle, count shared per pair, then
+    * |A∩B| / (|A|+|B|−|A∩B|). The shuffle is Σ posting-list² per shingle —
+    * bounded and skew-splittable by AQE, never a cross join.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(id.as("doc_id"), shingles(text, shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("n_sh", size(col("sh")))
+    val posting = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val shared = posting.as("a")
+      .join(posting.as("b"), col("a.shingle") === col("b.shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash signature per document: one bit per md5 nibble-MSB of each
+    * token, majority-voted over all tokens (bit = 1 when the +1/−1 vote sum
+    * is ≥ 0). `bits` ≤ 32 uses the first `bits` hex nibbles of md5(token).
+    * Near-dup search then bands the signature and compares Hamming distance
+    * within buckets — same LSH shape as MinHash.
+    *
+    * Implementation is explode + one hash aggregate with `bits` sums —
+    * map-side combinable, single shuffle on doc_id.
+    */
+  def simhash(docs: DataFrame, id: Column, text: Column, bits: Int = 16): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), explode(split(text, " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = (0 until bits).map { i =>
+      // nibble MSB: hex digit ∈ [8,f] votes +1, else −1
+      sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"v$i")
+    }
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until bits).map(i =>
+          when(col(s"v$i") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+  }
+
+  /** Hamming distance between two equal-length bit strings. */
+  def hamming(a: Column, b: Column, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(substring(a, i + 1, 1) =!= substring(b, i + 1, 1), 1).otherwise(0))
+      .reduce((x, y) => x + y)
+
+  /** SimHash near-dup pairs: band the signature into `bands` substrings;
+    * docs sharing any band substring are candidates; keep pairs with
+    * Hamming distance ≤ maxHamming. (A pair within distance d must agree
+    * exactly on at least one band when bands > d — pigeonhole recall.)
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      bits: Int = 16,
+      bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs, id, text, bits)
+    val bandLen = bits / bands
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("simhash"), b * bandLen + 1, bandLen).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b"), bits))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

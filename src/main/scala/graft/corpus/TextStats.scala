@@ -1,0 +1,73 @@
+package graft.corpus
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for corpus pipelines: language-ID heuristic,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * codegen'd expressions — they run inside the scan's WholeStageCodegen
+  * span, no shuffle, no UDF.
+  */
+object TextStats {
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** Fraction of whitespace tokens that are English stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val t = toks(text)
+    size(filter(t, x => x.isin(stopwords: _*)))
+      .cast("double") / size(t).cast("double")
+  }
+
+  /** n-gram heuristic language ID, binary en/unknown form: English iff the
+    * stopword ratio and an ASCII-letter ratio clear thresholds. (A full
+    * multi-class variant scores one marker set per language and takes the
+    * argmax — same expression shape, more columns.)
+    */
+  def isEnglish(text: Column, minStopRatio: Double = 0.05): Column =
+    stopwordRatio(text) >= minStopRatio &&
+      (length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double") /
+        length(text).cast("double")) >= 0.9
+
+  /** Quality score ∈ [0,1]: penalizes very short docs, high punctuation
+    * density, and degenerate (low type/token ratio) texts — the standard
+    * pretraining-filter shape (length/punct/diversity ratios).
+    */
+  def qualityScore(text: Column): Column = {
+    val t = toks(text)
+    val nTok = size(t).cast("double")
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val punct = length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double")
+    val punctScore = greatest(lit(0.0), lit(1.0) - punct * 5.0 / length(text).cast("double"))
+    val diversity = size(array_distinct(t)).cast("double") / nTok
+    // no rounding here: keep the raw IEEE double (engine-portable; rounding
+    // modes differ between engines, downstream consumers round for display)
+    (lenScore + punctScore + least(diversity * 2.0, lit(1.0))) / 3.0
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(toks(text))
+
+  /** BPE-ish token estimate: count of matches of a GPT-style pre-tokenizer
+    * regex (letter runs, digit runs, single punctuation), each letter run
+    * costing ceil(len/4) subword units.
+    */
+  def bpeTokenEstimate(text: Column): Column = {
+    val pieces = regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+    aggregate(pieces, lit(0),
+      (acc, p) => acc + ceil(length(p).cast("double") / 4.0).cast("int"))
+  }
+
+  /** Document fingerprint: the minimum seeded md5 over word 3-shingles — a
+    * 1-hash MinHash, stable under shingle reordering; docs sharing a
+    * fingerprint are near-dup candidates (winnowing's min-sampling step).
+    */
+  def fingerprint(text: Column, k: Int = 3): Column = {
+    val sh = Dedup.shingles(text, k)
+    when(size(sh) > 0, array_min(transform(sh, s => md5(concat(lit("fp:"), s)))))
+      .otherwise(md5(concat(lit("fp:"), text)))
+  }
+}
