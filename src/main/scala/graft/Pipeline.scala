@@ -64,20 +64,32 @@ object Pipeline {
     sinkCounts(flagged(spark, sfDir))
 
   /** Multi-sink write: one persisted pass, N filtered writes + the aggregate
-    * and a stats table — the production shape of the job.
+    * and a stats table — the production shape of the job. Every sink row
+    * carries a per-partition lineage struct (north rule) and every write
+    * feeds per-stage counters into the stats table via `observe` (no extra
+    * scans — reference lib/stats counters).
     */
   def writeSinks(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
-    val f = flagged(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = graft.observe.Stats.install(spark)
+    val f = graft.observe.Stats
+      .observed(flagged(spark, sfDir), "flagged",
+        "parse_errors" -> sum(when(col("rule_id").isNull, 1L).otherwise(0L)),
+        "matched" -> sum(when(size(col("routes")) > lit(1), 1L).otherwise(0L)))
+      .withColumn("lineage",
+        struct(spark_partition_id().as("source_partition"),
+          monotonically_increasing_id().as("row_id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val sinkNames = Seq("all", "tool_calls", "errors", "fallback")
       val counts = sinkNames.map { s =>
-        val rows = Router.sink(f, s)
-          .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "rule_id")
+        val rows = graft.observe.Stats.observed(Router.sink(f, s), s"sink_$s")
+          .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "rule_id", "lineage")
         rows.write.mode("overwrite").parquet(s"$outDir/sink_$s")
-        s -> rows.count()
+        s -> spark.read.parquet(s"$outDir/sink_$s").count()
       }.toMap
       sinkCounts(f).write.mode("overwrite").parquet(s"$outDir/agg_counts")
+      stats.snapshot(spark).write.mode("overwrite").parquet(s"$outDir/stats")
       counts
-    } finally { f.unpersist() }
+    } finally { f.unpersist(); () }
   }
 }

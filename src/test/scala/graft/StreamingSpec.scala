@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StreamingPipeline, Turn}
+
+/** Structured Streaming semantics: event-time sessions with timeout/trigger
+  * (the reference's grouping-by + timer wheel), multi-sink fan-out via
+  * foreachBatch, and checkpoint resume (the reference's disk-buffer +
+  * bookmark persist-state).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // keep event times well past the initial watermark (epoch 0): a row whose
+  // ts <= watermark is dropped as late by stateful operators
+  private def ts(min: Long): Timestamp = new Timestamp(86400000L + min * 60000L)
+  private def turn(conv: String, idx: Int, min: Long, tool: String = null, text: String = "t"): Turn =
+    Turn(conv, idx, "user", text, tool, ts(min))
+
+  test("sessionize: event-time timeout closes sessions; trigger closes early") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingPipeline
+      .sessionize(input.toDS(), timeoutGapSeconds = 3600,
+        triggerPred = _.text == "bye")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // conv a: two turns 5 min apart; conv t: trigger row closes immediately
+      input.addData(turn("a", 0, 0, tool = "bash"), turn("a", 1, 5),
+        turn("t", 0, 1, text = "bye"))
+      q.processAllAvailable()
+      val triggered = spark.table("sess").as[graft.streaming.SessionAgg].collect()
+      assert(triggered.exists(s => s.conv_id == "t" && s.closed_by == "trigger" && s.n_turns == 1))
+      assert(!triggered.exists(_.conv_id == "a")) // still open
+      // advance the watermark far past a's session end → timeout fires
+      input.addData(turn("z", 0, 600))
+      q.processAllAvailable()
+      input.addData(turn("z", 1, 601))
+      q.processAllAvailable()
+      val all = spark.table("sess").as[graft.streaming.SessionAgg].collect()
+      val a = all.find(_.conv_id == "a")
+      assert(a.isDefined, s"session a not closed; got ${all.toSeq}")
+      assert(a.get.n_turns == 2 && a.get.n_tool_turns == 1 && a.get.closed_by == "timeout")
+      assert(a.get.session_start == ts(0) && a.get.session_end == ts(5 + 60))
+    } finally q.stop()
+  }
+
+  test("sessionize: in-batch gap splits sessions deterministically") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingPipeline
+      .sessionize(input.toDS(), timeoutGapSeconds = 600)
+      .writeStream.format("memory").queryName("sess2").outputMode("append").start()
+    try {
+      // one batch, gap of 20 min > 10 min timeout between turn 1 and 2
+      input.addData(turn("c", 0, 0), turn("c", 1, 5), turn("c", 2, 25))
+      q.processAllAvailable()
+      val got = spark.table("sess2").as[graft.streaming.SessionAgg].collect()
+      assert(got.length == 1 && got.head.n_turns == 2) // first session closed in-batch
+    } finally q.stop()
+  }
+
+  test("file-source fan-out: checkpoint resume processes new files exactly once") {
+    val base = Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val t = graft.transcripts.Transcripts.load(spark, sfUnit)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val part1 = t.filter(col("turn_idx") === 0)
+    val part2 = t.filter(col("turn_idx") === 1)
+    val n1 = part1.count(); val n2 = part2.count()
+
+    part1.coalesce(1).write.mode("append").parquet(inDir)
+    val q1 = StreamingPipeline.writeSinks(
+      StreamingPipeline.parsed(StreamingPipeline.source(spark, inDir)),
+      Seq("all", "errors"), outDir, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$outDir/sink_all").count() === n1)
+
+    // new file while the query is down → resume picks up ONLY the new file
+    part2.coalesce(1).write.mode("append").parquet(inDir)
+    val q2 = StreamingPipeline.writeSinks(
+      StreamingPipeline.parsed(StreamingPipeline.source(spark, inDir)),
+      Seq("all", "errors"), outDir, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val allRows = spark.read.parquet(s"$outDir/sink_all")
+    assert(allRows.count() === n1 + n2) // no duplicates from reprocessing
+    assert(allRows.select("batch_id").distinct().count() === 2)
+    // routed subset consistency vs the batch router on the same input
+    val batchErrors = Pipeline.withRoutes(
+      graft.parsers.GrokStage(t.filter(col("turn_idx") <= 1), "text",
+        graft.parsers.GrokStage.transcriptRules))
+      .filter(col("route_errors")).count()
+    assert(spark.read.parquet(s"$outDir/sink_errors").count() === batchErrors)
+  }
+
+  test("streaming windowed sink counts match the batch aggregate on closed input") {
+    val base = Files.createTempDirectory("graft-stream2").toString
+    val inDir = s"$base/in"
+    val t = graft.transcripts.Transcripts.load(spark, sfUnit)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .filter(col("turn_idx") < 3)
+    t.coalesce(2).write.parquet(inDir)
+    val flagged = StreamingPipeline.parsed(StreamingPipeline.source(spark, inDir))
+    val q = StreamingPipeline.sinkCounts(flagged)
+      .writeStream.format("memory").queryName("counts").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamTotal = spark.table("counts").agg(sum("n")).as[Long].head()
+      val batchTotal = Pipeline.sinkCounts(
+        Pipeline.withRoutes(graft.parsers.GrokStage(t, "text",
+          graft.parsers.GrokStage.transcriptRules)))
+        .agg(sum("n")).as[Long].head()
+      assert(streamTotal === batchTotal)
+    } finally q.stop()
+  }
+}
