@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // fixed, pre-touched heap: lazy heap growth under 32 faulting threads
+  // serializes on the kernel's mmap lock (hundreds of CPU-seconds of sys
+  // time in the first runs); committing the pages up front removes it
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )
+
+// Forked run output goes straight to this process's stdout/stderr — no
+// "[info]" prefixes, so Bench's single JSON line stays machine-parseable.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -1,24 +1,121 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark (the loggen analog, reference tests/loggen/loggen.c):
+  * prints ONE JSON line.
+  *
+  *  - `queries`: wall seconds for the headline operator set at
+  *    SPARK_GRAFT_CPUS (default 32)
+  *  - `throughput`: the north-rule evidence — the SAME end-to-end
+  *    parse→enrich→route→aggregate job over the SAME scaled input at two
+  *    parallelism levels (local[N/4] and local[N]), turns/sec at each, and
+  *    the scaling efficiency between them (target ≥ 0.8). Two cluster
+  *    sizes cannot exist in this sandbox; two local parallelism levels on
+  *    identical input are the sanctioned stand-in (see BASELINE.md).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  /** Representative subset: one per operator family (full correctness
+    * coverage lives in Verify; timing every query would mostly time Spark
+    * session fixed costs).
+    */
+  private val headline = Seq(
+    "q_transcripts", "q_parse_syslog", "q_sink_counts", "q_group_lines",
+    "q_grouping_by", "q_rate_limit", "q_enrich", "q_template_eval",
+    "q_dedup_exact", "q_dedup_minhash", "q_embed_topk", "q_text_stats",
+    "q_multimodal_meta", "q1_agg")
+
+  private def newSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // the pipeline's fan-out stage multiplies rows ×REP after a small
+      // shuffle; AQE sizes partitions by PRE-fan-out bytes and would
+      // coalesce the heavy parse stage onto ~1 core. A production job sets
+      // a fan-out-aware advisory size; here we disable coalescing outright.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // shuffle spill on tmpfs: this box's disk adds noise, and a real
+      // cluster would have local NVMe — keep the measurement about the CPUs
+      .config("spark.local.dir", "/dev/shm/spark-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Deterministically scaled transcript corpus: each source turn replicated
+    * `rep` times under distinct conv ids (same data volume per level — the
+    * input the scaling comparison runs on).
+    */
+  private def scaledTranscripts(spark: SparkSession, sfDir: String, rep: Int): DataFrame =
+    graft.transcripts.Transcripts.load(spark, sfDir)
+      .withColumn("r", explode(sequence(lit(0), lit(rep - 1))))
+      .withColumn("conv_id", concat(col("conv_id"), lit("-"), col("r")))
+      .drop("r")
+
+  /** One full pipeline pass over the materialized corpus; seconds. */
+  private def pipelineRun(spark: SparkSession, inputDir: String): Double = {
+    val t = spark.read.parquet(inputDir)
+    val t0 = System.nanoTime()
+    Pipeline.sinkCounts(Pipeline.flaggedFrom(spark, t)).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    new java.io.File("/dev/shm/spark-local").mkdirs()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val rep = sys.env.getOrElse("SPARK_GRAFT_REP", "100").toInt
+    // N vs 4N: both inside the VM's memory-bandwidth envelope (~16 threads
+    // here — see BASELINE.md); the full-width figure is reported alongside
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
+
+    // ---- headline query timings at full parallelism ----
+    var spark = newSession(cpus)
+    val qtimes = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- scaling: same job, same materialized input, two levels ----
+    // The north-rule pipeline starts at the transcripts TABLE: synthesize
+    // the scaled corpus once (input prep, unmeasured) as multi-file parquet
+    // so the measured scan has real splits at either parallelism.
+    val inputDir = "/dev/shm/graft-bench-input"
+    scaledTranscripts(spark, sfDir, rep)
+      .repartition(cpus * 2)
+      .write.mode("overwrite").parquet(inputDir)
+    val nTurns = spark.read.parquet(inputDir).count()
     spark.stop()
+
+    def throughputAt(n: Int): Double = {
+      val s = newSession(n)
+      try {
+        pipelineRun(s, inputDir) // warmup (codegen + page cache)
+        // min over repeats: the host steals cycles under full-width bursts,
+        // so the minimum is the closest observable to true capacity
+        val secs = Seq.fill(2)(pipelineRun(s, inputDir)).min
+        nTurns / secs
+      } finally s.stop()
+    }
+    val tpLow = throughputAt(scaleN)
+    val tpHigh = throughputAt(scaleN * 4)
+    val tpFull = if (cpus != scaleN * 4) throughputAt(cpus) else tpHigh
+    val eff = (tpHigh / tpLow) / 4.0
+
+    val total = qtimes.map(_._2).sum
+    val qs = qtimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""throughput":{"n_turns":$nTurns,"cpus_low":$scaleN,"turns_per_sec_low":$tpLow,""" +
+        s""""cpus_high":${scaleN * 4},"turns_per_sec_high":$tpHigh,""" +
+        s""""cpus_full":$cpus,"turns_per_sec_full":$tpFull,"scaling_efficiency":$eff}}""")
   }
 }

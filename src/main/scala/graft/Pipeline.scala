@@ -35,8 +35,11 @@ object Pipeline {
     RouteSpec("fallback", lit(true), isFallback = true))
 
   /** parse + enrich + route flags: the single wide projection. */
-  def flagged(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = Transcripts.load(spark, sfDir)
+  def flagged(spark: SparkSession, sfDir: String): DataFrame =
+    flaggedFrom(spark, Transcripts.load(spark, sfDir))
+
+  /** Same pipeline over an arbitrary transcript-shaped frame. */
+  def flaggedFrom(spark: SparkSession, t: DataFrame): DataFrame = {
     val parsed = GrokStage(t, "text", GrokStage.transcriptRules)
     val enriched = ContextualData.enrich(
       parsed,

@@ -33,11 +33,16 @@ object SparkEntry {
   private def grokked(s: SparkSession, dir: String): DataFrame =
     GrokStage(transcripts(s, dir), "text", GrokStage.transcriptRules)
 
+  // single-file tables scan as ONE partition; the per-row work downstream
+  // (shingling, hashing, dot products) is heavy, so spread it across the
+  // cluster first — a 1-small-table shuffle buys a fully parallel stage
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
 
   private def f(key: String): Column = col("fields")(key)
 
@@ -58,8 +63,8 @@ object SparkEntry {
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        SELECT doc_a, doc_b, jaccard FROM pr WHERE jaccard >= 0.5"""
 
-  /** 16-bit simhash from md5 nibble MSBs (matches Dedup.simhash(bits=16)). */
-  private def simhash16(wExpr: String): String = (0 until 16).map { i =>
+  /** n-bit simhash from md5 nibble MSBs (matches Dedup.simhash). */
+  private def simhashSql(wExpr: String, bits: Int): String = (0 until bits).map { i =>
     s"(CASE WHEN list_sum([CASE WHEN substr(md5(t), ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END for t in $wExpr]) >= 0 THEN '1' ELSE '0' END)"
   }.mkString("concat(", ", ", ")")
 
@@ -331,7 +336,7 @@ object SparkEntry {
 
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLsh(documents(s, dir), col("doc_id"), col("text"),
-        shingleK = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+        shingleK = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
     }),
 
     "q_dedup_ngram" -> ((s, dir) => {
@@ -345,7 +350,7 @@ object SparkEntry {
 
     "q_dedup_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(documents(s, dir), col("doc_id"), col("text"),
-        bits = 16, bands = 4, maxHamming = 3)
+        bits = 32, bands = 4, maxHamming = 3)
     }),
 
     // ================= corpus: similarity search =================
@@ -614,17 +619,17 @@ object SparkEntry {
 
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-         SELECT doc_id, ${simhash16("w")} AS simhash FROM tok""",
+         SELECT doc_id, ${simhashSql("w", 16)} AS simhash FROM tok""",
 
-    // 4 bands over 16 bits: any pair within Hamming 3 shares an intact band
+    // 4 bands over 32 bits: any pair within Hamming 3 shares an intact band
     // (pigeonhole), so banding has exact recall and the oracle is pairwise.
     "q_dedup_simhash_pairs" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-         , sig AS (SELECT doc_id, ${simhash16("w")} AS sh FROM tok)
+         , sig AS (SELECT doc_id, ${simhashSql("w", 32)} AS sh FROM tok)
          , pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     cast(list_sum([CASE WHEN substr(a.sh, i, 1) <> substr(b.sh, i, 1)
                                         THEN 1 ELSE 0 END
-                                   for i in generate_series(1, 16)]) AS int) AS hamming
+                                   for i in generate_series(1, 32)]) AS int) AS hamming
                   FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 3""",
 

@@ -38,12 +38,23 @@ object Dedup {
       .groupBy(sha2(lower(trim(text)), 256).as("content_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** One MinHash value: the minimum seeded md5 over the shingle set. Fixed-
-    * width lowercase hex compares lexicographically like the underlying
-    * 128-bit integer, so `array_min` over hex strings IS min-hashing.
+  /** Per-shingle hash pair: ONE md5 per shingle, split into a 60-bit and a
+    * 52-bit half. The j-th MinHash is min over shingles of
+    * `(h1 + j*h2) mod p` — the standard affine 2-hash family. The mod is
+    * essential: without it g_j is monotone in j and one shingle's (h1,h2)
+    * dominates every minimum, collapsing the 16 signatures to ~2 effective
+    * hashes. j*h2 < 2^56, so the pre-mod sum never overflows a long.
     */
-  private def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(s"mh$seed:"), s))))
+  private val MinhashPrime = 1000000007L // small enough that the sum wraps
+
+  private def shingleHashes(sh: Column): Column =
+    transform(sh, s => struct(
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(s), 17, 13), 16, 10).cast("long").as("h2")))
+
+  private def minhash(hs: Column, j: Int): Column =
+    array_min(transform(hs, p =>
+      pmod(p("h1") + lit(j.toLong) * p("h2"), lit(MinhashPrime))))
 
   /** MinHash + LSH banding near-duplicate pairs.
     *
@@ -60,36 +71,52 @@ object Dedup {
       text: Column,
       shingleK: Int = 3,
       numHashes: Int = 16,
-      rowsPerBand: Int = 4,
+      rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sh = docs.select(id.as("doc_id"), shingles(text, shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = sh.select(
+    // pre-filter on word count (≡ "has shingles", but cheap): a filter on
+    // the shingle array itself would be pushed below the scan's exchange and
+    // build every shingle set serially on the (often single) input split
+    val sh = docs
+      .filter(size(split(text, " ")) >= shingleK)
+      .select(id.as("doc_id"), shingles(text, shingleK).as("sh"))
+    val hashed = sh.withColumn("hs", shingleHashes(col("sh")))
+    val sig = hashed.select(
       Seq(col("doc_id"), col("sh")) ++
-        (0 until numHashes).map(j => minhash(col("sh"), j).as(s"h$j")): _*)
-    // band hash = md5 over the band's signature slice
-    val bands = sig.select(col("doc_id"), col("sh"),
+        (0 until numHashes).map(j => minhash(col("hs"), j).as(s"h$j")): _*)
+    // band hash = md5 over the band's signature slice. Only (doc_id, band,
+    // bucket) is shuffled — never the shingle arrays: at corpus scale the
+    // payload dominates, so candidates are generated over ids and the
+    // shingle sets are joined back ONLY for surviving candidate pairs.
+    val bands = sig.select(col("doc_id"),
       explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),
-          md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
+          md5(concat_ws("|",
+            (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*))
             .as("bucket"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bucket"))
-    // within-bucket candidate pairs (shuffle on (band, bucket), not n²)
-    val l = bands.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = bands.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val cand = l.join(r, Seq("band", "bucket"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Join candidate id-pairs back to their shingle sets and keep pairs with
+    * exact Jaccard ≥ threshold. The doc→shingles side is re-read per join;
+    * at scale, hint-broadcast it if the corpus dimension fits, else this is
+    * two hash joins on doc id.
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -106,8 +133,9 @@ object Dedup {
       text: Column,
       shingleK: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(id.as("doc_id"), shingles(text, shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = docs
+      .filter(size(split(text, " ")) >= shingleK) // cheap ≡ of "has shingles"
+      .select(id.as("doc_id"), shingles(text, shingleK).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val posting = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
     val shared = posting.as("a")
@@ -162,24 +190,30 @@ object Dedup {
       docs: DataFrame,
       id: Column,
       text: Column,
-      bits: Int = 16,
+      bits: Int = 32,
       bands: Int = 4,
       maxHamming: Int = 3): DataFrame = {
+    require(bands > maxHamming, "pigeonhole recall needs bands > maxHamming")
     val sig = simhash(docs, id, text, bits)
     val bandLen = bits / bands
-    val banded = sig.select(col("doc_id"), col("simhash"),
+    // id-only banding (see minhashLsh): candidates shuffle (doc_id, band,
+    // bucket); signatures join back for the Hamming check. Wider bands
+    // (bandLen bits → 2^bandLen buckets) keep bucket populations — and so
+    // the candidate join — small.
+    val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           substring(col("simhash"), b * bandLen + 1, bandLen).as("bucket"))): _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
-    val l = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), Seq("doc_b"))
       .withColumn("hamming", hamming(col("sig_a"), col("sig_b"), bits))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
