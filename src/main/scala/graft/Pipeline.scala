@@ -66,6 +66,17 @@ object Pipeline {
   def run(spark: SparkSession, sfDir: String): DataFrame =
     sinkCounts(flagged(spark, sfDir))
 
+  /** Templated-filename sink (reference modules/affile/affile-dest.c:64-142:
+    * `file("/log/$HOST/$PROGRAM.log")` opens one writer per resolved name):
+    * the template's value-refs become partition columns — same fan-out, but
+    * planned, parallel, and pruned on read. `repartition` on the partition
+    * keys first = the reference's worker-partition-key ordering contract
+    * and avoids tiny files (one file per key per task otherwise).
+    */
+  def writeTemplatedSink(df: DataFrame, outDir: String, keys: String*): Unit =
+    df.repartition(keys.map(col): _*)
+      .write.mode("overwrite").partitionBy(keys: _*).parquet(outDir)
+
   /** Multi-sink write: one persisted pass, N filtered writes + the aggregate
     * and a stats table — the production shape of the job. Every sink row
     * carries a per-partition lineage struct (north rule) and every write

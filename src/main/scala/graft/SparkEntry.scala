@@ -131,6 +131,61 @@ object SparkEntry {
             .cast("timestamp_ntz").as("event_ts"))
     }),
 
+    // RFC5424 + SDATA round trip: construct a spec-shaped line from the
+    // clean columns, parse it back with the real parser; the oracle
+    // recomputes the expected fields from the base table (no parsing).
+    "q_parse_rfc5424" -> ((s, dir) => {
+      val t = transcripts(s, dir).withColumn("ts", col("ts").cast("timestamp"))
+      val line = concat(
+        lit("<"), pmod(col("turn_idx") * 7 + 11, lit(192)).cast("string"), lit(">1 "),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"), lit(" host-x "),
+        col("role"), lit(" 77 ID"), col("turn_idx").cast("string"),
+        lit(" [graft@1 conv=\""), col("conv_id"),
+        lit("\" tool=\""), coalesce(col("tool"), lit("none")),
+        lit("\"] msg for "), col("conv_id"))
+      t.withColumn("r", FieldParsers.rfc5424Parser(line))
+        .select(col("conv_id"), col("turn_idx"),
+          col("r.pri").as("pri"), col("r.version").as("version"),
+          col("r.ts").cast("timestamp_ntz").as("ts5424"),
+          col("r.host").as("host"), col("r.app").as("app"),
+          col("r.procid").as("procid"), col("r.msgid").as("msgid"),
+          col("r.sdata_id").as("sdata_id"),
+          element_at(col("r.sdata"), "conv").as("sd_conv"),
+          element_at(col("r.sdata"), "tool").as("sd_tool"),
+          col("r.msg").as("msg"))
+    }),
+
+    "q_parse_audit" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val line = concat(
+        lit("type=EXEC uid="), (lit(100) + pmod(col("turn_idx"), lit(89))).cast("string"),
+        lit(" cmd="), hex(encode(col("role"), "UTF-8")), lit(" res=success"))
+      t.withColumn("m", FieldParsers.auditParser(line))
+        .select(col("conv_id"), col("turn_idx"),
+          col("m")("type").as("rec_type"), col("m")("uid").cast("int").as("uid"),
+          col("m")("cmd").as("cmd"), col("m")("res").as("res"))
+    }),
+
+    "q_parse_xml" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val line = concat(
+        lit("<turn role=\""), col("role"), lit("\"><latency>"),
+        col("turn_idx").cast("string"), lit("</latency><note>"),
+        coalesce(col("tool"), lit("-")), lit("</note></turn>"))
+      t.withColumn("x", FieldParsers.xmlParser(line, "_role STRING, latency INT, note STRING"))
+        .select(col("conv_id"), col("turn_idx"),
+          col("x")("_role").as("role_x"), col("x")("latency").as("latency"),
+          col("x")("note").as("note"))
+    }),
+
+    "q_parse_tags" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val tags = FieldParsers.tagsParser(
+        concat_ws(",", col("role"), coalesce(col("tool"), lit("")), lit("t0")))
+      t.select(col("conv_id"), col("turn_idx"),
+        concat_ws(",", array_sort(tags)).as("tag_str"))
+    }),
+
     // ================= §2.5 filters =================
     "q_filter_pri" -> ((s, dir) => {
       val p = grokked(s, dir).filter(col("rule_id") === "syslog")
@@ -432,6 +487,33 @@ object SparkEntry {
       """SELECT conv_id, turn_idx,
            make_timestamp(2026, mon_num, dd, hh, mi, ss) AS event_ts
          FROM transcripts_full WHERE variant = 0"""),
+
+    "q_parse_rfc5424" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           cast((turn_idx * 7 + 11) % 192 AS int) AS pri, 1 AS version,
+           date_trunc('milliseconds', ts) AS ts5424,
+           'host-x' AS host, role AS app, '77' AS procid,
+           concat('ID', cast(turn_idx AS varchar)) AS msgid,
+           'graft@1' AS sdata_id, conv_id AS sd_conv,
+           coalesce(tool, 'none') AS sd_tool,
+           concat('msg for ', conv_id) AS msg
+         FROM transcripts"""),
+
+    "q_parse_audit" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx, 'EXEC' AS rec_type,
+           cast(100 + turn_idx % 89 AS int) AS uid, role AS cmd, 'success' AS res
+         FROM transcripts"""),
+
+    "q_parse_xml" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx, role AS role_x, turn_idx AS latency,
+           coalesce(tool, '-') AS note
+         FROM transcripts"""),
+
+    "q_parse_tags" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           array_to_string(list_sort(list_concat([role, 't0'],
+             CASE WHEN tool IS NULL THEN [] ELSE [tool] END)), ',') AS tag_str
+         FROM transcripts"""),
 
     "q_filter_pri" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx,

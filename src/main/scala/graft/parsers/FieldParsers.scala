@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 /** Expression-based pipeline parsers (reference `parser {}` blocks,
   * SURVEY.md §2.3) — each takes an input column (default `$MESSAGE` analog:
   * the `text` column) and produces typed columns. All pure Catalyst
@@ -71,4 +73,46 @@ object FieldParsers {
     */
   def tagsParser(input: Column): Column =
     filter(split(input, ","), t => t =!= "")
+
+  /** RFC5424 syslog parser (reference modules/syslogformat/syslog-format.c:
+    * 530-777): `<PRI>VERSION TS HOST APP PROCID MSGID SDATA [MSG]`.
+    * Returns a struct; SDATA `[id k="v" ...]` yields the element id and a
+    * params map — the caller prefixes them `.SDATA.<id>.<k>` like the
+    * reference's dotted columns. NILVALUE `-` becomes null.
+    */
+  def rfc5424Parser(input: Column): Column = {
+    val re = "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|\\[[^\\]]*\\])(?: (.*))?$"
+    def g(i: Int): Column = regexp_extract(input, re, i)
+    def nilable(c: Column): Column = when(c === "-" || c === "", null).otherwise(c)
+    val sd = g(8)
+    val sdPresent = sd.startsWith("[")
+    struct(
+      g(1).cast("int").as("pri"),
+      g(2).cast("int").as("version"),
+      try_to_timestamp(g(3), lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")).as("ts"),
+      nilable(g(4)).as("host"),
+      nilable(g(5)).as("app"),
+      nilable(g(6)).as("procid"),
+      nilable(g(7)).as("msgid"),
+      when(sdPresent, regexp_extract(sd, "^\\[([^ \\]]+)", 1)).as("sdata_id"),
+      when(sdPresent, map_from_arrays(
+        regexp_extract_all(sd, lit("(\\w+)=\"[^\"]*\""), lit(1)),
+        regexp_extract_all(sd, lit("\\w+=\"([^\"]*)\""), lit(1)))).as("sdata"),
+      nilable(g(9)).as("msg"))
+  }
+
+  /** linux-audit-parser (reference modules/kvformat/linux-audit-parser.c):
+    * kv scan where unquoted all-hex values are hex-encoded strings —
+    * decoded back to UTF-8.
+    */
+  def auditParser(input: Column, pairSep: String = " ", kvSep: String = "="): Column =
+    transform_values(kvParser(input, pairSep, kvSep), (_, v) =>
+      when(v.rlike("^(?:[0-9A-F]{2})+$"), decode(unhex(v), "UTF-8")).otherwise(v))
+
+  /** xml-parser() (reference modules/xml/xml.c:100-128): XML → typed struct
+    * via Spark 4's native from_xml; attributes surface with the standard
+    * `_` prefix (the reference's dotted `.xml` columns analog).
+    */
+  def xmlParser(input: Column, schemaDdl: String): Column =
+    from_xml(input, StructType.fromDDL(schemaDdl), Map.empty[String, String].asJava)
 }

@@ -32,4 +32,17 @@ class StatsSpec extends SparkSpec {
     val lin = allRows.select("lineage.source_partition").distinct().count()
     assert(lin >= 1)
   }
+
+  test("templated-filename sink: value-refs become partition dirs, pruned on read") {
+    val out = Files.createTempDirectory("graft-psink").toString + "/by_role"
+    val t = graft.transcripts.Transcripts.load(spark, sfUnit)
+    Pipeline.writeTemplatedSink(t, out, "role")
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("role="))
+    assert(dirs.toSet === Set("role=user", "role=assistant", "role=system", "role=tool"))
+    // partition pruning: reading one "file" touches only that directory
+    val one = spark.read.parquet(out).filter(col("role") === "tool")
+    val scanned = one.queryExecution.executedPlan.toString()
+    assert(one.count() === t.filter(col("role") === "tool").count())
+    assert(scanned.contains("PartitionFilters: [isnotnull(role"))
+  }
 }
