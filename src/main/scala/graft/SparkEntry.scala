@@ -374,6 +374,23 @@ object SparkEntry {
         increment = coalesce(f("duration_ms").cast("long"), lit(0L)))
     }),
 
+    "q_context_funcs" -> ((s, dir) => {
+      transcripts(s, dir)
+        .groupBy(col("conv_id"))
+        .agg(
+          Correlation.Context.length.as("ctx_len"),
+          concat_ws(",", array_sort(array_distinct(
+            Correlation.Context.grep(col("tool").isNotNull, col("tool"))))).as("tools_used"),
+          concat_ws("|", slice(
+            Correlation.Context.values(col("role"), col("turn_idx")), 1, 5)).as("first_roles"))
+    }),
+
+    // ================= corpus: embedding near-dup =================
+    "q_dedup_embed" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(
+        embeddings(s, dir), col("vec_id"), col("embedding"), threshold = 0.4)
+    }),
+
     // ================= §2.4 grouping =================
     "q_group_lines" -> ((s, dir) => {
       transcripts(s, dir)
@@ -683,6 +700,20 @@ object SparkEntry {
            cast(sum(CASE WHEN variant = 1 THEN duration_ms ELSE 0 END) AS bigint) AS value,
            'parse' AS stage
          FROM transcripts_full GROUP BY 1, 2"""),
+
+    "q_context_funcs" -> Transcripts.oracle(
+      """SELECT conv_id, cast(count(*) AS bigint) AS ctx_len,
+           coalesce(array_to_string(list_sort(list_distinct(list(tool) FILTER (tool IS NOT NULL))), ','), '')
+             AS tools_used,
+           array_to_string(list_slice(list(role ORDER BY turn_idx), 1, 5), '|') AS first_roles
+         FROM transcripts GROUP BY conv_id"""),
+
+    "q_dedup_embed" ->
+      s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS qv FROM embeddings)
+         , b AS (SELECT vec_id AS vec_b, embedding AS cv FROM embeddings)
+         , p AS (SELECT vec_a, vec_b, $COSINE AS cos
+                 FROM a, b WHERE vec_a < vec_b)
+         SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4""",
 
     "q_group_lines" -> Transcripts.oracle(
       """SELECT conv_id, count(*) AS n_turns,

@@ -67,6 +67,24 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
+    * threshold. Exact small-corpus baseline is the broadcast self-join
+    * below; the 100 TB path blocks candidates first (IVF cluster ids or
+    * random-hyperplane LSH — same shape as Dedup.minhashLsh) and verifies
+    * with this same cosine, trading recall at the threshold boundary for
+    * a bounded candidate join.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
+    val a = corpus.select(id.as("vec_a"), vec.as("va"))
+    val b = corpus.select(id.as("vec_b"), vec.as("vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)

@@ -116,6 +116,30 @@ object Correlation {
       .withColumn("stage", lit(stage))
   }
 
+  /** The context-scoped template functions (reference
+    * modules/basicfuncs/basic-funcs.c:81-83 `$(context-length)`,
+    * `$(context-lookup)`, `$(context-values)`, `$(grep)` — evaluated over a
+    * whole CorrelationContext, reference lib/template/eval.c:126-244 with
+    * num_msg > 1): aggregate Columns to use inside a grouping-by `agg`.
+    */
+  object Context {
+    /** $(context-length) — number of messages in the context. */
+    def length: Column = count(lit(1))
+
+    /** $(context-values $x) — every value of x in the context, ordered. */
+    def values(value: Column, order: Column): Column =
+      transform(array_sort(collect_list(struct(order.as("o"), value.as("v")))), x => x("v"))
+
+    /** $(context-lookup filter $x) / $(grep cond $x) — values of x from
+      * context messages matching the condition (collect_list drops the
+      * nulls the `when` produces for non-matching rows).
+      */
+    def lookup(cond: Column, value: Column): Column =
+      collect_list(when(cond, value))
+
+    def grep(cond: Column, value: Column): Column = lookup(cond, value)
+  }
+
   /** logscheduler(partitions(N)) — reference lib/logscheduler.c:62-112
     * load-balances re-injected messages across N partitions while keeping
     * per-key order: `repartition(N, key)` is exactly that contract.

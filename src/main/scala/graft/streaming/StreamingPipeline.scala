@@ -139,6 +139,36 @@ object StreamingPipeline {
     }
   }
 
+  /** rate-limit() in streaming form (reference modules/rate-limit-filter/
+    * rate-limit.c:68-142 token bucket): per key, at most `rate` rows pass
+    * per event-time bucket of `bucketSeconds`. State is just the current
+    * bucket and its spent count; in-batch rows are processed in
+    * deterministic (ts, turn_idx) order like the batch variant.
+    */
+  def rateLimitStream(
+      turns: Dataset[Turn],
+      key: Turn => String,
+      rate: Int,
+      bucketSeconds: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[Turn] = {
+    import turns.sparkSession.implicits._
+    turns
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[Turn], state: GroupState[(Long, Int)]) => {
+          var (bucket, spent) = state.getOption.getOrElse((Long.MinValue, 0))
+          val out = Seq.newBuilder[Turn]
+          rows.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx)).foreach { t =>
+            val b = t.ts.getTime / (bucketSeconds * 1000L)
+            if (b != bucket) { bucket = b; spent = 0 }
+            if (spent < rate) { spent += 1; out += t }
+          }
+          state.update((bucket, spent))
+          out.result().iterator
+        })
+  }
+
   /** Multi-sink streaming fan-out: one foreachBatch persists the micro-batch
     * and writes each sink's filtered slice + the running aggregate — the
     * streaming form of Pipeline.writeSinks. Exactly-once per sink directory

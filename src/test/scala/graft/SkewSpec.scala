@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Skew handling (north rule): salted two-phase aggregation must be
+  * row-identical to the direct aggregate, with the hot key's work spread
+  * over many reducers; custom SQL functions register via GraftExtensions.
+  */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hot key: one conv with 5000 turns, 50 normal convs with 10
+  private lazy val skewed = {
+    val hot = (0 until 5000).map(i => ("conv-hot", i, s"line $i"))
+    val normal = for (c <- 0 until 50; i <- 0 until 10)
+      yield (s"conv-$c", i, s"c$c line $i")
+    (hot ++ normal).toDF("conv_id", "turn_idx", "text")
+  }
+
+  test("salted count == direct count; hot key spread over salts") {
+    val s = Skew.salt(8, col("turn_idx"))
+    val salted = Skew.saltedCount(skewed, col("conv_id"), s)
+      .as[(String, Long)].collect().toMap
+    val direct = skewed.groupBy("conv_id").count().as[(String, Long)].collect().toMap
+    assert(salted === direct)
+    // phase-1 cardinality proves the hot key really split
+    val phase1 = skewed.groupBy(col("conv_id"), s.as("salt")).count()
+      .filter(col("conv_id") === "conv-hot").count()
+    assert(phase1 === 8)
+  }
+
+  test("salted group-lines == direct ordered reassembly") {
+    val direct = skewed.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+            x => x("text"))).as("joined"))
+      .as[(String, Long, String)].collect().sortBy(_._1)
+    val salted = Skew.saltedGroupLines(
+      skewed, col("conv_id"), col("turn_idx"), col("text"), sliceSize = 100)
+      .as[(String, Long, String)].collect().sortBy(_._1)
+    assert(salted === direct)
+  }
+
+  test("deterministic salt: same rows → same salt on recompute (no rand())") {
+    val s1 = skewed.select(Skew.salt(16, col("conv_id"), col("turn_idx"))).as[Int].collect()
+    val s2 = skewed.select(Skew.salt(16, col("conv_id"), col("turn_idx"))).as[Int].collect()
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.distinct.length > 1)
+  }
+
+  test("GraftExtensions: custom expressions callable from SQL") {
+    GraftExtensions.register(spark)
+    val got = spark.sql("SELECT regexp_replace_first('a1b2', '\\\\d', 'X') AS v")
+      .as[String].head()
+    assert(got === "aXb2")
+  }
+}

@@ -65,6 +65,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate-limit stream: token bucket per key and event-time bucket, state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingPipeline
+      .rateLimitStream(input.toDS(), _.conv_id, rate = 2, bucketSeconds = 3600)
+      .writeStream.format("memory").queryName("rl").outputMode("append").start()
+    try {
+      // batch 1: 3 rows for conv a in one hour-bucket → 2 pass
+      input.addData(turn("a", 0, 0), turn("a", 1, 5), turn("a", 2, 10), turn("b", 0, 1))
+      q.processAllAvailable()
+      // batch 2: same bucket for a → budget already spent; new bucket row passes
+      input.addData(turn("a", 3, 20), turn("a", 4, 70))
+      q.processAllAvailable()
+      val got = spark.table("rl").as[Turn].collect()
+        .map(t => (t.conv_id, t.turn_idx)).sorted
+      assert(got === Seq(("a", 0), ("a", 1), ("a", 4), ("b", 0)).sorted)
+    } finally q.stop()
+  }
+
   test("file-source fan-out: checkpoint resume processes new files exactly once") {
     val base = Files.createTempDirectory("graft-stream").toString
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
