@@ -464,6 +464,14 @@ object SparkEntry {
           col("meta.n_bytes").as("n_bytes"))
     }),
 
+    // salted two-phase variant — row-identical to q_group_lines but the
+    // hot-conversation work spreads over many reducers (north-rule skew)
+    "q_group_lines_salted" -> ((s, dir) => {
+      graft.operators.Skew.saltedGroupLines(
+        transcripts(s, dir), col("conv_id"), col("turn_idx"), col("text"),
+        sliceSize = 16)
+    }),
+
     // ================= relational baseline =================
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -717,6 +725,11 @@ object SparkEntry {
 
     "q_group_lines" -> Transcripts.oracle(
       """SELECT conv_id, count(*) AS n_turns,
+           string_agg(text, chr(10) ORDER BY turn_idx) AS joined
+         FROM transcripts GROUP BY conv_id"""),
+
+    "q_group_lines_salted" -> Transcripts.oracle(
+      """SELECT conv_id, cast(count(*) AS bigint) AS n_turns,
            string_agg(text, chr(10) ORDER BY turn_idx) AS joined
          FROM transcripts GROUP BY conv_id"""),
 

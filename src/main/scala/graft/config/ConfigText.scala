@@ -1,0 +1,316 @@
+package graft.config
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.filters.Filters
+import graft.parsers.{FieldParsers, GrokStage}
+import graft.rewrite.Rewrites
+
+/** Text form of the configuration — a syslog-ng-style grammar subset
+  * (reference lib/cfg-grammar.y / cfg-lex.l) compiled to [[Dsl.Config]]:
+  *
+  * {{{
+  * source s_app { transcripts("/root/testdata/sf0.001"); };
+  * filter f_err { match("error" value("status")) and not severity(debug..info); };
+  * parser p_grok { db-parser(); };
+  * rewrite r_tag { set-tag("checked"); };
+  * destination d_err { file("errors"); };
+  * log { source(s_app); parser(p_grok); filter(f_err); rewrite(r_tag);
+  *       destination(d_err); flags(final); };
+  * }}}
+  *
+  * Supported filter functions: match(re value(col)), host(re), program(re),
+  * message(re), facility(n1,n2,…), severity(lo..hi), tags(t…), in-list(col,
+  * v…), source(name); boolean and/or/not/parens (reference
+  * lib/filter/filter-expr-grammar.ym:137-235). Field references resolve to
+  * top-level columns first, then the grok `fields` map.
+  */
+object ConfigText {
+
+  // ----------------------------------------------------------------- lexer
+  private sealed trait Tok
+  private case class Ident(s: String) extends Tok
+  private case class Str(s: String) extends Tok
+  private case class Punct(c: String) extends Tok
+
+  private def lex(text: String): List[Tok] = {
+    val out = List.newBuilder[Tok]
+    var i = 0
+    while (i < text.length) {
+      val c = text(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '#') { while (i < text.length && text(i) != '\n') i += 1 }
+      else if (c == '"' || c == '\'') {
+        val close = text.indexOf(c, i + 1)
+        require(close > 0, s"unterminated string at $i")
+        out += Str(text.substring(i + 1, close)); i = close + 1
+      } else if (c.isLetterOrDigit || c == '_' || c == '-' || c == '$' || c == '/') {
+        var j = i
+        while (j < text.length &&
+          (text(j).isLetterOrDigit || "_-$./*?".contains(text(j)))) j += 1
+        out += Ident(text.substring(i, j)); i = j
+      } else if (c == '.' && i + 1 < text.length && text(i + 1) == '.') {
+        out += Punct(".."); i += 2
+      } else { out += Punct(c.toString); i += 1 }
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------------- parser
+  private final class P(var toks: List[Tok]) {
+    def peek: Option[Tok] = toks.headOption
+    def next(): Tok = { val t = toks.head; toks = toks.tail; t }
+    def expect(p: String): Unit = next() match {
+      case Punct(`p`) => ()
+      case other      => sys.error(s"expected '$p', got $other")
+    }
+    def ident(): String = next() match {
+      case Ident(s) => s
+      case Str(s)   => s
+      case other    => sys.error(s"expected identifier, got $other")
+    }
+    def isPunct(p: String): Boolean = peek.contains(Punct(p))
+    def eat(p: String): Boolean = if (isPunct(p)) { next(); true } else false
+  }
+
+  /** One parsed driver invocation: `name(arg1 arg2, key(v)...)` — args are
+    * flattened to strings; `value("x")`-style wrappers keep their shape as
+    * `key=v` entries.
+    */
+  private final case class Call(name: String, args: Seq[String], kwargs: Map[String, String])
+
+  private def parseCall(p: P): Call = {
+    val name = p.ident()
+    val args = Seq.newBuilder[String]
+    val kwargs = Map.newBuilder[String, String]
+    if (p.eat("(")) {
+      while (!p.isPunct(")")) {
+        if (p.eat(",")) ()
+        else p.next() match {
+          case Ident(s) if p.isPunct("(") =>
+            p.expect("("); val v = p.ident(); p.expect(")")
+            kwargs += s -> v
+          case Ident(s) if p.isPunct("..") =>
+            p.next(); val hi = p.ident(); args += s"$s..$hi"
+          case Ident(s) => args += s
+          case Str(s)   => args += s
+          case other    => sys.error(s"unexpected $other in args")
+        }
+      }
+      p.expect(")")
+    }
+    Call(name, args.result(), kwargs.result().toMap)
+  }
+
+  // --------------------------------------------- filter expression → Column
+  /** Resolve a field name: top-level column else grok fields map entry. */
+  private def field(df: DataFrame, name: String): Column =
+    if (df.columns.contains(name)) col(name)
+    else if (df.columns.contains("fields")) col("fields")(name)
+    else col(name)
+
+  private def filterExpr(p: P): DataFrame => Column = {
+    def or(): DataFrame => Column = {
+      var l = and()
+      while (p.peek.contains(Ident("or"))) { p.next(); val r = and(); val ll = l; l = df => ll(df) || r(df) }
+      l
+    }
+    def and(): DataFrame => Column = {
+      var l = unary()
+      while (p.peek.contains(Ident("and"))) { p.next(); val r = unary(); val ll = l; l = df => ll(df) && r(df) }
+      l
+    }
+    def unary(): DataFrame => Column = p.peek match {
+      case Some(Ident("not")) => p.next(); val e = unary(); df => !e(df)
+      case Some(Punct("(")) => p.next(); val e = or(); p.expect(")"); e
+      case _ => simple()
+    }
+    def simple(): DataFrame => Column = {
+      val c = parseCall(p)
+      c.name match {
+        case "match" =>
+          val re = c.args.head
+          val target = c.kwargs.get("value")
+          df => Filters.matchRe(target.map(field(df, _)).getOrElse(col("text")), re)
+        case "host"     => df => Filters.matchRe(field(df, "host"), c.args.head)
+        case "program"  => df => Filters.matchRe(field(df, "prog"), c.args.head)
+        case "message"  => df => Filters.matchRe(col("text"), c.args.head)
+        case "facility" => df => Filters.facility(field(df, "pri").cast("int"), c.args: _*)
+        case "severity" | "level" =>
+          val Array(lo, hi) = c.args.head.split("\\.\\.")
+          df => Filters.severityRange(field(df, "pri").cast("int"), lo, hi)
+        case "tags"    => df => Filters.hasAnyTag(col("tags"), c.args: _*)
+        case "in-list" => df => Filters.inList(field(df, c.args.head), c.args.tail)
+        case "source"  => _ => col("__source") === c.args.head
+        case "filter"  => sys.error("named filter calls resolve at compile: use the name directly")
+        case other     => sys.error(s"unknown filter function: $other")
+      }
+    }
+    or()
+  }
+
+  // ------------------------------------------------------- driver registries
+  private def sourceDriver(c: Call): SparkSession => DataFrame = c.name match {
+    case "transcripts" =>
+      s => graft.transcripts.Transcripts.load(s, c.args.head)
+    case "parquet" | "file" =>
+      s => s.read.parquet(c.args.head)
+    case other => sys.error(s"unknown source driver: $other")
+  }
+
+  private def parserDriver(c: Call): DataFrame => DataFrame = c.name match {
+    case "db-parser" | "grok" =>
+      df => GrokStage(df, c.kwargs.getOrElse("value", "text"), GrokStage.transcriptRules)
+    case "kv-parser" =>
+      df => df.withColumn(c.kwargs.getOrElse("prefix", "kv"),
+        FieldParsers.kvParser(col(c.kwargs.getOrElse("value", "text"))))
+    case "json-parser" =>
+      df => df.withColumn(c.kwargsOrFail("prefix"),
+        FieldParsers.jsonParser(col(c.kwargs.getOrElse("value", "text")),
+          c.args.head))
+    case "csv-parser" =>
+      df => FieldParsers.csvParser(df, col(c.kwargs.getOrElse("value", "text")), c.args)
+    case other => sys.error(s"unknown parser driver: $other")
+  }
+
+  private implicit class CallOps(val c: Call) extends AnyVal {
+    def kwargsOrFail(k: String): String =
+      c.kwargs.getOrElse(k, sys.error(s"${c.name}: missing $k()"))
+  }
+
+  private def rewriteDriver(c: Call): DataFrame => DataFrame = c.name match {
+    case "set" =>
+      df => Rewrites.set(df, c.kwargsOrFail("value"), lit(c.args.head))
+    case "subst" =>
+      df => Rewrites.subst(df, c.kwargsOrFail("value"), c.args(0), c.args(1),
+        global = c.args.contains("global"))
+    case "set-tag" =>
+      df => if (df.columns.contains("tags")) Rewrites.setTag(df, "tags", lit(c.args.head))
+        else Rewrites.setTag(df.withColumn("tags", array().cast("array<string>")), "tags", lit(c.args.head))
+    case "unset" => df => Rewrites.unset(df, c.kwargsOrFail("value"))
+    case "rename" => df => Rewrites.rename(df, c.args(0), c.args(1))
+    case other => sys.error(s"unknown rewrite driver: $other")
+  }
+
+  // ----------------------------------------------------------- top level
+  /** Parse config text into the case-class Config (IR #1). */
+  def parse(text: String): Dsl.Config = {
+    val p = new P(lex(text))
+    val sources = Map.newBuilder[String, SparkSession => DataFrame]
+    val filters = scala.collection.mutable.Map[String, DataFrame => Column]()
+    val parsers = scala.collection.mutable.Map[String, DataFrame => DataFrame]()
+    val rewrites = scala.collection.mutable.Map[String, DataFrame => DataFrame]()
+    val dests = scala.collection.mutable.Map[String, String]()
+    val paths = Seq.newBuilder[Dsl.LogPath]
+
+    def parseLogElements(): Seq[Dsl.Element] = {
+      val els = Seq.newBuilder[Dsl.Element]
+      while (!p.isPunct("}")) {
+        p.ident() match {
+          case "source"      => p.expect("("); p.ident(); p.expect(")") // handled by caller list
+          case "filter"      => p.expect("("); els += Dsl.FilterE(filters(p.ident())); p.expect(")")
+          case "parser"      => p.expect("("); els += Dsl.TransformE(parsers(p.ident())); p.expect(")")
+          case "rewrite"     => p.expect("("); els += Dsl.TransformE(rewrites(p.ident())); p.expect(")")
+          case "destination" => p.expect("("); els += Dsl.DestE(dests(p.ident())); p.expect(")")
+          case "flags"       => p.expect("("); while (!p.isPunct(")")) p.next(); p.expect(")")
+          case "junction" =>
+            p.expect("{")
+            val channels = Seq.newBuilder[Seq[Dsl.Element]]
+            while (!p.isPunct("}")) {
+              require(p.ident() == "channel", "junction body must be channels")
+              p.expect("{"); channels += parseLogElements(); p.expect("}"); p.eat(";")
+            }
+            p.expect("}")
+            els += Dsl.Junction(channels.result())
+          case "if" =>
+            val branches = Seq.newBuilder[(DataFrame => Column, Seq[Dsl.Element])]
+            p.expect("("); val c0 = filterExpr(p); p.expect(")")
+            p.expect("{"); branches += c0 -> parseLogElements(); p.expect("}")
+            var otherwise: Seq[Dsl.Element] = Nil
+            var done = false
+            while (!done) p.peek match {
+              case Some(Ident("elif")) =>
+                p.next(); p.expect("("); val c = filterExpr(p); p.expect(")")
+                p.expect("{"); branches += c -> parseLogElements(); p.expect("}")
+              case Some(Ident("else")) =>
+                p.next(); p.expect("{"); otherwise = parseLogElements(); p.expect("}")
+              case _ => done = true
+            }
+            els += Dsl.IfElse(branches.result(), otherwise)
+          case other => sys.error(s"unexpected log element: $other")
+        }
+        p.eat(";")
+      }
+      els.result()
+    }
+
+    while (p.peek.isDefined) {
+      p.ident() match {
+        case "source" =>
+          val name = p.ident(); p.expect("{")
+          val call = parseCall(p); p.eat(";"); p.expect("}")
+          sources += name -> sourceDriver(call)
+        case "filter" =>
+          val name = p.ident(); p.expect("{")
+          val e = filterExpr(p); p.eat(";"); p.expect("}")
+          filters(name) = e
+        case "parser" =>
+          val name = p.ident(); p.expect("{")
+          var f: DataFrame => DataFrame = identity
+          while (!p.isPunct("}")) { val c = parseCall(p); p.eat(";"); val g = f; val d = parserDriver(c); f = df => d(g(df)) }
+          p.expect("}")
+          parsers(name) = f
+        case "rewrite" =>
+          val name = p.ident(); p.expect("{")
+          var f: DataFrame => DataFrame = identity
+          while (!p.isPunct("}")) { val c = parseCall(p); p.eat(";"); val g = f; val d = rewriteDriver(c); f = df => d(g(df)) }
+          p.expect("}")
+          rewrites(name) = f
+        case "destination" =>
+          val name = p.ident(); p.expect("{")
+          val call = parseCall(p); p.eat(";"); p.expect("}")
+          dests(name) = call.args.headOption.getOrElse(name)
+        case "log" =>
+          p.expect("{")
+          // pre-scan for source()/flags() refs, then re-walk for elements
+          val saved = p.toks
+          val srcs = Seq.newBuilder[String]
+          var flagSet = Set.empty[String]
+          var depth = 1
+          var scan = saved
+          while (depth > 0 && scan.nonEmpty) {
+            scan match {
+              case Ident("source") :: Punct("(") :: Ident(s) :: Punct(")") :: rest if depth == 1 =>
+                srcs += s; scan = rest
+              case Ident("flags") :: Punct("(") :: rest if depth == 1 =>
+                var r = rest
+                while (r.nonEmpty && r.head != Punct(")")) {
+                  r.head match { case Ident(f) => flagSet += f; case _ => () }; r = r.tail
+                }
+                scan = r
+              case Punct("{") :: rest => depth += 1; scan = rest
+              case Punct("}") :: rest => depth -= 1; scan = rest
+              case _ :: rest => scan = rest
+              case Nil => ()
+            }
+          }
+          val els = parseLogElements()
+          p.expect("}")
+          paths += Dsl.LogPath(
+            sources = srcs.result(),
+            elements = els,
+            isFinal = flagSet.contains("final"),
+            isFallback = flagSet.contains("fallback"),
+            isCatchAll = flagSet.contains("catch-all") || flagSet.contains("catchall"))
+        case other => sys.error(s"unexpected top-level block: $other")
+      }
+      p.eat(";")
+    }
+    Dsl.Config(sources.result(), paths.result())
+  }
+
+  /** Parse + compile in one step. */
+  def compile(spark: SparkSession, text: String): Compiler.Compiled =
+    Compiler.compile(spark, parse(text))
+}

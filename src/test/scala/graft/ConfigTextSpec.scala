@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.config.ConfigText
+
+/** Text config grammar → compiled plan: the reference's end-user surface
+  * (config text with source/filter/parser/rewrite/destination blocks and
+  * log paths) running against the transcript fixture.
+  */
+class ConfigTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full text config: parse, route with final+fallback, grok fields in filters") {
+    val cfg = s"""
+      # transcripts in, three destinations out
+      source s_app { transcripts("$sfUnit"); };
+
+      parser p_grok { db-parser(); };
+
+      filter f_err  { match("^(error|fail)$$" value("status")); };
+      filter f_tool { match("tool_call" value("event")); };
+
+      rewrite r_tag { set-tag("checked"); };
+
+      destination d_err  { file("errors"); };
+      destination d_tool { file("tool_calls"); };
+      destination d_rest { file("rest"); };
+
+      log { source(s_app); parser(p_grok); filter(f_tool); rewrite(r_tag);
+            destination(d_tool); flags(final); };
+      log { source(s_app); filter(f_err); destination(d_err); };
+      log { source(s_app); destination(d_rest); flags(fallback); };
+    """
+    val c = ConfigText.compile(spark, cfg)
+    val t = graft.transcripts.Transcripts.loadFull(spark, sfUnit)
+
+    val nTool = c.sink("tool_calls").count()
+    val nErr = c.sink("errors").count()
+    val nRest = c.sink("rest").count()
+    val total = t.count()
+
+    // ground truth from the generator columns (every kv-variant line is a
+    // tool_call event)
+    val toolTruth = t.filter(col("variant") === 1).count()
+    assert(nTool === toolTruth)
+    // errors: status error/fail on syslog+json variants, minus rows consumed
+    // by the final tool path (kv rows have no status field here)
+    val errTruth = t.filter(col("variant").isin(0, 2) &&
+      col("status").isin("error", "fail")).count()
+    assert(nErr === errTruth)
+    assert(nTool + nErr + nRest === total) // partition: final ∪ err ∪ fallback
+  }
+
+  test("if/elif/else + junction in text form") {
+    val cfg = s"""
+      source s_app { transcripts("$sfUnit"); };
+      destination d_user { file("user"); };
+      destination d_asst { file("asst"); };
+      destination d_oth  { file("oth"); };
+      destination d_all  { file("all"); };
+      log { source(s_app);
+            junction {
+              channel { if (match("^user$$" value("role"))) { destination(d_user); }
+                        elif (match("^assistant$$" value("role"))) { destination(d_asst); }
+                        else { destination(d_oth); } };
+              channel { destination(d_all); };
+            }; };
+    """
+    val c = ConfigText.compile(spark, cfg)
+    val t = graft.transcripts.Transcripts.load(spark, sfUnit)
+    assert(c.sink("user").count() === t.filter(col("role") === "user").count())
+    assert(c.sink("asst").count() === t.filter(col("role") === "assistant").count())
+    assert(c.sink("oth").count() === t.filter(!col("role").isin("user", "assistant")).count())
+    assert(c.sink("all").count() === t.count())
+  }
+
+  test("kv/csv parser drivers and rewrite drivers from text") {
+    val cfg = s"""
+      source s_app { transcripts("$sfUnit"); };
+      parser p_kv { kv-parser(value("text") prefix("kv")); };
+      rewrite r { subst("tool_call", "T", value("text")); rename(conv_id, conversation); };
+      destination d { file("out"); };
+      log { source(s_app); parser(p_kv); rewrite(r); destination(d); };
+    """
+    val c = ConfigText.compile(spark, cfg)
+    val out = c.sink("out")
+    assert(out.columns.contains("conversation") && out.columns.contains("kv"))
+    // parser ran before the rewrite: the kv map still sees the original
+    // text, while the text column itself was substituted afterwards
+    val kvRows = out.filter(col("kv")("event") === "tool_call").count()
+    assert(kvRows > 0)
+    assert(out.filter(col("text").contains("tool_call")).count() === 0)
+  }
+}
