@@ -66,6 +66,34 @@ object Pipeline {
   def run(spark: SparkSession, sfDir: String): DataFrame =
     sinkCounts(flagged(spark, sfDir))
 
+  /** Batch-resumable multi-sink write: rerunning after a mid-job failure
+    * skips sinks that already committed (their `_SUCCESS` marker is the
+    * commit record — Spark's FileOutputCommitter writes it only after all
+    * tasks commit, so a half-written sink is retried, a committed one is
+    * not). This is the batch face of the checkpoint-resume requirement;
+    * the streaming face is StreamingPipeline.writeSinks' checkpoint WAL.
+    * Returns the set of sinks actually (re)computed this run.
+    */
+  def writeSinksResumable(spark: SparkSession, sfDir: String, outDir: String): Set[String] = {
+    val sinkNames = Seq("all", "tool_calls", "errors", "fallback")
+    val pending = sinkNames.filterNot(s =>
+      new java.io.File(s"$outDir/sink_$s/_SUCCESS").exists())
+    if (pending.isEmpty) return Set.empty
+    val f = flagged(spark, sfDir)
+      .withColumn("lineage",
+        struct(spark_partition_id().as("source_partition"),
+          monotonically_increasing_id().as("row_id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      pending.foreach { s =>
+        Router.sink(f, s)
+          .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "rule_id", "lineage")
+          .write.mode("overwrite").parquet(s"$outDir/sink_$s")
+      }
+      pending.toSet
+    } finally { f.unpersist(); () }
+  }
+
   /** Templated-filename sink (reference modules/affile/affile-dest.c:64-142:
     * `file("/log/$HOST/$PROGRAM.log")` opens one writer per resolved name):
     * the template's value-refs become partition columns — same fan-out, but

@@ -33,6 +33,18 @@ class StatsSpec extends SparkSpec {
     assert(lin >= 1)
   }
 
+  test("batch resume: committed sinks are skipped, missing sinks recomputed") {
+    val out = Files.createTempDirectory("graft-resume").toString
+    val first = Pipeline.writeSinksResumable(spark, sfUnit, out)
+    assert(first === Set("all", "tool_calls", "errors", "fallback"))
+    // simulate a mid-job crash: one sink lost its commit marker
+    assert(new java.io.File(s"$out/sink_errors/_SUCCESS").delete())
+    val second = Pipeline.writeSinksResumable(spark, sfUnit, out)
+    assert(second === Set("errors")) // only the uncommitted sink re-ran
+    val third = Pipeline.writeSinksResumable(spark, sfUnit, out)
+    assert(third === Set.empty) // fully committed → no work
+  }
+
   test("templated-filename sink: value-refs become partition dirs, pruned on read") {
     val out = Files.createTempDirectory("graft-psink").toString + "/by_role"
     val t = graft.transcripts.Transcripts.load(spark, sfUnit)
