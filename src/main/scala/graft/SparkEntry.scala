@@ -331,6 +331,18 @@ object SparkEntry {
         Templates.compile("$(format-welf id=$conv_id role=$role tool=${tool:-na})", r).as("w"))
     }),
 
+    "q_template_hof" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+        .withColumn("lst", concat_ws(",", col("role"), coalesce(col("tool"), lit("x"))))
+        .withColumn("lst2", concat(col("role"), lit(","), coalesce(col("tool"), lit(""))))
+      val r: Templates.Resolver =
+        name => if (t.columns.contains(name)) Some(col(name)) else None
+      t.select(col("conv_id"), col("turn_idx"),
+        Templates.compile("$(map $(uppercase $_) $lst)", r).as("a"),
+        Templates.compile("$(filter $_ $lst2)", r).as("b"),
+        Templates.compile("$(format-date '%Y/%m/%d %H:%M' ${ts})", r).as("c"))
+    }),
+
     // ================= §2.4 stateful/correlation =================
     "q_grouping_by" -> ((s, dir) => {
       Correlation.groupingBy(
@@ -664,6 +676,13 @@ object SparkEntry {
            concat('{"conv":"', conv_id, '","role":"', role, '","n":"',
                   cast(turn_idx AS varchar), '"}') AS j,
            concat('id=', conv_id, ' role=', role, ' tool=', coalesce(tool, 'na')) AS w
+         FROM transcripts"""),
+
+    "q_template_hof" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           concat(upper(role), ',', upper(coalesce(tool, 'x'))) AS a,
+           CASE WHEN tool IS NULL THEN role ELSE concat(role, ',', tool) END AS b,
+           strftime(ts, '%Y/%m/%d %H:%M') AS c
          FROM transcripts"""),
 
     "q_grouping_by" -> Transcripts.oracle(

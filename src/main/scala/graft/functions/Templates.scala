@@ -309,10 +309,63 @@ object TemplateFunctions {
       case (k, v) => concat(lit(k + "="),
         when(v.contains(" "), concat(lit("\""), v, lit("\""))).otherwise(v))
     }: _*)),
+    // --- iteration (tf-map.c, tf-filter.c): first arg is a template over
+    //     `$_` (the current element), second the comma-separated list ------
+    "map" -> (a => render(transform(asList(a(1)), x => lambda(a(0), x)))),
+    "filter" -> (a => render(filter(asList(a(1)), x => truthy(lambda(a(0), x))))),
+    // --- format-date (modules/timestamp/tf-format-date.c): strftime ------
+    "format-date" -> (a => {
+      val fmt = strftimeToJava(a(0).literal.getOrElse(sys.error("static strftime format required")))
+      date_format(a(1).col.cast("timestamp"), fmt)
+    }),
     // --- tags --------------------------------------------------------------
     "tag" -> (a => when(array_contains(col("tags"), a(0).col), "1").otherwise("0")),
     "tags-head" -> (a => element_at(col("tags"), 1))
   )
+
+  /** Compile a template argument as a lambda body: `$_` resolves to the
+    * current list element, everything else to the enclosing row scope.
+    */
+  private def lambda(body: Arg, elem: Column): Column =
+    Templates.compileElems(body.elems,
+      name => if (name == "_") Some(elem) else body.resolver(name))
+
+  /** strftime → java.time pattern for the common codes. */
+  def strftimeToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(_.isLetter)) sb.append("'").append(s.replace("'", "''")).append("'")
+      else sb.append(s)
+      lit = new StringBuilder
+    }
+    while (i < fmt.length) {
+      if (fmt(i) == '%' && i + 1 < fmt.length) {
+        flushLit()
+        fmt(i + 1) match {
+          case 'Y' => sb.append("yyyy")
+          case 'y' => sb.append("yy")
+          case 'm' => sb.append("MM")
+          case 'd' => sb.append("dd")
+          case 'H' => sb.append("HH")
+          case 'M' => sb.append("mm")
+          case 'S' => sb.append("ss")
+          case 'b' => sb.append("MMM")
+          case 'B' => sb.append("MMMM")
+          case 'a' => sb.append("EEE")
+          case 'j' => sb.append("DDD")
+          case 'Z' => sb.append("zz")
+          case '%' => lit.append('%')
+          case c   => sys.error(s"unsupported strftime code %$c")
+        }
+        i += 2
+      } else { lit.append(fmt(i)); i += 1 }
+    }
+    flushLit()
+    sb.toString
+  }
 
   /** Truthiness of a rendered value (reference $(if) evaluates a filter; our
     * curated surface: non-empty, non-zero, non-false strings are true).

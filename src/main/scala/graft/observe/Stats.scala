@@ -65,6 +65,20 @@ object Stats {
     c
   }
 
+  /** The stats query language (reference lib/stats/stats-query.c:
+    * `syslog-ng-ctl query get "stage.*.counter"`): glob over
+    * `stage.counter` names against a stats snapshot.
+    */
+  def query(stats: DataFrame, glob: String): DataFrame = {
+    val re = glob.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    }
+    stats.filter(concat_ws(".", col("stage"), col("counter")).rlike("^" + re + "$"))
+  }
+
   /** Per-partition lineage column (north rule): where each output row came
     * from — source file + reader partition. Carried through shuffles as
     * data, so sink rows remain attributable after fan-out.

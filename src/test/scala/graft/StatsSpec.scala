@@ -31,6 +31,13 @@ class StatsSpec extends SparkSpec {
     assert(allRows.columns.contains("lineage"))
     val lin = allRows.select("lineage.source_partition").distinct().count()
     assert(lin >= 1)
+
+    // stats query language: glob over stage.counter names
+    val sdf = spark.read.parquet(s"$out/stats")
+    val q = graft.observe.Stats.query(sdf, "sink_*.processed")
+      .select("stage").distinct().as[String].collect().toSet
+    assert(q === Set("sink_all", "sink_tool_calls", "sink_errors", "sink_fallback"))
+    assert(graft.observe.Stats.query(sdf, "*.parse_errors").count() > 0)
   }
 
   test("batch resume: committed sinks are skipped, missing sinks recomputed") {
