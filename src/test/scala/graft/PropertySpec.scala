@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{TemplateFunctions, Templates}
+import graft.parsers.FieldParsers
+
+/** Property tests (SURVEY §5: parser round-trips and filter-algebra
+  * equivalences, the scalacheck tier). Samples are generated with a fixed
+  * seed and evaluated in ONE Spark job per property (a row per sample) —
+  * not one job per sample.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val keyGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))
+  private val valGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(12))
+
+  test("kv round trip: format k=v pairs → kvParser recovers every pair") {
+    val pairsGen = Gen.nonEmptyListOf(Gen.zip(keyGen, valGen)).map(_.distinctBy(_._1).take(6))
+    val cases = samples(pairsGen, 120).filter(_.nonEmpty)
+    val df = cases.zipWithIndex
+      .map { case (kvs, i) => (i, kvs.map { case (k, v) => s"$k=$v" }.mkString(" ")) }
+      .toDF("id", "line")
+      .withColumn("m", FieldParsers.kvParser(col("line")))
+    val got = df.select(col("id"), col("m")).as[(Int, Map[String, String])].collect().toMap
+    cases.zipWithIndex.foreach { case (kvs, i) =>
+      assert(got(i) === kvs.toMap, s"case $i: ${kvs.mkString(",")}")
+    }
+  }
+
+  test("json round trip: format-json ∘ json-parser = identity on (k, v) fields") {
+    val vGen = Gen.zip(valGen, Gen.choose(0, 99999))
+    val cases = samples(vGen, 150)
+    val df = cases.zipWithIndex.map { case ((sv, nv), i) => (i, sv, nv) }
+      .toDF("id", "sv", "nv")
+    val r: Templates.Resolver = n => if (Seq("sv", "nv").contains(n)) Some(col(n)) else None
+    val round = df
+      .withColumn("j", Templates.compile("$(format-json s=$sv n=$nv)", r))
+      .withColumn("back", FieldParsers.jsonParser(col("j"), "s STRING, n STRING"))
+      .select(col("id"), col("back.s"), col("back.n").cast("int"))
+      .as[(Int, String, Int)].collect()
+    round.foreach { case (i, s, n) =>
+      assert((s, n) === (cases(i)._1, cases(i)._2))
+    }
+  }
+
+  test("glob matcher ≡ java glob semantics (*, ?, literals)") {
+    val globChar = Gen.frequency(6 -> Gen.alphaLowerChar, 2 -> Gen.const('*'), 2 -> Gen.const('?'))
+    val globGen = Gen.listOfN(5, globChar).map(_.mkString)
+    val strGen = Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString)
+    val cases = samples(Gen.zip(globGen, strGen), 250)
+    val df = cases.zipWithIndex.map { case ((g, s), i) => (i, g, s) }.toDF("id", "g", "s")
+    // one matchGlob column per distinct glob, all evaluated in one job
+    val globs = cases.map(_._1).distinct
+    val withCols = globs.foldLeft(df) { (acc, g) =>
+      acc.withColumn(s"m_${globs.indexOf(g)}",
+        graft.filters.Filters.matchGlob(col("s"), g))
+    }
+    val rows = withCols.collect()
+    def javaGlob(glob: String, s: String): Boolean =
+      java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + glob)
+        .matches(java.nio.file.Paths.get(s))
+    rows.foreach { row =>
+      val g = row.getAs[String]("g"); val s = row.getAs[String]("s")
+      val got = row.getAs[Boolean](s"m_${globs.indexOf(g)}")
+      assert(got === javaGlob(g, s), s"glob=$g s=$s")
+    }
+  }
+
+  test("filter boolean algebra: router flags respect De Morgan + final exclusivity") {
+    val rows = samples(Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9)), 200)
+    val df = rows.zipWithIndex.map { case ((a, b), i) => (i, a, b) }.toDF("id", "a", "b")
+    val p = col("a") < 5
+    val q = col("b") % 2 === 0
+    val checked = df
+      .withColumn("dm1", !(p && q) === (!p || !q))
+      .withColumn("dm2", !(p || q) === (!p && !q))
+      .select(bool_and(col("dm1")), bool_and(col("dm2"))).as[(Boolean, Boolean)].head()
+    assert(checked === ((true, true)))
+    // final-path exclusivity: flags from the Router never overlap for a
+    // final path vs later paths
+    val flagged = graft.routing.Router.withRouteFlags(df, Seq(
+      graft.routing.RouteSpec("one", p, isFinal = true),
+      graft.routing.RouteSpec("two", q),
+      graft.routing.RouteSpec("fb", lit(true), isFallback = true)))
+    val bad = flagged.filter(col("route_one") && col("route_two")).count()
+    assert(bad === 0)
+    val fbBad = flagged.filter(col("route_fb") && (col("route_one") || col("route_two"))).count()
+    assert(fbBad === 0)
+    // every row lands somewhere
+    assert(flagged.filter(size(col("routes")) === 0).count() === 0)
+  }
+
+  test("template engine: literal round trip with $$ escaping") {
+    val litGen = Gen.listOfN(12,
+      Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.const('$'), 1 -> Gen.const(' ')))
+      .map(_.mkString)
+    val cases = samples(litGen, 150)
+    val df = cases.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "s")
+    val evaluated = cases.zipWithIndex.map { case (s, i) =>
+      // escape: literal text with $ doubled must evaluate back to itself
+      val tmpl = s.replace("$", "$$")
+      Templates.compile(tmpl, _ => None).as(s"t_$i")
+    }
+    val row = df.limit(1).select(evaluated: _*).head()
+    cases.zipWithIndex.foreach { case (s, i) =>
+      assert(row.getString(i) === s, s"case $i")
+    }
+  }
+
+  test("numeric template functions match BigDecimal model on int inputs") {
+    val cases = samples(Gen.zip(Gen.choose(-999, 999), Gen.choose(1, 999)), 150)
+    val df = cases.zipWithIndex.map { case ((x, y), i) => (i, x, y) }.toDF("id", "x", "y")
+    val r: Templates.Resolver = n => if (Seq("x", "y").contains(n)) Some(col(n)) else None
+    val got = df.select(col("id"),
+      Templates.compile("$(+ $x $y)", r), Templates.compile("$(- $x $y)", r),
+      Templates.compile("$(* $x $y)", r), Templates.compile("$(max $x $y)", r))
+      .as[(Int, String, String, String, String)].collect()
+    got.foreach { case (i, p, m, t, mx) =>
+      val (x, y) = cases(i)
+      assert(p === (x + y).toString && m === (x - y).toString &&
+        t === (x.toLong * y).toString && mx === math.max(x, y).toString, s"x=$x y=$y")
+    }
+  }
+}

@@ -117,6 +117,24 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outDir/sink_errors").count() === batchErrors)
   }
 
+  test("stream-static broadcast enrichment matches batch enrich") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val enriched = graft.enrich.ContextualData.enrich(
+      input.toDS().toDF(),
+      graft.enrich.ContextualData.lookupDf(spark),
+      coalesce(concat(lit("tool:"), col("tool")), concat(lit("role:"), col("role"))))
+    val q = enriched.writeStream.format("memory").queryName("enr")
+      .outputMode("append").start()
+    try {
+      input.addData(turn("a", 0, 0, tool = "bash"), turn("a", 1, 1))
+      q.processAllAvailable()
+      val got = spark.table("enr").select("conv_id", "turn_idx", "team")
+        .as[(String, Int, String)].collect().toSet
+      assert(got === Set(("a", 0, "infra"), ("a", 1, "product"))) // tool:bash / role:user
+    } finally q.stop()
+  }
+
   test("streaming windowed sink counts match the batch aggregate on closed input") {
     val base = Files.createTempDirectory("graft-stream2").toString
     val inDir = s"$base/in"
