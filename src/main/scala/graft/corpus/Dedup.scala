@@ -122,10 +122,15 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** Exact n-gram Jaccard pairs via posting-list join: explode distinct
-    * shingles, join docs sharing a shingle, count shared per pair, then
-    * |A∩B| / (|A|+|B|−|A∩B|). The shuffle is Σ posting-list² per shingle —
-    * bounded and skew-splittable by AQE, never a cross join.
+  /** Exact n-gram Jaccard pairs with PPJoin-style prefix filtering.
+    *
+    * Shingles get a global canonical order (md5 lex order); a set of size n
+    * only posts its first `n − ⌈t·n⌉ + 1` shingles. Two sets with Jaccard ≥
+    * t are guaranteed to share a posted shingle (prefix-filtering
+    * principle — lossless for the threshold), so the posting join emits a
+    * strict superset of the qualifying pairs at a fraction of the shuffle;
+    * candidates then verify with the exact Jaccard. Candidate generation
+    * shuffles (shingle, id) only — never the shingle arrays.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -136,19 +141,19 @@ object Dedup {
     val sh = docs
       .filter(size(split(text, " ")) >= shingleK) // cheap ≡ of "has shingles"
       .select(id.as("doc_id"), shingles(text, shingleK).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val posting = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val shared = posting.as("a")
+    // canonical order by seeded hash (uniform, frequency-independent)
+    val ordered = transform(
+      array_sort(transform(col("sh"), s => struct(md5(concat(lit("ord:"), s)).as("h"), s.as("s")))),
+      x => x("s"))
+    val prefixLen = (size(col("sh")) - ceil(size(col("sh")) * threshold) + 1).cast("int")
+    val posting = sh
+      .select(col("doc_id"), explode(slice(ordered, lit(1), prefixLen)).as("shingle"))
+    val cand = posting.as("a")
       .join(posting.as("b"), col("a.shingle") === col("b.shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-    shared
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(cand, sh, threshold)
   }
 
   /** SimHash signature per document: one bit per md5 nibble-MSB of each
