@@ -224,6 +224,18 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("ip"))
     }),
 
+    // store-matches → $1..$n (reference lib/logmatcher.c:73-119) + the
+    // set-matches/unset-matches rewrites (array fill / clear)
+    "q_store_matches" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val matches = regexp_extract_all(col("text"), lit("(\\d+)"), lit(1))
+      t.select(col("conv_id"), col("turn_idx"),
+        try_element_at(matches, lit(1)).as("m1"), // ANSI-safe on no-match rows
+        size(matches).as("n_matches"),
+        // unset-matches ≡ empty array; set-matches ≡ literal array fill
+        size(array().cast("array<string>")).as("after_unset"))
+    }),
+
     // ================= §2.6 rewrites =================
     "q_rewrite_subst" -> ((s, dir) => {
       transcripts(s, dir).select(col("conv_id"), col("turn_idx"),
@@ -573,6 +585,13 @@ object SparkEntry {
       """SELECT conv_id, turn_idx,
            concat('10.', cast(fac AS varchar), '.', cast(sev AS varchar), '.', cast(pid % 256 AS varchar)) AS ip
          FROM transcripts_full WHERE variant = 0 AND fac = 4"""),
+
+    "q_store_matches" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           regexp_extract_all(text, '(\d+)', 1)[1] AS m1,
+           cast(len(regexp_extract_all(text, '(\d+)', 1)) AS int) AS n_matches,
+           0 AS after_unset
+         FROM transcripts"""),
 
     "q_rewrite_subst" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx,
