@@ -496,6 +496,15 @@ object SparkEntry {
         sliceSize = 16)
     }),
 
+    // multi-line reassembly: each user turn starts a new exchange block,
+    // assistant/system/tool turns are its continuation lines
+    "q_multiline" -> ((s, dir) => {
+      Correlation.multiLine(
+        transcripts(s, dir),
+        key = col("conv_id"), order = col("turn_idx"), text = col("text"),
+        isStart = col("role") === "user")
+    }),
+
     // ================= relational baseline =================
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -765,6 +774,18 @@ object SparkEntry {
       """SELECT conv_id, count(*) AS n_turns,
            string_agg(text, chr(10) ORDER BY turn_idx) AS joined
          FROM transcripts GROUP BY conv_id"""),
+
+    "q_multiline" -> Transcripts.oracle(
+      """, m0 AS (SELECT conv_id, turn_idx, text,
+                   sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS UNBOUNDED PRECEDING) AS block
+                  FROM transcripts)
+         SELECT conv_id AS key, cast(block AS bigint) AS block,
+           cast(count(*) AS bigint) AS n_lines,
+           min(turn_idx) AS start_idx,
+           string_agg(text, chr(10) ORDER BY turn_idx) AS joined
+         FROM m0 GROUP BY conv_id, block"""),
 
     "q_group_lines_salted" -> Transcripts.oracle(
       """SELECT conv_id, cast(count(*) AS bigint) AS n_turns,

@@ -282,6 +282,11 @@ object TemplateFunctions {
       a.lift(1).map(_.int).getOrElse(0)))),
     "ceil" -> (a => renderNum(ceil(num(a(0).col)))),
     "floor" -> (a => renderNum(floor(num(a(0).col)))),
+    // implode/explode (str-funcs): join a LIST with a delimiter / split a
+    // string into a LIST
+    "implode" -> (a => concat_ws(a(0).literal.getOrElse(" "), asList(a(1)))),
+    "explode" -> (a => render(split(a(1).col,
+      java.util.regex.Pattern.quote(a(0).literal.getOrElse(" "))))),
     // --- lists (list-funcs.c) — comma-separated LIST values --------------
     "list-concat" -> (a => render(concat(a.map(asList): _*))),
     "list-head" -> (a => element_at(asList(a(0)), 1)),

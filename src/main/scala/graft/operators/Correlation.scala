@@ -116,6 +116,31 @@ object Correlation {
       .withColumn("stage", lit(stage))
   }
 
+  /** Multi-line reassembly (reference group-lines() multi-line FSM modes,
+    * modules/correlation/group-lines.c:166 + lib/multi-line/): a new block
+    * starts at every row matching `isStart`; following rows (continuation
+    * lines — the "indented"/"prefix-suffix" modes reduce to this predicate)
+    * append to it. Gaps-and-islands: running count of starts = block id,
+    * then ordered concatenation per (key, block). Rows before the first
+    * start form block 0 (the reference flushes them as-is).
+    */
+  def multiLine(
+      df: DataFrame,
+      key: Column,
+      order: Column,
+      text: Column,
+      isStart: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order.asc)
+    df.withColumn("block", sum(when(isStart, 1).otherwise(0)).over(w))
+      .groupBy(key.as("key"), col("block"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        min(order).as("start_idx"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(order.as("o"), text.as("t")))),
+            x => x("t"))).as("joined"))
+  }
+
   /** The context-scoped template functions (reference
     * modules/basicfuncs/basic-funcs.c:81-83 `$(context-length)`,
     * `$(context-lookup)`, `$(context-values)`, `$(grep)` — evaluated over a

@@ -72,6 +72,8 @@ class TemplatesSpec extends SparkSpec {
     assert(eval("$(list-count $lst)") === "3")
     assert(eval("$(list-append $lst d)") === "a,b,c,d")
     assert(eval("$(list-slice $lst 0 2)") === "a,b")
+    assert(eval("$(implode - $lst)") === "a-b-c")
+    assert(eval("$(explode / $path)") === ",var,log,app.log") // leading empty element kept
     assert(eval("$(ipv4-to-int $ip)") === "167838211")
     assert(eval("$(sha256 x 8)") === "2d711642") // sha256("x") prefix
     assert(eval("$(md5 x 8)") === "9dd4e461")
