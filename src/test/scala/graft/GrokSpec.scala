@@ -48,6 +48,40 @@ class GrokSpec extends SparkSpec {
     assert(r == "broad")
   }
 
+  test("non-ASCII text takes the decode fallback with identical semantics") {
+    val Seq((rule, fields, _)) =
+      parse("event=café tool=über duration_ms=5 ok=true")
+    assert(rule == "kv")
+    assert(fields("event") == "café" && fields("tool") == "über")
+  }
+
+  test("null and empty text are tagged, not dropped; optional captures omitted") {
+    val df = Seq[(Integer, String)]((1, null), (2, "")).toDF("id", "text")
+    val got = GrokStage(df, "text", GrokStage.transcriptRules)
+      .select(col("id"), col("rule_id"), col("tags"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getSeq[String](2)))
+    assert(got.forall { case (_, rule, tags) =>
+      rule == null && tags == Seq(GrokStage.ParseErrorTag) })
+    // a rule with an optional group: unmatched capture is absent from fields
+    val rules = Seq(GrokRule("opt", """^x(\d+)?(y)$""", Seq("num", "tail")))
+    val r = GrokStage(Seq("xy").toDF("text"), "text", rules)
+      .select("fields").collect().head.getMap[String, String](0).toMap
+    assert(r == Map("tail" -> "y"))
+  }
+
+  test("batch InternalRow path survives shuffles, sorts and collects intact") {
+    // UTF8String slices must not alias reused scan buffers once buffered
+    val t = Transcripts.load(spark, sfUnit).limit(500)
+    val p = GrokStage(t, "text", GrokStage.transcriptRules)
+    val sorted = p.filter(col("rule_id") === "syslog")
+      .sort(col("fields")("host"), col("conv_id"), col("turn_idx"))
+      .select(col("fields")("host").as("h"), col("text"))
+      .as[(String, String)].collect()
+    assert(sorted.nonEmpty)
+    assert(sorted.forall { case (h, text) => text.contains(h) }) // no cross-row smearing
+    assert(sorted.map(_._1).toSeq == sorted.map(_._1).sorted.toSeq)
+  }
+
   test("full corpus: every non-garbage line parses, garbage is tagged") {
     val t = Transcripts.load(spark, sfUnit)
     val p = GrokStage(t, "text", GrokStage.transcriptRules).cache()
