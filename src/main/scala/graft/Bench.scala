@@ -98,20 +98,42 @@ object Bench {
     val nTurns = spark.read.parquet(inputDir).count()
     spark.stop()
 
-    def throughputAt(n: Int): Double = {
+    def throughputAt(n: Int, repeats: Int): Double = {
       val s = newSession(n)
       try {
         pipelineRun(s, inputDir) // warmup (codegen + page cache)
         // min over repeats: the host steals cycles under full-width bursts,
-        // so the minimum is the closest observable to true capacity
-        val secs = Seq.fill(2)(pipelineRun(s, inputDir)).min
+        // so the minimum is the closest observable to true capacity. Wider
+        // levels are hit harder by steal → more repeats there.
+        val secs = Seq.fill(repeats)(pipelineRun(s, inputDir)).min
         nTurns / secs
       } finally s.stop()
     }
-    val tpLow = throughputAt(scaleN)
-    val tpHigh = throughputAt(scaleN * 4)
-    val tpFull = if (cpus != scaleN * 4) throughputAt(cpus) else tpHigh
+    val tpLow = throughputAt(scaleN, 2)
+    val tpHigh = throughputAt(scaleN * 4, 4)
+    val tpFull = if (cpus != scaleN * 4) throughputAt(cpus, 4) else tpHigh
     val eff = (tpHigh / tpLow) / 4.0
+
+    // ---- per-stage wall clock at full width (cumulative prefixes) ----
+    val stages: Seq[(String, Double)] = {
+      val s = newSession(cpus)
+      try {
+        val t = s.read.parquet(inputDir)
+        def timeIt(f: => Unit): Double = {
+          f // warmup
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        import org.apache.spark.sql.functions.{col, length, sum => fsum}
+        val parsed = graft.parsers.GrokStage(t, "text", graft.parsers.GrokStage.transcriptRules)
+        Seq(
+          "scan" -> timeIt { t.agg(fsum(length(col("text")))).head(); () },
+          "scan_parse" -> timeIt { parsed.groupBy("rule_id").count().head(); () },
+          "full_pipeline" -> timeIt {
+            Pipeline.sinkCounts(Pipeline.flaggedFrom(s, t)).count(); () })
+      } finally s.stop()
+    }
+    val stagesJson = stages.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
 
     val total = qtimes.map(_._2).sum
     val qs = qtimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -119,6 +141,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""throughput":{"n_turns":$nTurns,"cpus_low":$scaleN,"turns_per_sec_low":$tpLow,""" +
         s""""cpus_high":${scaleN * 4},"turns_per_sec_high":$tpHigh,""" +
-        s""""cpus_full":$cpus,"turns_per_sec_full":$tpFull,"scaling_efficiency":$eff}}""")
+        s""""cpus_full":$cpus,"turns_per_sec_full":$tpFull,"scaling_efficiency":$eff,""" +
+        s""""stage_secs_full":$stagesJson}}""")
   }
 }
