@@ -150,8 +150,8 @@ object SparkEntry {
           col("r.host").as("host"), col("r.app").as("app"),
           col("r.procid").as("procid"), col("r.msgid").as("msgid"),
           col("r.sdata_id").as("sdata_id"),
-          element_at(col("r.sdata"), "conv").as("sd_conv"),
-          element_at(col("r.sdata"), "tool").as("sd_tool"),
+          element_at(col("r.sdata"), "graft@1.conv").as("sd_conv"),
+          element_at(col("r.sdata"), "graft@1.tool").as("sd_tool"),
           col("r.msg").as("msg"))
     }),
 

@@ -81,7 +81,8 @@ object FieldParsers {
     * reference's dotted columns. NILVALUE `-` becomes null.
     */
   def rfc5424Parser(input: Column): Column = {
-    val re = "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|\\[[^\\]]*\\])(?: (.*))?$"
+    // SDATA is one or more [id k="v" ...] elements, or NILVALUE
+    val re = "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) ((?:\\[[^\\]]*\\])+|-)(?: (.*))?$"
     def g(i: Int): Column = regexp_extract(input, re, i)
     def nilable(c: Column): Column = when(c === "-" || c === "", null).otherwise(c)
     val sd = g(8)
@@ -94,11 +95,36 @@ object FieldParsers {
       nilable(g(5)).as("app"),
       nilable(g(6)).as("procid"),
       nilable(g(7)).as("msgid"),
+      // element ids in order; params of ALL elements keyed `id.param`
+      // (the reference's dotted `.SDATA.id.param` columns)
+      when(sdPresent, regexp_extract_all(sd, lit("\\[([^ \\]]+)"), lit(1)))
+        .as("sdata_ids"),
       when(sdPresent, regexp_extract(sd, "^\\[([^ \\]]+)", 1)).as("sdata_id"),
       when(sdPresent, map_from_arrays(
-        regexp_extract_all(sd, lit("(\\w+)=\"[^\"]*\""), lit(1)),
+        zip_with(
+          // element id repeated for each of its params: re-scan per pair by
+          // matching "id ... key=" pairs — simple two-pass: keys and the
+          // element each key belongs to
+          sdataKeyOwners(sd),
+          regexp_extract_all(sd, lit("(\\w+)=\"[^\"]*\""), lit(1)),
+          (owner, k) => concat(owner, lit("."), k)),
         regexp_extract_all(sd, lit("\\w+=\"([^\"]*)\""), lit(1)))).as("sdata"),
       nilable(g(9)).as("msg"))
+  }
+
+  /** For each `key="value"` occurrence in an SDATA string, the id of the
+    * element it belongs to (elements are `[id ...]...[id2 ...]`): split on
+    * `[`, each piece contributes its id once per contained pair.
+    */
+  private def sdataKeyOwners(sd: Column): Column = {
+    val elems = filter(split(sd, "\\["), e => e =!= "")
+    flatten(transform(elems, e => {
+      val id = regexp_extract(e, "^([^ \\]]+)", 1)
+      val nPairs = size(regexp_extract_all(e, lit("(\\w+)=\"[^\"]*\""), lit(1)))
+      // sequence(1, 0) counts DOWN — param-less elements contribute nothing
+      when(nPairs >= 1, transform(sequence(lit(1), nPairs), _ => id))
+        .otherwise(array())
+    }))
   }
 
   /** linux-audit-parser (reference modules/kvformat/linux-audit-parser.c):
