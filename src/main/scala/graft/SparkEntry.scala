@@ -9,7 +9,7 @@ import graft.filters.Filters
 import graft.functions.{GraftFunctions, Templates}
 import graft.model.SyslogNames
 import graft.operators.Correlation
-import graft.parsers.{FieldParsers, GrokStage}
+import graft.parsers.{FieldParsers, GrokStage, PatternDb}
 import graft.rewrite.Rewrites
 import graft.transcripts.Transcripts
 
@@ -184,6 +184,59 @@ object SparkEntry {
         concat_ws(",", col("role"), coalesce(col("tool"), lit("")), lit("t0")))
       t.select(col("conv_id"), col("turn_idx"),
         concat_ws(",", array_sort(tags)).as("tag_str"))
+    }),
+
+    // ================= §2.3 db-parser / patterndb =================
+    // The transcript ruleset in the typed pattern language, radix-dispatched;
+    // corrupt rows keep NULL rule_id (tagged, not dropped).
+    "q_parse_patterndb" -> ((s, dir) => {
+      val parsed = PatternDb.annotate(transcripts(s, dir), "text", PatternDb.transcriptRules)
+      def pf(k: String): Column = try_element_at(col("pdb_fields"), lit(k))
+      parsed.select(col("conv_id"), col("turn_idx"),
+        col("pdb_rule").as("rule_id"),
+        pf("pri").cast("long").as("pri"), pf("action").as("action"),
+        pf("status").as("status"), pf("event").as("event"),
+        pf("tool_field").as("tool_field"),
+        pf("duration_ms").cast("long").as("duration_ms"), pf("ok").as("ok"),
+        pf("role_j").as("role_j"), pf("tokens").cast("long").as("tokens"),
+        pf("cturn").cast("long").as("cturn"), pf("crole").as("crole"),
+        pf("clat").cast("long").as("clat"))
+    }),
+
+    // Typed-atom round trip: build a line carrying IPv4/MACADDR/EMAIL/
+    // HOSTNAME/OPTIONALSET/FLOAT/nested-QSTRING/ANYSTRING shapes from the
+    // clean columns, parse it back, promote to typed columns; the oracle
+    // recomputes every capture without parsing.
+    "q_patterndb_typed" -> ((s, dir) => {
+      val ti = col("turn_idx")
+      val mac = concat_ws(":",
+        format_string("%02x", pmod(ti, lit(256))),
+        format_string("%02x", pmod(ti * 3, lit(256))),
+        format_string("%02x", pmod(ti * 5, lit(256))),
+        format_string("%02x", pmod(ti * 7, lit(256))),
+        format_string("%02x", pmod(ti * 11, lit(256))),
+        format_string("%02x", pmod(ti * 13, lit(256))))
+      val line = concat(
+        lit("src=10."), pmod(ti, lit(256)).cast("string"),
+        lit("."), pmod(ti * 7, lit(256)).cast("string"),
+        lit("."), pmod(ti * 13, lit(256)).cast("string"),
+        lit(" mac="), mac,
+        lit(" from=<u"), ti.cast("string"),
+        lit("@ex"), pmod(ti, lit(10)).cast("string"), lit(".com>"),
+        lit(" host=h"), ti.cast("string"), lit(".example.org"),
+        lit(" pad="), when(pmod(ti, lit(3)) === 0, lit(" ")).otherwise(lit("")),
+        lit("score="), ti.cast("string"), lit("."), pmod(ti, lit(100)).cast("string"),
+        lit("e-"), pmod(ti, lit(9)).cast("string"),
+        lit(" msg=(role=("), col("role"), lit(")) rest=tail-"), col("conv_id"))
+      val rules = Seq(PatternDb.PdbRule("typed", Seq(
+        "src=@IPv4:src_ip@ mac=@MACADDR:mac@ from=@EMAIL:from_addr:<>@" +
+          " host=@HOSTNAME:hostn@ pad=@OPTIONALSET:pad: @score=@FLOAT:score@" +
+          " msg=@QSTRING:qmsg:()@ rest=@ANYSTRING:rest@")))
+      val t = transcripts(s, dir).withColumn("pdb_line", line)
+      PatternDb.promote(PatternDb.annotate(t, "pdb_line", rules), rules)
+        .select(col("conv_id"), col("turn_idx"), col("src_ip"), col("mac"),
+          col("from_addr"), col("hostn"), col("pad"), col("score"),
+          col("qmsg"), col("rest"))
     }),
 
     // ================= §2.5 filters =================
@@ -571,6 +624,42 @@ object SparkEntry {
       """SELECT conv_id, turn_idx,
            array_to_string(list_sort(list_concat([role, 't0'],
              CASE WHEN tool IS NULL THEN [] ELSE [tool] END)), ',') AS tag_str
+         FROM transcripts"""),
+
+    "q_parse_patterndb" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           CASE variant WHEN 0 THEN 'pdb-syslog' WHEN 1 THEN 'pdb-kv'
+                        WHEN 2 THEN 'pdb-json' WHEN 3 THEN 'pdb-csv' END AS rule_id,
+           CASE WHEN variant = 0 THEN cast(pri AS bigint) END AS pri,
+           CASE WHEN variant = 0 THEN action END AS action,
+           CASE WHEN variant IN (0,2) THEN status END AS status,
+           CASE WHEN variant = 1 THEN 'tool_call' WHEN variant = 2 THEN 'turn' END AS event,
+           CASE WHEN variant = 1 THEN coalesce(tool, 'none') END AS tool_field,
+           CASE WHEN variant = 1 THEN cast(duration_ms AS bigint) END AS duration_ms,
+           CASE WHEN variant = 1 THEN okflag END AS ok,
+           CASE WHEN variant = 2 THEN role END AS role_j,
+           CASE WHEN variant = 2 THEN cast(tokens AS bigint) END AS tokens,
+           CASE WHEN variant = 3 THEN cast(turn_idx AS bigint) END AS cturn,
+           CASE WHEN variant = 3 THEN role END AS crole,
+           CASE WHEN variant = 3 THEN cast(latency_ms AS bigint) END AS clat
+         FROM transcripts_full"""),
+
+    "q_patterndb_typed" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           concat('10.', cast(turn_idx % 256 AS varchar), '.',
+                  cast((turn_idx * 7) % 256 AS varchar), '.',
+                  cast((turn_idx * 13) % 256 AS varchar)) AS src_ip,
+           concat(printf('%02x', turn_idx % 256), ':', printf('%02x', (turn_idx * 3) % 256), ':',
+                  printf('%02x', (turn_idx * 5) % 256), ':', printf('%02x', (turn_idx * 7) % 256), ':',
+                  printf('%02x', (turn_idx * 11) % 256), ':', printf('%02x', (turn_idx * 13) % 256)) AS mac,
+           concat('u', cast(turn_idx AS varchar), '@ex',
+                  cast(turn_idx % 10 AS varchar), '.com') AS from_addr,
+           concat('h', cast(turn_idx AS varchar), '.example.org') AS hostn,
+           CASE WHEN turn_idx % 3 = 0 THEN ' ' ELSE '' END AS pad,
+           cast(concat(cast(turn_idx AS varchar), '.', cast(turn_idx % 100 AS varchar),
+                       'e-', cast(turn_idx % 9 AS varchar)) AS double) AS score,
+           concat('role=(', role, ')') AS qmsg,
+           concat('tail-', conv_id) AS rest
          FROM transcripts"""),
 
     "q_filter_pri" -> Transcripts.oracle(
