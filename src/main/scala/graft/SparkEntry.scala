@@ -464,8 +464,20 @@ object SparkEntry {
 
     // ================= corpus: embedding near-dup =================
     "q_dedup_embed" -> ((s, dir) => {
-      Similarity.cosineNearDupPairs(
+      // random-hyperplane LSH blocking (no crossJoin); exact-cosine verify.
+      // 128 bits / 4-bit bands hold recall 1 vs the exact oracle on the sf
+      // fixtures at this threshold (see Similarity scaladoc for the sizing
+      // formula at real scale).
+      Similarity.hyperplaneNearDupPairs(
         embeddings(s, dir), col("vec_id"), col("embedding"), threshold = 0.4)
+    }),
+
+    // pairs -> transitive duplicate clusters -> survivor per cluster
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val pairs = Dedup.minhashLsh(docs, col("doc_id"), col("text"))
+      Dedup.resolveClusters(
+        docs.select(col("doc_id").as("member_id")), pairs, "doc_a", "doc_b")
     }),
 
     // ================= §2.4 grouping =================
@@ -511,11 +523,15 @@ object SparkEntry {
     }),
 
     "q_embed_ivf" -> ((s, dir) => {
+      // trained coarse quantizer (deterministic spherical k-means) + probe
+      // join; nprobe = kClusters makes the result exactly the brute-force
+      // top-k, so the oracle can verify the whole train/assign/probe path.
+      // Production uses small nprobe (recall/plan properties in CorpusSpec).
       val e = embeddings(s, dir)
-      Similarity.ivfTopK(
-        e, col("vec_id"), col("embedding"), col("label"),
-        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), col("label"),
-        k = 3)
+      Similarity.ivfTopKTrained(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        k = 3, kClusters = 8, nprobe = 8)
     }),
 
     // ================= corpus: text analysis =================
@@ -859,6 +875,25 @@ object SparkEntry {
                  FROM a, b WHERE vec_a < vec_b)
          SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4""",
 
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in generate_series(1, len(w) - 2)]) AS s
+                FROM tok),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s))::double /
+                      len(list_distinct(list_concat(a.s, b.s)))::double >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                   UNION SELECT doc_b, doc_a FROM pr),
+         walk(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id)
+         SELECT id AS member_id, min(lab) AS cluster_id, min(lab) AS keep_id
+         FROM walk GROUP BY id""",
+
     "q_group_lines" -> Transcripts.oracle(
       """SELECT conv_id, count(*) AS n_turns,
            string_agg(text, chr(10) ORDER BY turn_idx) AS joined
@@ -919,10 +954,10 @@ object SparkEntry {
          SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 3""",
 
     "q_embed_ivf" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id < 5)
-         , c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings)
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5)
+         , c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings)
          , s AS (SELECT query_id, neighbor_id, $COSINE AS score
-                 FROM q JOIN c USING (label) WHERE query_id <> neighbor_id)
+                 FROM q, c WHERE query_id <> neighbor_id)
          , r AS (SELECT query_id, neighbor_id, score,
                    cast(row_number() OVER (PARTITION BY query_id
                                            ORDER BY score DESC, neighbor_id) AS int) AS rank

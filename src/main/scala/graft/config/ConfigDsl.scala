@@ -64,6 +64,28 @@ object Dsl {
       paths: Seq[LogPath])
 }
 
+/** Compiles a Config to one flagged Catalyst plan in a single in-order
+  * walk that mirrors message flow in the reference:
+  *
+  * - each filter is *frozen* at its position (materialized as a boolean
+  *   helper column over the frame state at that point), so a later rewrite
+  *   of a column cannot retroactively change an earlier filter's verdict —
+  *   the reference evaluates filters on the message as it flows past
+  *   (lib/filter/filter-pipe.c:82-86);
+  * - each transform is *guarded* by its reach predicate (source match ∧
+  *   frozen filters ∧ branch conditions): columns it writes become
+  *   `when(reach, new).otherwise(old)`, so a rewrite inside an `if` branch
+  *   or junction channel mutates only rows that entered it — the
+  *   reference's COW-clone-per-branch semantics (lib/logmpx.c
+  *   write-protect, cfg-tree.c:1279-1346 conditional compile).
+  *
+  * Declared divergence from the reference's full COW model: paths are
+  * walked in statement order over one shared frame, so when two paths read
+  * the same source and BOTH rewrite the SAME column, the later path's
+  * filters see the earlier path's writes for rows in the reach overlap
+  * (reference gives every path a private copy). Transforms scoped by
+  * disjoint sources/filters/branches — the practical case — are isolated.
+  */
 object Compiler {
   import Dsl._
 
@@ -79,11 +101,8 @@ object Compiler {
     def dropUnmatched: DataFrame = Router.dropUnmatched(flagged)
   }
 
-  /** Compile: union the sources (tagged with `__source`), fold every
-    * transform over the unified frame, gather per-destination predicates in
-    * statement order, then emit route flags via the Router's precedence
-    * ladder.
-    */
+  private val HelperPrefix = "__graft_p"
+
   def compile(spark: SparkSession, cfg: Config): Compiled = {
     // unified source frame — one scan feeds every path, like the
     // reference's single reader feeding the whole pipe DAG per message
@@ -91,45 +110,74 @@ object Compiler {
       .map { case (name, build) => build(spark).withColumn("__source", lit(name)) }
       .reduce(_ unionByName _)
 
-    // pass 1: apply every transform in statement order so all derived
-    // columns exist on the single frame (transforms are column-pure)
     var frame = unified
-    def applyTransforms(els: Seq[Element]): Unit = els.foreach {
-      case TransformE(f)   => frame = f(frame)
-      case IfElse(bs, o)   => bs.foreach(b => applyTransforms(b._2)); applyTransforms(o)
-      case Junction(chs)   => chs.foreach(applyTransforms)
-      case _               => ()
-    }
-    cfg.paths.foreach(p => applyTransforms(p.elements))
+    var helperId = 0
+    val helperCols = Seq.newBuilder[String]
 
-    // pass 2: walk each path accumulating the filter conjunction up to each
-    // destination (evaluated against the fully-transformed frame)
+    // freeze a predicate against the CURRENT frame state as a boolean
+    // helper column; route flags and transform guards reference the frozen
+    // value, immune to later rewrites of its inputs
+    def freeze(pred: Column): Column = {
+      val name = s"$HelperPrefix$helperId"
+      helperId += 1
+      helperCols += name
+      frame = frame.withColumn(name, coalesce(pred, lit(false)))
+      col(name)
+    }
+
+    // apply a transform only where `reach` holds: stash pre-images, run the
+    // transform, blend per column. reach == None ⇒ unguarded (whole-path
+    // transform ahead of any filter), plain application
+    def applyTransform(f: DataFrame => DataFrame, reach: Option[Column]): Unit = reach match {
+      case None => frame = f(frame)
+      case Some(r) =>
+        val origCols = frame.columns.toSeq
+        val stashOf = origCols.map(c => c -> s"__graft_s${helperId}_$c").toMap
+        helperId += 1
+        val stashed = frame.select(
+          origCols.map(col) ++ origCols.map(c => col(c).as(stashOf(c))): _*)
+        val t = f(stashed)
+        val outCols = t.columns.toSeq.filterNot(_.startsWith("__graft_s"))
+        val blended = outCols.map { c =>
+          if (origCols.contains(c)) when(r, col(c)).otherwise(col(stashOf(c))).as(c)
+          else when(r, col(c)).as(c) // new column: NULL outside the reach
+        }
+        frame = t.select(blended: _*)
+    }
+
     val dests = Seq.newBuilder[DestSpec]
-    def walk(els: Seq[Element], reach: Column, path: LogPath): Column = {
-      var cur = reach
+
+    // single in-order walk; returns nothing — dests and frame accumulate.
+    // `reach`: None = unconditional so far (plain transforms, cheapest plan)
+    def walk(els: Seq[Element], reach0: Option[Column], path: LogPath): Unit = {
+      var reach = reach0
+      def and(c: Column): Option[Column] = Some(reach.map(_ && c).getOrElse(c))
       els.foreach {
-        case FilterE(p)    => cur = cur && coalesce(p(frame), lit(false))
-        case TransformE(_) => ()
+        case FilterE(p)    => reach = and(freeze(p(frame)))
+        case TransformE(f) => applyTransform(f, reach)
         case DestE(name) =>
-          dests += DestSpec(name, cur, path.isFinal, path.isFallback, !path.isCatchAll)
+          dests += DestSpec(name, reach.getOrElse(lit(true)),
+            path.isFinal, path.isFallback, !path.isCatchAll)
         case IfElse(branches, otherwise) =>
-          // exclusive ladder: each branch sees "no earlier branch matched"
+          // exclusive ladder; every branch predicate frozen BEFORE any
+          // branch body transform can touch its inputs
           var noneEarlier: Column = lit(true)
           branches.foreach { case (p, body) =>
-            val c = coalesce(p(frame), lit(false))
-            walk(body, cur && noneEarlier && c, path)
+            val c = freeze(p(frame))
+            walk(body, Some(reach.map(_ && noneEarlier && c).getOrElse(noneEarlier && c)), path)
             noneEarlier = noneEarlier && !c
           }
-          walk(otherwise, cur && noneEarlier, path)
+          walk(otherwise, Some(reach.map(_ && noneEarlier).getOrElse(noneEarlier)), path)
         case Junction(channels) =>
-          channels.foreach(ch => walk(ch, cur, path))
+          channels.foreach(ch => walk(ch, reach, path))
       }
-      cur
     }
+
     cfg.paths.foreach { p =>
-      val srcPred =
-        if (p.isCatchAll) lit(true)
-        else col("__source").isin(p.sources: _*)
+      val srcPred: Option[Column] =
+        if (p.isCatchAll) None
+        else if (cfg.sources.size == 1 && p.sources == cfg.sources.keys.toSeq) None
+        else Some(col("__source").isin(p.sources: _*))
       walk(p.elements, srcPred, p)
     }
 
@@ -146,6 +194,9 @@ object Compiler {
         isFallback = ds.forall(_.isFallback),
         countsAsMatch = ds.exists(_.countsAsMatch))
     }
-    Compiled(Router.withRouteFlags(frame, routeSpecs), names)
+    val flagged = Router.withRouteFlags(frame, routeSpecs)
+    // frozen-predicate helpers are internal: drop them from the sink-facing
+    // plan (Catalyst prunes their computation where flags don't need them)
+    Compiled(flagged.drop(helperCols.result(): _*), names)
   }
 }

@@ -156,6 +156,63 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** Resolve near-dup pairs into clusters and pick survivors: connected
+    * components by iterative min-label propagation — pure joins +
+    * aggregations, no driver collect of vertices (the driver sees one
+    * convergence counter per round). Rounds needed = component diameter;
+    * dup clusters are small and dense, so this converges in a handful of
+    * rounds; `maxIter` bounds pathological chains.
+    *
+    * `universe` (one `member_id` column) supplies singleton docs — every
+    * member appears in the output, labeled by the minimum id reachable
+    * through the pair graph (itself when it has no duplicates). Output:
+    * (member_id, cluster_id, keep_id) with keep_id = cluster_id = min id —
+    * the canonical "keep the smallest id per duplicate cluster" policy.
+    */
+  def resolveClusters(
+      universe: DataFrame, pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint after every round: iterative plans otherwise DOUBLE
+    // per iteration (each round references the previous frame 3×) and the
+    // optimizer, not the data, becomes the bottleneck. On a real cluster
+    // prefer reliable checkpoint() (executor loss safety); the shape is
+    // identical.
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .localCheckpoint()
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIter) {
+      // hop: take the min label over graph neighbors
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("lab")).as("nlab"))
+      val hopped = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+      // pointer jump: lab := label(lab) — halves chain lengths, so rounds
+      // are O(log diameter) instead of O(diameter)
+      val next = hopped
+        .join(hopped.select(col("id").as("lab"), col("lab").as("lab2")), Seq("lab"), "left")
+        .select(col("id"), least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("lab", "old"), Seq("id"))
+        .filter(col("lab") =!= col("old")).count()
+      labels = next
+      it += 1
+      converged = changed == 0
+    }
+    universe.select(col("member_id"))
+      .join(labels.withColumnRenamed("id", "member_id"), Seq("member_id"), "left")
+      .select(col("member_id"),
+        coalesce(col("lab"), col("member_id")).as("cluster_id"),
+        coalesce(col("lab"), col("member_id")).as("keep_id"))
+  }
+
   /** SimHash signature per document: one bit per md5 nibble-MSB of each
     * token, majority-voted over all tokens (bit = 1 when the +1/−1 vote sum
     * is ≥ 0). `bits` ≤ 32 uses the first `bits` hex nibbles of md5(token).

@@ -95,6 +95,51 @@ class ConfigSpec extends SparkSpec {
     assert(c.sink("d_ch1").select("up").as[String].collect().toSet === Set("A1"))
   }
 
+  // reference tests/light/functional_tests/logpath/test_conditionals.py:
+  // a rewrite inside a branch applies only to messages that entered it
+  test("rewrite inside an if branch mutates only rows that entered it") {
+    val cfg = Config(
+      sources = Map("s1" -> src(("A", "a1"), ("B", "b1"))),
+      paths = Seq(
+        LogPath(Seq("s1"), Seq(
+          IfElse(
+            branches = Seq(
+              ((_: org.apache.spark.sql.DataFrame) => col("host") === "A") -> Seq(
+                TransformE(df => df.withColumn("msg", concat(col("msg"), lit("-rw")))),
+                DestE("d_if"))),
+            otherwise = Seq(DestE("d_else")))))))
+    val c = Compiler.compile(spark, cfg)
+    assert(routed(c, "d_if") === Set("a1-rw"))
+    assert(routed(c, "d_else") === Set("b1")) // else-rows untouched
+  }
+
+  test("filter is frozen at its position: a later rewrite cannot flip it") {
+    val cfg = Config(
+      sources = Map("s1" -> src(("A", "a1"), ("B", "b1"))),
+      paths = Seq(
+        LogPath(Seq("s1"), Seq(
+          FilterE(_ => col("host") === "A"),
+          TransformE(df => df.withColumn("host", lit("Z"))),
+          DestE("d_a")))))
+    val c = Compiler.compile(spark, cfg)
+    assert(routed(c, "d_a") === Set("a1")) // verdict predates the rewrite
+    assert(c.sink("d_a").select("host").as[String].collect().toSet === Set("Z"))
+  }
+
+  test("transform after a filter leaves non-matching rows intact") {
+    val cfg = Config(
+      sources = Map("s1" -> src(("A", "a1"), ("B", "b1"))),
+      paths = Seq(
+        LogPath(Seq("s1"), Seq(
+          FilterE(_ => col("host") === "A"),
+          TransformE(df => df.withColumn("msg", upper(col("msg")))),
+          DestE("d_a"))),
+        LogPath(Seq("s1"), Seq(FilterE(_ => col("host") === "B"), DestE("d_b")))))
+    val c = Compiler.compile(spark, cfg)
+    assert(routed(c, "d_a") === Set("A1"))
+    assert(routed(c, "d_b") === Set("b1")) // sibling path's rows untouched
+  }
+
   test("drop-unmatched: rows routed nowhere are dropped") {
     val cfg = Config(
       sources = Map("s1" -> src(("A", "a1"), ("B", "b1"))),

@@ -73,6 +73,72 @@ class CorpusSpec extends SparkSpec {
     ivf.foreach { case (q, _, n, _) => assert(labels(q) === labels(n)) }
   }
 
+  test("hyperplane LSH near-dup pairs == exact brute-force pairs; plan has no cartesian product") {
+    val lsh = Similarity.hyperplaneNearDupPairs(
+      embs, col("vec_id"), col("embedding"), threshold = 0.4)
+    val exact = Similarity.bruteForceNearDupPairs(
+      embs, col("vec_id"), col("embedding"), threshold = 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet === exact)
+    assert(exact.nonEmpty)
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(500))
+  }
+
+  test("k-means: deterministic, uses multiple clusters, centroids unit-norm") {
+    val c1 = Similarity.kmeans(embs, col("vec_id"), col("embedding"), k = 8)
+    val c2 = Similarity.kmeans(embs, col("vec_id"), col("embedding"), k = 8)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq) // rerun-identical
+    c1.foreach(c => assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-9))
+    val nUsed = embs.select(
+      Similarity.assignCluster(Similarity.normalize(col("embedding")), c1).as("c"))
+      .distinct().count()
+    assert(nUsed > 1)
+  }
+
+  test("trained IVF nprobe=1: subset of brute force, useful recall, join plan") {
+    val bf = Similarity.cosineTopK(
+      embs, col("vec_id"), col("embedding"),
+      embs.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    val ivf = Similarity.ivfTopKTrained(
+      embs, col("vec_id"), col("embedding"),
+      embs.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 3, kClusters = 8, nprobe = 1)
+    val got = ivf.as[(Long, Int, Long, Double)].collect()
+    val bfSet = bf.map(r => (r._1, r._3)).toSet
+    val hit = got.count(r => bfSet.contains((r._1, r._3)))
+    assert(hit.toDouble / bf.length >= 0.3, s"recall@3 $hit/${bf.length}") // 1-probe floor
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(500))
+    // nprobe = kClusters degenerates to exact brute force
+    val full = Similarity.ivfTopKTrained(
+      embs, col("vec_id"), col("embedding"),
+      embs.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 3, kClusters = 8, nprobe = 8)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(full.map(r => (r._1, r._2, r._3)).sorted === bf.map(r => (r._1, r._2, r._3)).sorted)
+  }
+
+  test("resolveClusters: transitive closure, min-id survivor, singletons kept") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val universe = (1L to 10L).toDF("member_id")
+    val got = Dedup.resolveClusters(universe, pairs, "doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L) // chain closed
+    assert(got(7L) === 7L && got(9L) === 7L)
+    assert((4L to 6L).forall(i => got(i) === i)) // singletons
+    assert(got(10L) === 10L)
+  }
+
+  test("resolveClusters: long chain converges (diameter > 1 round)") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val universe = (1L to 12L).toDF("member_id")
+    val got = Dedup.resolveClusters(universe, pairs, "doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall(_._2 === 1L)) // one component, labeled by min id
+  }
+
   test("text stats: ranges and determinism") {
     val got = docs.select(col("doc_id"),
       TextStats.wsTokenCount(col("text")).as("n"),
