@@ -9,7 +9,7 @@ import graft.filters.Filters
 import graft.functions.{GraftFunctions, Templates}
 import graft.model.SyslogNames
 import graft.operators.Correlation
-import graft.parsers.{FieldParsers, GrokStage, PatternDb}
+import graft.parsers.{FieldParsers, GrokStage, PatternDb, Scanners}
 import graft.rewrite.Rewrites
 import graft.transcripts.Transcripts
 
@@ -122,6 +122,35 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("c_conv"),
           col("c_turn").cast("int").as("c_turn"), col("c_role"),
           col("latency").cast("int").as("latency_ms"))
+    }),
+
+    // Quoted-dialect scanners: build dialect-shaped lines from the clean
+    // columns, scan them back with the real FSMs; oracles recompute the
+    // fields without any parsing.
+    "q_parse_csv_quoted" -> ((s, dir) => {
+      val line = concat(
+        col("conv_id"), lit(",\""), col("role"), lit(", \"\"x\"\"\","),
+        col("turn_idx").cast("string"), lit(",tail with, commas "), col("conv_id"))
+      val t = transcripts(s, dir).withColumn("csv_line", line)
+      Scanners.csvStage(t, "csv_line", Seq("c1", "c2", "c3", "c4"),
+        Scanners.CsvOptions(dialect = Scanners.EscapeDoubleChar, greedy = true))
+        .select(col("conv_id"), col("turn_idx"), col("c1"), col("c2"),
+          col("c3").cast("int").as("c3"), col("c4"))
+    }),
+
+    "q_parse_kv_quoted" -> ((s, dir) => {
+      val line = concat(
+        lit("alpha msg='"), col("role"), lit(" says \"hi\"' conv="), col("conv_id"),
+        lit(" idx = "), col("turn_idx").cast("string"),
+        lit(" note=free text "), coalesce(col("tool"), lit("none")))
+      val t = transcripts(s, dir).withColumn("kv_line", line)
+      Scanners.kvStage(t, "kv_line", Scanners.KvOptions(extractStrayWords = true))
+        .select(col("conv_id"), col("turn_idx"),
+          col("kv_fields")("msg").as("msg"),
+          col("kv_fields")("conv").as("conv"),
+          col("kv_fields")("idx").cast("int").as("idx"),
+          col("kv_fields")("note").as("note"),
+          col("kv_stray").as("stray"))
     }),
 
     "q_parse_date" -> ((s, dir) => {
@@ -609,6 +638,20 @@ object SparkEntry {
       """SELECT conv_id, turn_idx, conv_id AS c_conv, turn_idx AS c_turn,
            role AS c_role, latency_ms
          FROM transcripts_full WHERE variant = 3"""),
+
+    "q_parse_csv_quoted" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx, conv_id AS c1,
+           concat(role, ', "x"') AS c2, turn_idx AS c3,
+           concat('tail with, commas ', conv_id) AS c4
+         FROM transcripts"""),
+
+    "q_parse_kv_quoted" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           concat(role, ' says "hi"') AS msg,
+           conv_id AS conv, turn_idx AS idx,
+           concat('free text ', coalesce(tool, 'none')) AS note,
+           'alpha' AS stray
+         FROM transcripts"""),
 
     "q_parse_date" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx,
