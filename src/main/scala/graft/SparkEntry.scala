@@ -406,6 +406,24 @@ object SparkEntry {
         Templates.compile("$YEAR-$MONTH-$DAY $HOUR:$MIN:$SEC @$UNIXTIME", r).as("when"))
     }),
 
+    // The macro long tail: 30+ names across the date family (incl. the
+    // reference's own WEEK/MONTH_WEEK formulas, BSD space-padded stamps,
+    // hex TAG, BSDTAG, MSGHDR, time bases) vs a strftime/recompute oracle.
+    "q_template_macros" -> ((s, dir) => {
+      val p = grokked(s, dir).filter(col("rule_id") === "syslog")
+        .withColumn("pri", f("pri").cast("int"))
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val r = Templates.standardResolver(
+        p.columns.toSet, col("ts"), col("pri"), col("fields"))
+      p.select(col("conv_id"), col("turn_idx"),
+        Templates.compile("$DATE|$FULLDATE|$ISODATE", r).as("stamps"),
+        Templates.compile("$YEAR_DAY $MONTH_NAME $MONTH_WEEK $WEEK $ISOWEEK $WEEK_DAY $WEEK_DAY_NAME", r).as("weeks"),
+        Templates.compile("$HOUR12$AMPM $MSEC $USEC $TZOFFSET", r).as("clock"),
+        Templates.compile("$TAG $BSDTAG $MSGHDR", r).as("tagging"),
+        Templates.compile("$R_ISODATE|$P_UNIXTIME|$C_YEAR", r).as("bases"),
+        Templates.compile("$LOGHOST/$SOURCEIP:$DESTPORT#$RAWMSG_SIZE", r).as("origin"))
+    }),
+
     "q_template_funcs" -> ((s, dir) => {
       val t = transcripts(s, dir)
       val r: Templates.Resolver =
@@ -833,6 +851,32 @@ object SparkEntry {
                   (['emerg','alert','crit','err','warning','notice','info','debug'])[sev + 1]) AS line,
            concat(strftime(ts, '%Y-%m-%d %H:%M:%S'), ' @',
                   cast(floor(epoch(ts)) AS bigint)) AS "when"
+         FROM transcripts_full WHERE variant = 0"""),
+
+    "q_template_macros" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           concat(strftime(ts, '%b'), ' ', lpad(cast(day(ts) AS varchar), 2, ' '), ' ',
+                  strftime(ts, '%H:%M:%S'), '|',
+                  strftime(ts, '%Y'), ' ', strftime(ts, '%b'), ' ',
+                  lpad(cast(day(ts) AS varchar), 2, ' '), ' ', strftime(ts, '%H:%M:%S'), '|',
+                  strftime(ts, '%Y-%m-%dT%H:%M:%S'), '+00:00') AS stamps,
+           concat(strftime(ts, '%j'), ' ', strftime(ts, '%B'), ' ',
+                  cast(day(ts) // 7 + (CASE WHEN dayofweek(ts) > 0
+                                            AND day(ts) % 7 >= dayofweek(ts)
+                                       THEN 1 ELSE 0 END) AS varchar), ' ',
+                  lpad(cast((dayofyear(ts) - 1 - (dayofweek(ts) - 1 + 7) % 7 + 7) // 7
+                       AS varchar), 2, '0'), ' ',
+                  lpad(cast(weekofyear(ts) AS varchar), 2, '0'), ' ',
+                  cast(dayofweek(ts) + 1 AS varchar), ' ', strftime(ts, '%A')) AS weeks,
+           concat(strftime(ts, '%I%p'), ' ',
+                  lpad(cast((epoch_us(ts) % 1000000) // 1000 AS varchar), 3, '0'), ' ',
+                  lpad(cast(epoch_us(ts) % 1000000 AS varchar), 6, '0'), ' +00:00') AS clock,
+           concat(lpad(printf('%x', pri), 2, '0'), ' ',
+                  cast(sev AS varchar), chr(65 + fac), ' ',
+                  'prog-', cast(prognum AS varchar), '[', cast(pid AS varchar), ']: ') AS tagging,
+           concat(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '+00:00|',
+                  cast(floor(epoch(ts)) AS bigint), '|', strftime(ts, '%Y')) AS bases,
+           concat('localhost/127.0.0.1:0#', cast(length(text) AS varchar)) AS origin
          FROM transcripts_full WHERE variant = 0"""),
 
     "q_template_funcs" -> Transcripts.oracle(

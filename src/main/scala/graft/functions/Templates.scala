@@ -157,41 +157,116 @@ object Templates {
 
   // --------------------------------------------------------------- resolver
 
-  /** The standard macro resolver over a parsed transcript frame (the ≈180
-    * macro names of reference lib/template/macros.c:49-280, the subset our
-    * schema supports): identity macros from grok fields, pri-derived
-    * FACILITY/SEVERITY, and the event-time date family; unknown names fall
-    * back to top-level columns then the `fields` map.
+  /** The full per-timestamp macro family (reference lib/template/macros.c:
+    * 338-445 date branch): formats transliterated from
+    * append_format_wall_clock_time (lib/timeutils/format.c:92-160 — BSD
+    * stamps space-pad the day; WEEK and MONTH_WEEK use the reference's own
+    * formulas, not strftime's %U/%W).
+    */
+  def dateMacros(t: Column): Map[String, Column] = {
+    val yday0 = dayofyear(t) - 1
+    val wday0 = dayofweek(t) - 1 // 0 = Sunday, like struct tm
+    val bsd = concat(date_format(t, "MMM "),
+      lpad(dayofmonth(t).cast("string"), 2, " "), lit(" "),
+      date_format(t, "HH:mm:ss"))
+    Map(
+      "DATE" -> bsd,
+      "STAMP" -> bsd, // default ts-format() is the BSD stamp
+      "ISODATE" -> date_format(t, "yyyy-MM-dd'T'HH:mm:ssxxx"),
+      "FULLDATE" -> concat(date_format(t, "yyyy MMM "),
+        lpad(dayofmonth(t).cast("string"), 2, " "), lit(" "),
+        date_format(t, "HH:mm:ss")),
+      "YEAR" -> date_format(t, "yyyy"),
+      "YEAR_DAY" -> lpad(dayofyear(t).cast("string"), 3, "0"),
+      "MONTH" -> date_format(t, "MM"),
+      "MONTH_WEEK" -> (floor(dayofmonth(t) / 7).cast("int") +
+        when(wday0 > 0 && pmod(dayofmonth(t), lit(7)) >= wday0, 1).otherwise(0))
+        .cast("string"),
+      "MONTH_ABBREV" -> date_format(t, "MMM"),
+      "MONTH_NAME" -> date_format(t, "MMMM"),
+      "DAY" -> date_format(t, "dd"),
+      "HOUR" -> date_format(t, "HH"),
+      "HOUR12" -> date_format(t, "hh"),
+      "MIN" -> date_format(t, "mm"),
+      "SEC" -> date_format(t, "ss"),
+      "MSEC" -> date_format(t, "SSS"),
+      "USEC" -> date_format(t, "SSSSSS"),
+      "AMPM" -> date_format(t, "a"),
+      "WEEKDAY" -> date_format(t, "EEE"), // deprecated alias
+      "WEEK_DAY" -> dayofweek(t).cast("string"), // 1 = Sunday
+      "WEEK_DAY_ABBREV" -> date_format(t, "EEE"),
+      "WEEK_DAY_NAME" -> date_format(t, "EEEE"),
+      "WEEK" -> lpad(floor((yday0 - pmod(wday0 - 1 + 7, lit(7)) + 7) / 7)
+        .cast("int").cast("string"), 2, "0"),
+      "ISOWEEK" -> lpad(weekofyear(t).cast("string"), 2, "0"),
+      "TZOFFSET" -> date_format(t, "xxx"),
+      "TZ" -> date_format(t, "xxx"),
+      "UNIXTIME" -> unix_timestamp(t).cast("string"))
+  }
+
+  /** The standard macro resolver over a parsed transcript frame — the ≈180
+    * macro names of reference lib/template/macros.c:49-280: identity macros
+    * from grok fields, pri-derived FACILITY/SEVERITY/TAG/BSDTAG, MSGHDR,
+    * the socket-address family (deterministic loopback defaults, like a
+    * local source in the reference), and the full date family on four time
+    * bases — unprefixed + S_ (the message stamp), R_ (received), C_ and P_
+    * (processed; in a deterministic batch engine "now" is the processing
+    * time column, so C_* ≡ P_* — declared divergence from wall-clock now).
+    * Unknown names fall back to top-level columns then the `fields` map.
     */
   def standardResolver(
       columns: Set[String],
       ts: Column,
       pri: Column,
-      fields: Column): Resolver = {
-    val fixed: Map[String, Column] = Map(
-      "MESSAGE" -> col("text"), "MSG" -> col("text"),
-      "HOST" -> fields("host"), "PROGRAM" -> fields("prog"),
-      "PID" -> fields("pid"),
+      fields: Column,
+      recvTs: Option[Column] = None,
+      procTs: Option[Column] = None,
+      loghost: String = "localhost",
+      seqNum: Option[Column] = None): Resolver = {
+    val rTs = recvTs.getOrElse(ts)
+    val pTs = procTs.getOrElse(rTs)
+    val facLetters = typedlit(('A' to 'X').map(_.toString))
+    val dates =
+      dateMacros(ts) ++
+        dateMacros(ts).map { case (k, v) => s"S_$k" -> v } ++
+        dateMacros(rTs).map { case (k, v) => s"R_$k" -> v } ++
+        dateMacros(pTs).flatMap { case (k, v) => Seq(s"C_$k" -> v, s"P_$k" -> v) }
+    val prog = fields("prog")
+    val pid = fields("pid")
+    val fixed: Map[String, Column] = dates ++ Map(
+      "MESSAGE" -> col("text"), "MSG" -> col("text"), "MSGONLY" -> col("text"),
+      "RAWMSG" -> col("text"),
+      "HOST" -> fields("host"), "HOST_FROM" -> fields("host"),
+      "FULLHOST" -> fields("host"), "FULLHOST_FROM" -> fields("host"),
+      "LOGHOST" -> lit(loghost),
+      "HOSTID" -> substring(md5(lit(loghost)), 1, 8),
+      "PROGRAM" -> prog, "PID" -> pid,
+      // MSGHDR: "prog[pid]: " (macros.c:559-585)
+      "MSGHDR" -> when(prog.isNull, lit(""))
+        .when(pid.isNull, concat(prog, lit(": ")))
+        .otherwise(concat(prog, lit("["), pid, lit("]: "))),
       "PRI" -> pri.cast("string"),
+      "TAG" -> lpad(lower(hex(pri)), 2, "0"), // pri as 2-digit hex
+      "BSDTAG" -> concat(pmod(pri, lit(8)).cast("string"),
+        element_at(facLetters, floor(pri / 8).cast("int") + 1)),
       "FACILITY" -> graft.model.SyslogNames.facilityName(pri),
       "FACILITY_NUM" -> graft.model.SyslogNames.facilityNum(pri).cast("string"),
       "SEVERITY" -> graft.model.SyslogNames.severityName(pri),
+      "PRIORITY" -> graft.model.SyslogNames.severityName(pri),
       "LEVEL" -> graft.model.SyslogNames.severityName(pri),
       "SEVERITY_NUM" -> graft.model.SyslogNames.severityNum(pri).cast("string"),
       "LEVEL_NUM" -> graft.model.SyslogNames.severityNum(pri).cast("string"),
       "TAGS" -> concat_ws(",", col("tags")),
-      // date family, event-time base (reference S_* prefix; the unprefixed
-      // family follows the stamp too)
-      "YEAR" -> date_format(ts, "yyyy"), "MONTH" -> date_format(ts, "MM"),
-      "DAY" -> date_format(ts, "dd"), "HOUR" -> date_format(ts, "HH"),
-      "MIN" -> date_format(ts, "mm"), "SEC" -> date_format(ts, "ss"),
-      "WEEKDAY" -> date_format(ts, "EEE"),
-      "MONTH_ABBREV" -> date_format(ts, "MMM"),
-      "ISODATE" -> date_format(ts, "yyyy-MM-dd'T'HH:mm:ssxxx"),
-      "DATE" -> date_format(ts, "MMM dd HH:mm:ss"),
-      "UNIXTIME" -> unix_timestamp(ts).cast("string"),
-      "WEEK_DAY" -> dayofweek(ts).cast("string"),
-      "ISOWEEK" -> weekofyear(ts).cast("string"))
+      // socket-address family: a table source has no peer socket; the
+      // reference renders loopback/zero for local sources (macros.c:591-658)
+      "SOURCEIP" -> lit("127.0.0.1"),
+      "DESTIP" -> lit("127.0.0.1"),
+      "DESTPORT" -> lit("0"),
+      "IP_PROTO" -> lit("0"),
+      "PROTO" -> lit("0"),
+      "RAWMSG_SIZE" -> length(col("text")).cast("string"),
+      "SEQNUM" -> seqNum.map(_.cast("string")).getOrElse(lit("")),
+      "SYSUPTIME" -> lit("0"))
     (name: String) =>
       fixed.get(name)
         .orElse(if (columns.contains(name)) Some(col(name)) else None)
