@@ -80,9 +80,7 @@ object Pipeline {
       new java.io.File(s"$outDir/sink_$s/_SUCCESS").exists())
     if (pending.isEmpty) return Set.empty
     val f = flagged(spark, sfDir)
-      .withColumn("lineage",
-        struct(spark_partition_id().as("source_partition"),
-          monotonically_increasing_id().as("row_id")))
+      .withColumn("lineage", lineageStruct)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       pending.foreach { s =>
@@ -93,6 +91,15 @@ object Pipeline {
       pending.toSet
     } finally { f.unpersist(); () }
   }
+
+  /** Lineage struct (north rule): reader partition + a row id derived from
+    * the natural key (conv_id, turn_idx) — NOT monotonically_increasing_id,
+    * which renumbers under persist-eviction + stage retry (the repo's
+    * deterministic-salts rule applies to ids too).
+    */
+  private def lineageStruct: Column =
+    struct(spark_partition_id().as("source_partition"),
+      xxhash64(col("conv_id"), col("turn_idx")).as("row_id"))
 
   /** Templated-filename sink (reference modules/affile/affile-dest.c:64-142:
     * `file("/log/$HOST/$PROGRAM.log")` opens one writer per resolved name):
@@ -117,21 +124,29 @@ object Pipeline {
       .observed(flagged(spark, sfDir), "flagged",
         "parse_errors" -> sum(when(col("rule_id").isNull, 1L).otherwise(0L)),
         "matched" -> sum(when(size(col("routes")) > lit(1), 1L).otherwise(0L)))
-      .withColumn("lineage",
-        struct(spark_partition_id().as("source_partition"),
-          monotonically_increasing_id().as("row_id")))
+      .withColumn("lineage", lineageStruct)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val sinkNames = Seq("all", "tool_calls", "errors", "fallback")
       val counts = sinkNames.map { s =>
+        // counts ride the write itself via Observation.get (blocks until
+        // the action's metrics arrive) — no post-write re-read scans
+        val obs = org.apache.spark.sql.Observation(s"sink_count_$s")
         val rows = graft.observe.Stats.observed(Router.sink(f, s), s"sink_$s")
           .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "rule_id", "lineage")
+          .observe(obs, count(lit(1)).as("n"))
         rows.write.mode("overwrite").parquet(s"$outDir/sink_$s")
-        s -> spark.read.parquet(s"$outDir/sink_$s").count()
+        s -> obs.get("n").asInstanceOf[Long]
       }.toMap
       sinkCounts(f).write.mode("overwrite").parquet(s"$outDir/agg_counts")
       stats.snapshot(spark).write.mode("overwrite").parquet(s"$outDir/stats")
       counts
-    } finally { f.unpersist(); () }
+    } finally {
+      f.unpersist()
+      // collectors are per-call: leaving them registered would accumulate
+      // listeners (and buffers) across writeSinks calls on a long session
+      spark.listenerManager.unregister(stats)
+      ()
+    }
   }
 }

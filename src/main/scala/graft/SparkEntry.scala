@@ -8,7 +8,7 @@ import graft.enrich.ContextualData
 import graft.filters.Filters
 import graft.functions.{GraftFunctions, Templates}
 import graft.model.SyslogNames
-import graft.operators.Correlation
+import graft.operators.{Correlation, Skew}
 import graft.parsers.{FieldParsers, GrokStage, PatternDb, Scanners}
 import graft.rewrite.Rewrites
 import graft.transcripts.Transcripts
@@ -621,6 +621,40 @@ object SparkEntry {
         isStart = col("role") === "user")
     }),
 
+    // salted variants of the hot-key windowed operators: row-identical to
+    // their unsalted counterparts (checked against the SAME oracles), but
+    // no task ever owns a whole hot conversation (Skew order-aligned
+    // slicing; VERDICT r1 item 7)
+    "q_grouping_by_salted" -> ((s, dir) => {
+      Skew.saltedSessionize(
+        transcripts(s, dir), Seq(col("conv_id")), col("ts"),
+        timeoutSeconds = 8L * 3600L,
+        aggs = Seq(
+          count(lit(1)).as("n_turns"),
+          sum(when(col("tool").isNotNull, 1L).otherwise(0L)).as("n_tool_turns")),
+        having = Some(col("n_turns") >= 2),
+        sliceSeconds = 86400L)
+    }),
+
+    "q_suppress_salted" -> ((s, dir) => {
+      val sy = grokked(s, dir).filter(col("rule_id") === "syslog")
+        .select(col("conv_id"), col("turn_idx"), col("ts"),
+          f("host").as("host"), f("action").as("action"))
+      Skew.saltedSuppress(sy,
+          key = Seq(col("host")), dupKey = col("action"), ts = col("ts"),
+          intervalSeconds = 7200L,
+          tieBreak = Seq(col("conv_id"), col("turn_idx")),
+          sliceSeconds = 14400L)
+        .select(col("host"), col("action"), col("ts"), col("repeated"))
+    }),
+
+    "q_multiline_salted" -> ((s, dir) => {
+      Skew.saltedMultiLine(
+        transcripts(s, dir),
+        key = col("conv_id"), order = col("turn_idx"), text = col("text"),
+        isStart = col("role") === "user", sliceSize = 16)
+    }),
+
     // ================= relational baseline =================
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -629,7 +663,15 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleBase
+    // salted variants must match the exact same recompute as their
+    // unsalted counterparts — same oracle, different Spark plan
+    base ++ Seq("q_grouping_by", "q_suppress", "q_multiline")
+      .map(q => s"${q}_salted" -> base(q))
+  }
+
+  private def oracleBase: Map[String, String] = Map(
     "q_transcripts" -> Transcripts.oracle(
       "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
 

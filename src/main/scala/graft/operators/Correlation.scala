@@ -26,7 +26,10 @@ object Correlation {
     *
     * Scale: one hash-shuffle on the key; sessionization is a sort within
     * each key partition — no cross-key state, so it scales linearly with
-    * executors and AQE handles skewed keys.
+    * executors. A HOT key still lands on one task (AQE skew splitting
+    * applies to sort-merge joins, not window sorts or session aggs) — for
+    * skewed key domains use Skew.saltedSessionize, which is row-identical
+    * with order-aligned slicing.
     */
   def groupingBy(
       df: DataFrame,

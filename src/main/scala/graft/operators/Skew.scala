@@ -34,6 +34,169 @@ object Skew {
       .groupBy(col("key"))
       .agg(sum(col("partial")).as("n"))
 
+  import org.apache.spark.sql.expressions.Window
+
+  /** Salted multi-line reassembly: row-identical to Correlation.multiLine
+    * but no single task ever owns a whole hot key. The block id is a
+    * running count of start-markers; with order-aligned (contiguous)
+    * slices it decomposes into `within-slice running count + count in
+    * earlier slices` — the within-slice windows run over (key, slice)
+    * partitions, and the cross-slice offset is computed on the tiny
+    * slice-level frame (#slices per key, not rows).
+    */
+  def saltedMultiLine(
+      df: DataFrame,
+      key: Column,
+      order: Column,
+      text: Column,
+      isStart: Column,
+      sliceSize: Int = 1000): DataFrame = {
+    val d0 = df
+      .withColumn("__sk_k", key)
+      .withColumn("__sk_slice", floor(order / sliceSize))
+      .withColumn("__sk_start", isStart.cast("int"))
+    val wSlice = Window.partitionBy(col("__sk_k"), col("__sk_slice")).orderBy(order.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perSlice = d0.groupBy(col("__sk_k"), col("__sk_slice"))
+      .agg(sum(col("__sk_start")).as("__sk_n"))
+    val wOff = Window.partitionBy(col("__sk_k")).orderBy(col("__sk_slice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perSlice
+      .withColumn("__sk_off", coalesce(sum(col("__sk_n")).over(wOff), lit(0L)))
+      .drop("__sk_n")
+    d0.withColumn("__sk_wblock", sum(col("__sk_start")).over(wSlice))
+      .join(offsets, Seq("__sk_k", "__sk_slice"))
+      .withColumn("block", col("__sk_wblock") + col("__sk_off"))
+      .groupBy(col("__sk_k").as("key"), col("block"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        min(order).as("start_idx"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(order.as("o"), text.as("t")))),
+            x => x("t"))).as("joined"))
+  }
+
+  /** Salted suppress: row-identical to Correlation.suppress. The previous
+    * row of a slice's first element is the last row of the preceding
+    * time-slice, recovered with a slice-boundary self-join instead of a
+    * whole-key window. REQUIRES sliceSeconds > intervalSeconds: then a row
+    * whose predecessor is ≥2 slices back is always beyond the suppress
+    * interval, so a missing (empty) neighbor slice and "no predecessor"
+    * are equivalent — the boundary join only ever needs slice s−1.
+    */
+  def saltedSuppress(
+      df: DataFrame,
+      key: Seq[Column],
+      dupKey: Column,
+      ts: Column,
+      intervalSeconds: Long,
+      tieBreak: Seq[Column],
+      sliceSeconds: Long = 86400L): DataFrame = {
+    require(sliceSeconds > intervalSeconds,
+      "order-aligned slicing needs sliceSeconds > intervalSeconds")
+    val order = (ts +: tieBreak).map(_.asc)
+    val d0 = df
+      .withColumn("__sk_k", struct(key: _*))
+      .withColumn("__sk_slice", floor(unix_timestamp(ts) / sliceSeconds))
+    val wSlice = Window.partitionBy(col("__sk_k"), col("__sk_slice")).orderBy(order: _*)
+    // last row of each slice, shifted to feed slice+1
+    val lastStruct = struct(
+      (ts.as("__t") +: tieBreak.zipWithIndex.map { case (c, i) => c.as(s"__tb$i") }) :+
+        dupKey.as("__d"): _*)
+    val bnd = d0.groupBy(col("__sk_k"), col("__sk_slice"))
+      .agg(max(lastStruct).as("__last"))
+      .select(col("__sk_k"), (col("__sk_slice") + 1).as("__sk_slice"),
+        col("__last").getField("__d").as("__pb_dup"),
+        col("__last").getField("__t").as("__pb_ts"))
+    val rn = row_number().over(wSlice)
+    val prevDup = when(rn === 1, col("__pb_dup")).otherwise(lag(dupKey, 1).over(wSlice))
+    val prevTs = when(rn === 1, col("__pb_ts")).otherwise(lag(ts, 1).over(wSlice))
+    val keep = prevDup.isNull || prevDup =!= dupKey ||
+      unix_timestamp(ts) - unix_timestamp(prevTs) > intervalSeconds
+    val wRun = wSlice.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d1 = d0.join(bnd, Seq("__sk_k", "__sk_slice"), "left")
+      .withColumn("__sk_keep", keep)
+      .withColumn("__sk_wrun", sum(col("__sk_keep").cast("long")).over(wRun))
+    val perSlice = d1.groupBy(col("__sk_k"), col("__sk_slice"))
+      .agg(sum(col("__sk_keep").cast("long")).as("__sk_n"))
+    val wOff = Window.partitionBy(col("__sk_k")).orderBy(col("__sk_slice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perSlice
+      .withColumn("__sk_off", coalesce(sum(col("__sk_n")).over(wOff), lit(0L)))
+      .drop("__sk_n")
+    val runW = Window.partitionBy(col("__sk_k"), col("__sk_run"))
+    d1.join(offsets, Seq("__sk_k", "__sk_slice"))
+      .withColumn("__sk_run", col("__sk_wrun") + col("__sk_off"))
+      .withColumn("repeated", count(lit(1)).over(runW) - 1)
+      .filter(col("__sk_keep"))
+      .drop("__sk_k", "__sk_slice", "__sk_keep", "__sk_wrun", "__sk_off",
+        "__sk_run", "__pb_dup", "__pb_ts")
+  }
+
+  /** Salted sessionization: row-identical to Correlation.groupingBy (the
+    * session_window plan) under the same sliceSeconds > timeoutSeconds
+    * contract as saltedSuppress — a session-start marker is a gap >
+    * timeout, recovered at slice boundaries by the same neighbor join;
+    * session ids are marker running counts with cross-slice offsets. The
+    * per-session final aggregate is bounded by session size, never by key
+    * popularity.
+    */
+  def saltedSessionize(
+      df: DataFrame,
+      keys: Seq[Column],
+      ts: Column,
+      timeoutSeconds: Long,
+      aggs: Seq[Column],
+      having: Option[Column] = None,
+      sliceSeconds: Long = 86400L): DataFrame = {
+    require(sliceSeconds > timeoutSeconds,
+      "order-aligned slicing needs sliceSeconds > timeoutSeconds")
+    val d0 = df
+      .withColumn("__sk_k", struct(keys: _*))
+      .withColumn("__sk_slice", floor(unix_timestamp(ts) / sliceSeconds))
+    val wSlice = Window.partitionBy(col("__sk_k"), col("__sk_slice")).orderBy(ts.asc)
+    val bnd = d0.groupBy(col("__sk_k"), col("__sk_slice"))
+      .agg(max(ts).as("__pb_ts0"))
+      .select(col("__sk_k"), (col("__sk_slice") + 1).as("__sk_slice"),
+        col("__pb_ts0").as("__pb_ts"))
+    val rn = row_number().over(wSlice)
+    val prevTs = when(rn === 1, col("__pb_ts")).otherwise(lag(ts, 1).over(wSlice))
+    val isNew = prevTs.isNull ||
+      unix_timestamp(ts) - unix_timestamp(prevTs) > timeoutSeconds
+    val wRun = wSlice.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d1 = d0.join(bnd, Seq("__sk_k", "__sk_slice"), "left")
+      .withColumn("__sk_new", isNew.cast("long"))
+      .withColumn("__sk_wsess", sum(col("__sk_new")).over(wRun))
+    val perSlice = d1.groupBy(col("__sk_k"), col("__sk_slice"))
+      .agg(sum(col("__sk_new")).as("__sk_n"))
+    val wOff = Window.partitionBy(col("__sk_k")).orderBy(col("__sk_slice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perSlice
+      .withColumn("__sk_off", coalesce(sum(col("__sk_n")).over(wOff), lit(0L)))
+      .drop("__sk_n")
+    val grouped = d1.join(offsets, Seq("__sk_k", "__sk_slice"))
+      .withColumn("__sk_sess", col("__sk_wsess") + col("__sk_off"))
+      .groupBy(col("__sk_k"), col("__sk_sess"))
+      .agg(aggs.head, (aggs.tail :+
+        min(ts).as("session_start") :+
+        (max(ts) + expr(s"INTERVAL $timeoutSeconds SECONDS")).as("session_end")): _*)
+      .select(col("__sk_k.*") +: (aggs.map(a => col(extractAlias(a))) :+
+        col("session_start") :+ col("session_end")): _*)
+    having.fold(grouped)(grouped.filter)
+  }
+
+  /** Alias name of an agg Column (aggs passed to saltedSessionize must be
+    * aliased, as they must for groupingBy's output to be addressable).
+    */
+  private def extractAlias(c: Column): String =
+    org.apache.spark.sql.graftbridge.Bridge.expression(c) match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.name
+      case e =>
+        val m = " AS `?([A-Za-z0-9_]+)`?$".r.findFirstMatchIn(c.toString)
+        m.map(_.group(1)).getOrElse(
+          sys.error(s"saltedSessionize aggs must be aliased: $e"))
+    }
+
   /** Salted group-lines (SURVEY §2.4): ordered per-conversation text
     * reassembly that survives hot conversations. Phase 1 builds ordered
     * partial joins per (conv, salt-range); phase 2 concatenates the

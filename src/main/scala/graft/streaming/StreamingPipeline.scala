@@ -141,9 +141,13 @@ object StreamingPipeline {
 
   /** rate-limit() in streaming form (reference modules/rate-limit-filter/
     * rate-limit.c:68-142 token bucket): per key, at most `rate` rows pass
-    * per event-time bucket of `bucketSeconds`. State is just the current
-    * bucket and its spent count; in-batch rows are processed in
-    * deterministic (ts, turn_idx) order like the batch variant.
+    * per event-time bucket of `bucketSeconds`. State is the spent count of
+    * EVERY bucket still inside the watermark (a single current-bucket
+    * counter would reset when a late row from an earlier bucket arrives,
+    * over-admitting across out-of-order batches); buckets that end before
+    * the watermark can no longer receive rows and are evicted. In-batch
+    * rows are processed in deterministic (ts, turn_idx) order like the
+    * batch variant.
     */
   def rateLimitStream(
       turns: Dataset[Turn],
@@ -156,23 +160,31 @@ object StreamingPipeline {
       .withWatermark("ts", watermarkDelay)
       .groupByKey(key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, rows: Iterator[Turn], state: GroupState[(Long, Int)]) => {
-          var (bucket, spent) = state.getOption.getOrElse((Long.MinValue, 0))
+        (_: String, rows: Iterator[Turn], state: GroupState[Map[Long, Int]]) => {
+          var spentByBucket = state.getOption.getOrElse(Map.empty[Long, Int])
           val out = Seq.newBuilder[Turn]
           rows.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx)).foreach { t =>
             val b = t.ts.getTime / (bucketSeconds * 1000L)
-            if (b != bucket) { bucket = b; spent = 0 }
-            if (spent < rate) { spent += 1; out += t }
+            val spent = spentByBucket.getOrElse(b, 0)
+            if (spent < rate) { spentByBucket += b -> (spent + 1); out += t }
           }
-          state.update((bucket, spent))
+          val wm = state.getCurrentWatermarkMs()
+          spentByBucket = spentByBucket.filter { case (b, _) =>
+            (b + 1) * bucketSeconds * 1000L > wm
+          }
+          if (spentByBucket.isEmpty) state.remove() else state.update(spentByBucket)
           out.result().iterator
         })
   }
 
   /** Multi-sink streaming fan-out: one foreachBatch persists the micro-batch
-    * and writes each sink's filtered slice + the running aggregate — the
-    * streaming form of Pipeline.writeSinks. Exactly-once per sink directory
-    * comes from the checkpoint (batchId-idempotent writes).
+    * and writes each sink's filtered slice — the streaming form of
+    * Pipeline.writeSinks. foreachBatch alone is at-least-once (a failure
+    * between sink writes replays the batchId on restart); the writes are
+    * made batchId-IDEMPOTENT by partitioning each sink on batch_id and
+    * dynamically overwriting only that batch's partition — a replayed
+    * batch rewrites its own partition instead of appending duplicates, so
+    * the delivered contents are exactly-once per sink directory.
     */
   def writeSinks(
       flagged: DataFrame,
@@ -188,7 +200,10 @@ object StreamingPipeline {
             b.filter(col(s"route_$s"))
               .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "rule_id")
               .withColumn("batch_id", lit(batchId))
-              .write.mode("append").parquet(s"$outDir/sink_$s")
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(s"$outDir/sink_$s")
           }
         } finally { b.unpersist(); () }
       }

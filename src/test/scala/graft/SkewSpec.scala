@@ -44,6 +44,59 @@ class SkewSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  // skewed frame with event times + dup keys for the windowed operators
+  private lazy val timed = {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Long) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val hot = (0 until 3000).map(i =>
+      ("conv-hot", i, ts(i * 7L), s"act-${(i / 13) % 5}", if (i % 11 == 0) "user" else "tool"))
+    val normal = for (c <- 0 until 30; i <- 0 until 12)
+      yield (s"conv-$c", i, ts(c * 500L + i * 3L), s"act-${i % 3}", if (i % 4 == 0) "user" else "tool")
+    (hot ++ normal).toDF("conv_id", "turn_idx", "ts", "action", "role")
+  }
+
+  test("salted multiLine == direct (hot key, blocks spanning slices)") {
+    import graft.operators.Correlation
+    val direct = Correlation.multiLine(skewed, col("conv_id"), col("turn_idx"),
+      col("text"), isStart = col("turn_idx") % 7 === 0)
+      .as[(String, Long, Long, Int, String)].collect().sortBy(r => (r._1, r._2))
+    val salted = Skew.saltedMultiLine(skewed, col("conv_id"), col("turn_idx"),
+      col("text"), isStart = col("turn_idx") % 7 === 0, sliceSize = 100)
+      .as[(String, Long, Long, Int, String)].collect().sortBy(r => (r._1, r._2))
+    assert(salted === direct)
+  }
+
+  test("salted suppress == direct (boundary rows recovered across slices)") {
+    import graft.operators.Correlation
+    val direct = Correlation.suppress(timed, Seq(col("conv_id")), col("action"),
+      col("ts"), intervalSeconds = 3600L, tieBreak = Seq(col("turn_idx")))
+      .select("conv_id", "turn_idx", "repeated")
+      .as[(String, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    val salted = Skew.saltedSuppress(timed, Seq(col("conv_id")), col("action"),
+      col("ts"), intervalSeconds = 3600L, tieBreak = Seq(col("turn_idx")),
+      sliceSeconds = 7200L)
+      .select("conv_id", "turn_idx", "repeated")
+      .as[(String, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(salted === direct)
+  }
+
+  test("salted sessionize == session_window grouping (sessions spanning slices)") {
+    import graft.operators.Correlation
+    val aggs = Seq(count(lit(1)).as("n_turns"),
+      sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"))
+    val direct = Correlation.groupingBy(timed, Seq(col("conv_id")), col("ts"),
+      timeout = "30 minutes", aggs = aggs)
+      .select("conv_id", "n_turns", "n_user", "session_start", "session_end")
+      .as[(String, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().sortBy(r => (r._1, r._4.getTime))
+    val salted = Skew.saltedSessionize(timed, Seq(col("conv_id")), col("ts"),
+      timeoutSeconds = 1800L, aggs = aggs, sliceSeconds = 3600L)
+      .select("conv_id", "n_turns", "n_user", "session_start", "session_end")
+      .as[(String, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().sortBy(r => (r._1, r._4.getTime))
+    assert(salted === direct)
+  }
+
   test("deterministic salt: same rows → same salt on recompute (no rand())") {
     val s1 = skewed.select(Skew.salt(16, col("conv_id"), col("turn_idx"))).as[Int].collect()
     val s2 = skewed.select(Skew.salt(16, col("conv_id"), col("turn_idx"))).as[Int].collect()
