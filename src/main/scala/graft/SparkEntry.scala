@@ -621,6 +621,16 @@ object SparkEntry {
         isStart = col("role") === "user")
     }),
 
+    // group-lines FSM: indented mode over synthesized indentation (every
+    // 3rd turn starts a message; others indent as continuations)
+    "q_multiline_indented" -> ((s, dir) => {
+      val t = transcripts(s, dir).withColumn("line",
+        when(pmod(col("turn_idx"), lit(3)) === 0, col("text"))
+          .otherwise(concat(lit("    "), col("text"))))
+      Correlation.groupLines(t, key = col("conv_id"), order = col("turn_idx"),
+        text = col("line"), mode = Correlation.Indented)
+    }),
+
     // salted variants of the hot-key windowed operators: row-identical to
     // their unsalted counterparts (checked against the SAME oracles), but
     // no task ever owns a whole hot conversation (Skew order-aligned
@@ -1039,6 +1049,22 @@ object SparkEntry {
            min(turn_idx) AS start_idx,
            string_agg(text, chr(10) ORDER BY turn_idx) AS joined
          FROM m0 GROUP BY conv_id, block"""),
+
+    "q_multiline_indented" -> Transcripts.oracle(
+      """, i0 AS (SELECT conv_id, turn_idx,
+                   CASE WHEN turn_idx % 3 = 0 THEN text
+                        ELSE concat('    ', text) END AS line
+                  FROM transcripts)
+         , i1 AS (SELECT conv_id, turn_idx, line,
+                   sum(CASE WHEN turn_idx % 3 = 0 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS UNBOUNDED PRECEDING) AS block
+                  FROM i0)
+         SELECT conv_id AS key, cast(block AS bigint) AS block,
+           cast(count(*) AS bigint) AS n_lines,
+           min(turn_idx) AS start_idx,
+           string_agg(line, chr(10) ORDER BY turn_idx) AS joined
+         FROM i1 GROUP BY conv_id, block"""),
 
     "q_group_lines_salted" -> Transcripts.oracle(
       """SELECT conv_id, cast(count(*) AS bigint) AS n_turns,

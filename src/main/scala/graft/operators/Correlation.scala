@@ -144,6 +144,64 @@ object Correlation {
             x => x("t"))).as("joined"))
   }
 
+  /** group-lines() FSM modes (reference lib/multi-line/multi-line-factory.h:
+    * 33-38 MLM_*): how lines aggregate into messages. Batch reduction of
+    * each accumulate_line FSM (lines are rows; REWIND ≡ "this row starts a
+    * new block", EXTRACTED-at-garbage ≡ "previous row closed the block").
+    */
+  sealed trait MultiLineMode
+  /** explicit start predicate (the generic reduction multiLine uses). */
+  final case class StartPredicate(isStart: Column) extends MultiLineMode
+  /** continuation lines start with space/tab
+    * (lib/multi-line/indented-multi-line.c:29). */
+  case object Indented extends MultiLineMode
+  /** messages start at prefix; garbage-matching lines close and are
+    * discarded (lib/multi-line/regexp-multi-line.c:57-66). */
+  final case class PrefixGarbage(prefix: String, garbage: String) extends MultiLineMode
+  /** messages start at prefix and close AFTER a suffix-matching line,
+    * which is included (regexp-multi-line.c:38-44 consumes to suffix end). */
+  final case class PrefixSuffix(prefix: String, suffix: String) extends MultiLineMode
+  /** recognize common language backtrace continuations (the curated
+    * subset of lib/multi-line/smart-multi-line.fsm: Java `at …`/`Caused
+    * by:`, Python `File "…"`/`Traceback`, plus indentation). */
+  case object Smart extends MultiLineMode
+
+  private val SmartContinuation =
+    """^([ \t]|at |Caused by:|\.\.\. \d+ more|File ")"""
+
+  /** Multi-line reassembly with a mode (the full group-lines surface).
+    * Same output shape as [[multiLine]]; PrefixGarbage drops its garbage
+    * rows from the block content like the reference discards garbage.
+    */
+  def groupLines(
+      df: DataFrame,
+      key: Column,
+      order: Column,
+      text: Column,
+      mode: MultiLineMode): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order.asc)
+    val prev = lag(text, 1).over(w)
+    val (isStart, excluded) = mode match {
+      case StartPredicate(s) => (s, lit(false))
+      case Indented          => (!text.rlike("^[ \t]"), lit(false))
+      case PrefixGarbage(p, g) =>
+        (text.rlike(p) || prev.isNull || prev.rlike(g), text.rlike(g))
+      case PrefixSuffix(p, sfx) =>
+        (text.rlike(p) || prev.isNull || prev.rlike(sfx), lit(false))
+      case Smart             => (!text.rlike(SmartContinuation), lit(false))
+    }
+    df.withColumn("__ml_ex", excluded)
+      .withColumn("block", sum(when(isStart, 1).otherwise(0)).over(w))
+      .filter(!col("__ml_ex"))
+      .groupBy(key.as("key"), col("block"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        min(order).as("start_idx"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(order.as("o"), text.as("t")))),
+            x => x("t"))).as("joined"))
+  }
+
   /** The context-scoped template functions (reference
     * modules/basicfuncs/basic-funcs.c:81-83 `$(context-length)`,
     * `$(context-lookup)`, `$(context-values)`, `$(grep)` — evaluated over a

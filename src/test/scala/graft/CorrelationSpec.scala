@@ -95,4 +95,47 @@ class CorrelationSpec extends SparkSpec {
       .as[(String, Long)].collect()
     assert(perKey.forall(_._2 == 1L))
   }
+
+  // ---- group-lines FSM modes (reference lib/multi-line/) ----
+  private def blocks(lines: Seq[String], mode: Correlation.MultiLineMode): Seq[String] = {
+    val df = lines.zipWithIndex.map { case (t, i) => ("k", i, t) }.toDF("k", "i", "text")
+    Correlation.groupLines(df, col("k"), col("i"), col("text"), mode)
+      .orderBy("block").select("joined").as[String].collect().toSeq
+  }
+
+  test("group-lines indented: whitespace lines continue the previous message") {
+    val got = blocks(Seq("first", "  cont 1", "\tcont 2", "second", "  c"),
+      Correlation.Indented)
+    assert(got === Seq("first\n  cont 1\n\tcont 2", "second\n  c"))
+  }
+
+  test("group-lines prefix-garbage: garbage closes the block and is discarded") {
+    val got = blocks(Seq("MSG a", "l1", "--end--", "MSG b", "l2"),
+      Correlation.PrefixGarbage("^MSG", "^--end--"))
+    assert(got === Seq("MSG a\nl1", "MSG b\nl2"))
+  }
+
+  test("group-lines prefix-suffix: suffix line is included and closes the block") {
+    val got = blocks(Seq("BEGIN x", "l1", "END", "BEGIN y", "END"),
+      Correlation.PrefixSuffix("^BEGIN", "^END"))
+    assert(got === Seq("BEGIN x\nl1\nEND", "BEGIN y\nEND"))
+  }
+
+  test("group-lines smart: java + python backtraces group under their heads") {
+    val got = blocks(Seq(
+      "Exception in thread main java.lang.NullPointerException",
+      "at com.example.Foo.bar(Foo.java:12)",
+      "at com.example.Main.main(Main.java:4)",
+      "... 3 more",
+      "plain log line",
+      "Traceback (most recent call last):",
+      "File \"x.py\", line 1, in <module>",
+      "  raise ValueError",
+      "done"), Correlation.Smart)
+    assert(got.length === 4)
+    assert(got.head.startsWith("Exception") && got.head.contains("... 3 more"))
+    assert(got(1) === "plain log line")
+    assert(got(2).startsWith("Traceback") && got(2).contains("raise ValueError"))
+    assert(got(3) === "done")
+  }
 }
