@@ -306,6 +306,16 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("ip"))
     }),
 
+    "q_filter_netmask6" -> ((s, dir) => {
+      val p = grokked(s, dir).filter(col("rule_id") === "syslog")
+        .withColumn("pri", f("pri").cast("int"))
+        .withColumn("ip6", concat(lit("2001:db8:"),
+          lower(hex(SyslogNames.facilityNum(col("pri")))), lit("::"),
+          lower(hex(pmod(f("pid").cast("int"), lit(256))))))
+      p.filter(Filters.netmask6(col("ip6"), "2001:db8:4::/48"))
+        .select(col("conv_id"), col("turn_idx"), col("ip6"))
+    }),
+
     // store-matches → $1..$n (reference lib/logmatcher.c:73-119) + the
     // set-matches/unset-matches rewrites (array fill / clear)
     "q_store_matches" -> ((s, dir) => {
@@ -811,6 +821,12 @@ object SparkEntry {
     "q_filter_netmask" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx,
            concat('10.', cast(fac AS varchar), '.', cast(sev AS varchar), '.', cast(pid % 256 AS varchar)) AS ip
+         FROM transcripts_full WHERE variant = 0 AND fac = 4"""),
+
+    "q_filter_netmask6" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           concat('2001:db8:', lower(printf('%x', fac)), '::',
+                  lower(printf('%x', pid % 256))) AS ip6
          FROM transcripts_full WHERE variant = 0 AND fac = 4"""),
 
     "q_store_matches" -> Transcripts.oracle(

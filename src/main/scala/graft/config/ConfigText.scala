@@ -110,7 +110,9 @@ object ConfigText {
     else if (df.columns.contains("fields")) col("fields")(name)
     else col(name)
 
-  private def filterExpr(p: P): DataFrame => Column = {
+  private def filterExpr(
+      p: P,
+      named: scala.collection.Map[String, DataFrame => Column] = Map.empty): DataFrame => Column = {
     def or(): DataFrame => Column = {
       var l = and()
       while (p.peek.contains(Ident("or"))) { p.next(); val r = and(); val ll = l; l = df => ll(df) || r(df) }
@@ -143,7 +145,11 @@ object ConfigText {
         case "tags"    => df => Filters.hasAnyTag(col("tags"), c.args: _*)
         case "in-list" => df => Filters.inList(field(df, c.args.head), c.args.tail)
         case "source"  => _ => col("__source") === c.args.head
-        case "filter"  => sys.error("named filter calls resolve at compile: use the name directly")
+        case "filter"  => // filter(name) inside an expression (reference
+          // lib/filter/filter-call.c); resolved lazily so statement order
+          // matches the reference's config-time reference check
+          val n = c.args.head
+          df => named.getOrElse(n, sys.error(s"filter() references unknown filter: $n"))(df)
         case other     => sys.error(s"unknown filter function: $other")
       }
     }
@@ -225,13 +231,13 @@ object ConfigText {
             els += Dsl.Junction(channels.result())
           case "if" =>
             val branches = Seq.newBuilder[(DataFrame => Column, Seq[Dsl.Element])]
-            p.expect("("); val c0 = filterExpr(p); p.expect(")")
+            p.expect("("); val c0 = filterExpr(p, filters); p.expect(")")
             p.expect("{"); branches += c0 -> parseLogElements(); p.expect("}")
             var otherwise: Seq[Dsl.Element] = Nil
             var done = false
             while (!done) p.peek match {
               case Some(Ident("elif")) =>
-                p.next(); p.expect("("); val c = filterExpr(p); p.expect(")")
+                p.next(); p.expect("("); val c = filterExpr(p, filters); p.expect(")")
                 p.expect("{"); branches += c -> parseLogElements(); p.expect("}")
               case Some(Ident("else")) =>
                 p.next(); p.expect("{"); otherwise = parseLogElements(); p.expect("}")
@@ -253,7 +259,7 @@ object ConfigText {
           sources += name -> sourceDriver(call)
         case "filter" =>
           val name = p.ident(); p.expect("{")
-          val e = filterExpr(p); p.eat(";"); p.expect("}")
+          val e = filterExpr(p, filters); p.eat(";"); p.expect("}")
           filters(name) = e
         case "parser" =>
           val name = p.ident(); p.expect("{")

@@ -127,4 +127,65 @@ object Filters {
     val mask = if (bits == 0) 0L else (0xFFFFFFFFL << (32 - bits)) & 0xFFFFFFFFL
     ipv4ToLong(ip).bitwiseAND(lit(mask)) === lit(baseLong & mask)
   }
+
+  // --- netmask6() (reference lib/filter/filter-netmask6.c:40) -------------
+
+  /** Canonical 32-nibble hex form of a textual IPv6 address: `::` expands
+    * to the missing zero groups, each group left-pads to 4 nibbles. Pure
+    * array expressions — runs in the scan stage. (Dotted-IPv4-embedded
+    * forms are not supported; the hex forms the reference's own radix
+    * parser accepts are.)
+    */
+  def ipv6ToHex(ip: Column): Column = {
+    val sides = split(ip, "::", 2)
+    val nonEmpty = (a: Column) => filter(a, x => x =!= "")
+    val left = nonEmpty(split(element_at(sides, 1), ":"))
+    val right = when(size(sides) > 1, nonEmpty(split(try_element_at(sides, lit(2)), ":")))
+      .otherwise(array().cast("array<string>"))
+    val missing = lit(8) - size(left) - size(right)
+    val zeros = when(missing > 0,
+      transform(sequence(lit(1), missing), _ => lit("0")))
+      .otherwise(array().cast("array<string>"))
+    val groups = concat(left, zeros, right)
+    lower(concat_ws("", transform(groups, g => lpad(g, 4, "0"))))
+  }
+
+  /** IPv6 CIDR membership, e.g. netmask6(col, "2001:db8::/32"): the CIDR
+    * compiles at plan time (driver) to a nibble-prefix compare plus one
+    * masked-nibble check when the prefix length is not nibble-aligned.
+    */
+  def netmask6(ip: Column, cidr: String): Column = {
+    val Array(base, bitsS) = cidr.split("/")
+    val bits = bitsS.toInt
+    require(bits >= 0 && bits <= 128, s"bad prefix length in $cidr")
+    val baseBytes = java.net.InetAddress.getByName(base).getAddress
+    require(baseBytes.length == 16, s"$base is not an IPv6 address")
+    val baseHex = baseBytes.map("%02x".format(_)).mkString
+    val fullNibbles = bits / 4
+    val remBits = bits % 4
+    val hexCol = ipv6ToHex(ip)
+    val prefixOk =
+      if (fullNibbles == 0) lit(true)
+      else substring(hexCol, 1, fullNibbles) === baseHex.substring(0, fullNibbles)
+    if (remBits == 0) prefixOk
+    else {
+      val mask = (0xF << (4 - remBits)) & 0xF
+      val baseNibble = Integer.parseInt(baseHex.substring(fullNibbles, fullNibbles + 1), 16) & mask
+      val rowNibble = conv(substring(hexCol, fullNibbles + 1, 1), 16, 10).cast("int")
+      prefixOk && rowNibble.bitwiseAND(lit(mask)) === lit(baseNibble)
+    }
+  }
+
+  /** File-backed in-list() (reference lib/filter/filter-in-list.c:42 reads
+    * one value per line at config time): the file is read once on the
+    * driver when the plan is built; Catalyst compiles the set into an
+    * InSet hash lookup. For list files too big for a literal set, load
+    * them as a table and broadcast-semi-join instead.
+    */
+  def inListFile(value: Column, path: String): Column = {
+    val values = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))).asScala
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    inList(value, values)
+  }
 }

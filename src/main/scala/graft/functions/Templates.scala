@@ -347,7 +347,13 @@ object TemplateFunctions {
     "+" -> (fold(_, _ + _)),
     "-" -> (fold(_, _ - _)),
     "*" -> (fold(_, _ * _)),
-    "/" -> (a => renderNum(floor(num(a(0).col) / num(a(1).col)))),
+    // int64-first like the reference (numeric-funcs.c): integer-formed
+    // operands divide as int64 (floor), anything with a '.'/'e' as double
+    "/" -> (a => {
+      val intForm = (c: Column) => c.cast("string").rlike("^-?\\d+$")
+      val q = num(a(0).col) / num(a(1).col)
+      renderNum(when(intForm(a(0).col) && intForm(a(1).col), floor(q)).otherwise(q))
+    }),
     "%" -> (a => renderNum(pmod(num(a(0).col), num(a(1).col)))),
     "sum" -> (fold(_, _ + _)),
     "min" -> (a => renderNum(least(a.map(x => num(x.col)): _*))),

@@ -28,11 +28,16 @@ object Stats {
     df.observe(s"graft.$stage", metrics.head, metrics.tail: _*)
   }
 
-  /** Collects observed metrics from every completed action on the session. */
+  /** Collects observed metrics from every completed action on the session.
+    * Rows carry a wall-clock stamp so the periodic aggregators (average /
+    * maximum / change-per-second) can run over successive snapshots — ops
+    * metrics, never oracle-checked data.
+    */
   final class Collector extends QueryExecutionListener {
-    private val buf = mutable.ArrayBuffer.empty[(String, String, Long, String)]
+    private val buf = mutable.ArrayBuffer.empty[(String, String, Long, String, Long)]
 
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+      val now = System.currentTimeMillis()
       val rows = qe.observedMetrics.collect {
         case (name, row) if name.startsWith("graft.") =>
           row.schema.fieldNames.map { f =>
@@ -41,7 +46,7 @@ object Stats {
               case i: Int  => i.toLong
               case other   => Option(other).map(_.toString.toDouble.toLong).getOrElse(0L)
             }
-            (name.stripPrefix("graft."), f, v, funcName)
+            (name.stripPrefix("graft."), f, v, funcName, now)
           }.toSeq
       }.flatten
       buf.synchronized { buf ++= rows; () }
@@ -52,11 +57,71 @@ object Stats {
     def snapshot(spark: SparkSession): DataFrame = {
       val rows = buf.synchronized(buf.toSeq)
       import spark.implicits._
-      rows.toDF("stage", "counter", "value", "job")
+      rows.map { case (s, c, v, j, _) => (s, c, v, j) }.toDF("stage", "counter", "value", "job")
+    }
+
+    /** Snapshot including the collection timestamp (aggregator input). */
+    def timedSnapshot(spark: SparkSession): DataFrame = {
+      val rows = buf.synchronized(buf.toSeq)
+      import spark.implicits._
+      rows.toDF("stage", "counter", "value", "job", "ts_ms")
     }
 
     def clear(): Unit = buf.synchronized { buf.clear(); () }
   }
+
+  // ------------------------------------------------------------ exposition
+
+  private def csvEscape(s: String): String =
+    if (s.exists(c => c == ';' || c == '"' || c == '\n'))
+      "\"" + s.replace("\"", "\\\"") + "\""
+    else s
+
+  /** CSV exposition (reference lib/stats/stats-csv.c:62-101):
+    * `SourceName;SourceId;SourceInstance;State;Type;Number` — component =
+    * stage, id = the action that carried the counters, state 'a' (live
+    * session counters are never orphaned in a batch engine).
+    */
+  def renderCsv(stats: DataFrame): String = {
+    val header = "SourceName;SourceId;SourceInstance;State;Type;Number\n"
+    val rows = stats.select("stage", "job", "counter", "value").collect()
+      .sortBy(r => (r.getString(0), r.getString(2)))
+      .map(r => s"${csvEscape(r.getString(0))};${csvEscape(r.getString(1))};;a;" +
+        s"${csvEscape(r.getString(2))};${r.getLong(3)}\n")
+    header + rows.mkString
+  }
+
+  private def promSanitize(s: String): String =
+    s.map(c => if (c.isLetterOrDigit || c == '_' || c == ':') c else '_')
+
+  /** Prometheus exposition (reference lib/stats/stats-prometheus.c):
+    * `<prefix><stage>_<counter>{job="…"} <value>` with sanitized names and
+    * escaped label values.
+    */
+  def renderPrometheus(stats: DataFrame, prefix: String = "syslogng_"): String =
+    stats.select("stage", "counter", "value", "job").collect()
+      .sortBy(r => (r.getString(0), r.getString(1)))
+      .map { r =>
+        val name = prefix + promSanitize(r.getString(0)) + "_" + promSanitize(r.getString(1))
+        val job = r.getString(3).replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""$name{job="$job"} ${r.getLong(2)}\n"""
+      }.mkString
+
+  /** The periodic aggregators (reference lib/stats/aggregator/: average,
+    * maximum, change-per-second) computed over a timed snapshot series:
+    * one row per (stage, counter) with avg/max of the observations and
+    * CPS = Δvalue/Δt across the observation window (0 when a single
+    * observation, like a CPS aggregator before its second tick).
+    */
+  def aggregators(timed: DataFrame): DataFrame =
+    timed.groupBy(col("stage"), col("counter"))
+      .agg(
+        avg(col("value")).as("average"),
+        max(col("value")).as("maximum"),
+        coalesce(
+          (max_by(col("value"), col("ts_ms")) - min_by(col("value"), col("ts_ms"))) * 1000.0 /
+            nullif(max(col("ts_ms")) - min(col("ts_ms")), lit(0L)),
+          lit(0.0)).as("cps"))
 
   /** Install a collector on the session (idempotent per collector). */
   def install(spark: SparkSession): Collector = {

@@ -116,11 +116,46 @@ object Rewrites {
     when(num.isNotNull && num.between(0, 23), num).otherwise(byName)
   }
 
-  /** fix-time-zone / set-time-zone (reference modules/timestamp/) — reinterpret
-    * or convert the event timestamp's zone.
+  /** set-time-zone (reference modules/timestamp/rewrite-set-timezone.c):
+    * CONVERT the instant into another zone's wall clock.
     */
   def setTimeZone(df: DataFrame, tsCol: String, fromTz: String, toTz: String): DataFrame =
     df.withColumn(tsCol, convert_timezone(lit(fromTz), lit(toTz), col(tsCol)))
+
+  /** fix-time-zone (reference modules/timestamp/rewrite-fix-timezone.c):
+    * the wall-clock digits were right but stamped in the wrong zone —
+    * KEEP the wall clock, reinterpret it as `realTz` (so the underlying
+    * instant shifts). Distinct from set-time-zone, which keeps the
+    * instant and changes the wall clock.
+    */
+  def fixTimeZone(df: DataFrame, tsCol: String, realTz: String): DataFrame =
+    df.withColumn(tsCol,
+      to_utc_timestamp(col(tsCol).cast("timestamp_ntz").cast("timestamp"), realTz))
+
+  /** guess-time-zone (reference modules/timestamp/rewrite-guess-timezone.c
+    * via timeutils/zoneinfo guess): pick, from a candidate zone list, the
+    * zone whose reinterpretation of the event wall clock lands closest to
+    * the receive time — recovers the sender's zone when devices stamp
+    * local time without an offset. Pure expression: one candidate struct
+    * per zone, array_min on |Δ| with the zone name as tiebreak.
+    */
+  def guessTimeZone(df: DataFrame, tsCol: String, recvTs: Column,
+      candidateZones: Seq[String]): DataFrame = {
+    val wall = col(tsCol).cast("timestamp_ntz").cast("timestamp")
+    val cands = array(candidateZones.map { z =>
+      val fixed = to_utc_timestamp(wall, z)
+      struct(
+        abs(unix_timestamp(fixed) - unix_timestamp(recvTs)).as("delta"),
+        lit(z).as("zone"),
+        fixed.as("fixed"))
+    }: _*)
+    val best = array_min(cands)
+    // one withColumns: both outputs must see the ORIGINAL tsCol (a second
+    // withColumn would re-derive `best` over the already-rewritten column)
+    df.withColumns(Map(
+      tsCol -> best.getField("fixed"),
+      s"${tsCol}_zone" -> best.getField("zone")))
+  }
 
   /** map-value-pairs / column-glob selection helper (reference
     * lib/value-pairs): build a map column from schema columns selected by

@@ -92,4 +92,21 @@ class ConfigTextSpec extends SparkSpec {
     assert(kvRows > 0)
     assert(out.filter(col("text").contains("tool_call")).count() === 0)
   }
+
+  test("filter() call inside a filter expression (reference filter-call)") {
+    val cfg = s"""
+      source s { transcripts("$sfUnit"); };
+      parser p { db-parser(); };
+      filter f_err { match("^(error|fail)$$" value("status")); };
+      filter f_errtool { filter(f_err) or match("tool_call" value("event")); };
+      destination d { file("hits"); };
+      log { source(s); parser(p); filter(f_errtool); destination(d); };
+    """
+    val c = graft.config.ConfigText.compile(spark, cfg)
+    val t = graft.transcripts.Transcripts.loadFull(spark, sfUnit)
+    val truth = t.filter(
+      (col("variant").isin(0, 2) && col("status").isin("error", "fail")) ||
+        col("variant") === 1).count()
+    assert(c.sink("hits").count() === truth)
+  }
 }

@@ -63,6 +63,31 @@ class RewritesSpec extends SparkSpec {
     assert(cleared == Seq("t1"))
   }
 
+  test("fix-time-zone keeps the wall clock, set-time-zone keeps the instant") {
+    val df = Seq(java.sql.Timestamp.valueOf("2026-06-01 12:00:00")).toDF("ts")
+    // fix: the digits 12:00 were actually Berlin local (UTC+2 in June) →
+    // instant shifts to 10:00 UTC
+    val fixed = Rewrites.fixTimeZone(df, "ts", "Europe/Berlin")
+      .select(date_format(col("ts"), "HH:mm")).as[String].head()
+    assert(fixed === "10:00")
+    // set: the instant stays, the wall clock converts
+    val setTz = Rewrites.setTimeZone(df, "ts", "UTC", "Europe/Berlin")
+      .select(date_format(col("ts"), "HH:mm")).as[String].head()
+    assert(setTz === "14:00")
+  }
+
+  test("guess-time-zone picks the zone closest to the receive time") {
+    // stamped 12:00 local, received 04:05 UTC → the sender is UTC+8
+    val df = Seq((
+      java.sql.Timestamp.valueOf("2026-06-01 12:00:00"),
+      java.sql.Timestamp.valueOf("2026-06-01 04:05:00"))).toDF("ts", "recv")
+    val got = Rewrites.guessTimeZone(df, "ts", col("recv"),
+      Seq("UTC", "Europe/Berlin", "Asia/Shanghai", "America/New_York"))
+      .select(col("ts_zone"), date_format(col("ts"), "HH:mm"))
+      .as[(String, String)].head()
+    assert(got === ("Asia/Shanghai", "04:00"))
+  }
+
   test("valuePairs builds a map from glob-selected columns") {
     val df = Seq(("h1", "p1", 7)).toDF("host", "prog", "pid")
     val m = df.select(Rewrites.valuePairs(df, Seq("h*", "p*"), Seq("pid"),

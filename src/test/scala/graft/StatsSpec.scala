@@ -40,6 +40,40 @@ class StatsSpec extends SparkSpec {
     assert(graft.observe.Stats.query(sdf, "*.parse_errors").count() > 0)
   }
 
+  test("stats exposition: CSV + Prometheus golden strings; glob query") {
+    val stats = Seq(
+      ("flagged", "processed", 100L, "save"),
+      ("flagged", "parse_errors", 3L, "save"),
+      ("sink_errors", "processed", 9L, "save"),
+      ("odd;stage", "c", 1L, "j\"q"))
+      .toDF("stage", "counter", "value", "job")
+    val csv = graft.observe.Stats.renderCsv(stats)
+    assert(csv.startsWith("SourceName;SourceId;SourceInstance;State;Type;Number\n"))
+    assert(csv.contains("flagged;save;;a;processed;100\n"))
+    assert(csv.contains("\"odd;stage\";")) // escaped component
+    val prom = graft.observe.Stats.renderPrometheus(stats)
+    assert(prom.contains("syslogng_flagged_processed{job=\"save\"} 100\n"))
+    assert(prom.contains("syslogng_odd_stage_c{job=\"j\\\"q\"} 1\n")) // sanitized + escaped
+    val q = graft.observe.Stats.query(stats, "flagged.*")
+    assert(q.count() === 2)
+  }
+
+  test("stats aggregators: average/maximum/CPS over a timed series") {
+    val timed = Seq(
+      ("s", "processed", 100L, "j", 1000L),
+      ("s", "processed", 160L, "j", 4000L),
+      ("s", "processed", 130L, "j", 2500L),
+      ("t", "processed", 5L, "j", 1000L)) // single tick → cps 0
+      .toDF("stage", "counter", "value", "job", "ts_ms")
+    val got = graft.observe.Stats.aggregators(timed)
+      .as[(String, String, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val s = got("s")
+    assert(s._3 === 130.0 && s._4 === 160L)
+    assert(math.abs(s._5 - (160.0 - 100.0) * 1000.0 / 3000.0) < 1e-9) // 20/s
+    assert(got("t")._5 === 0.0)
+  }
+
   test("batch resume: committed sinks are skipped, missing sinks recomputed") {
     val out = Files.createTempDirectory("graft-resume").toString
     val first = Pipeline.writeSinksResumable(spark, sfUnit, out)
