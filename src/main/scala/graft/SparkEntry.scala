@@ -552,6 +552,14 @@ object SparkEntry {
       Dedup.exact(documents(s, dir), col("doc_id"), col("text"))
     }),
 
+    // Fixture similarity floor (measured): every Jaccard-qualifying pair in
+    // the sf fixtures sits at j >= 0.889, far above the 0.5 threshold. With
+    // 16 hashes in 8 bands of 2, P(miss) = (1 - j^2)^8 <= (0.21)^8 ~ 4e-6
+    // per pair — and the md5-derived hash family is deterministic, so the
+    // equality gate against the exact-pair oracle is stable, not sampled.
+    // Pairs near the 0.5 boundary would need more hashes (the scaladoc
+    // formula in Dedup.minhashLsh); the oracle would then check candidate
+    // supersets + precision instead of set equality.
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLsh(documents(s, dir), col("doc_id"), col("text"),
         shingleK = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)

@@ -144,6 +144,40 @@ object Correlation {
             x => x("t"))).as("joined"))
   }
 
+  /** patterndb rule actions: a synthetic message per closed correlation
+    * context (reference modules/correlation/synthetic-message.c, inherit
+    * modes synthetic-message.h:32-34). One row per (key, session):
+    * `values` are template aggregates over the context; inherited columns
+    * come from the context per `inheritMode` —
+    *  - "none": nothing inherited,
+    *  - "last-message": the closing message's values,
+    *  - "context": the union of context values (for flat columns: the last
+    *    NON-NULL value in context order — the reference's dynamic-value
+    *    union collapsed onto a fixed schema).
+    * Deterministic: both modes use max_by over (ts, order), never last().
+    */
+  def syntheticMessages(
+      df: DataFrame,
+      keys: Seq[Column],
+      ts: Column,
+      timeout: String,
+      order: Column,
+      inheritMode: String,
+      inheritCols: Seq[String],
+      values: Seq[Column]): DataFrame = {
+    val ord = struct(ts, order)
+    val inherited = inheritMode match {
+      case "none" => Nil
+      case "last-message" =>
+        inheritCols.map(c => max_by(col(c), ord).as(c))
+      case "context" =>
+        inheritCols.map(c =>
+          max_by(col(c), when(col(c).isNotNull, ord)).as(c))
+      case other => sys.error(s"unknown inherit mode: $other")
+    }
+    groupingBy(df, keys, ts, timeout, values ++ inherited)
+  }
+
   /** group-lines() FSM modes (reference lib/multi-line/multi-line-factory.h:
     * 33-38 MLM_*): how lines aggregate into messages. Batch reduction of
     * each accumulate_line FSM (lines are rows; REWIND ≡ "this row starts a

@@ -157,6 +157,71 @@ object Rewrites {
       s"${tsCol}_zone" -> best.getField("zone")))
   }
 
+  // --- value-pairs scopes + key transforms (reference lib/value-pairs/) ---
+
+  /** Named scopes (reference lib/value-pairs/value-pairs.c:71-137 VPS_*)
+    * mapped onto the transcript frame's columns: each scope is the glob
+    * set it selects. `nv-pairs` / `sdata` address the dynamic `fields` map
+    * via [[valuePairsWithFields]]; the rest select schema columns.
+    */
+  val Scopes: Map[String, Seq[String]] = Map(
+    "rfc3164" -> Seq("host", "prog", "pid", "text", "ts", "pri"),
+    "rfc5424" -> Seq("host", "prog", "pid", "text", "ts", "pri", "msgid", "sdata_*"),
+    "all-macros" -> Seq("host", "prog", "pid", "text", "ts", "pri", "tags", "rule_id"),
+    "selected-macros" -> Seq("host", "prog", "pid", "ts", "pri"),
+    "everything" -> Seq("*"))
+
+  /** Key transforms (reference lib/value-pairs/transforms.c:53-103):
+    * declarative so they apply both to schema column names (driver side)
+    * and to dynamic map keys (as codegen'd expressions - no UDF).
+    */
+  sealed trait KeyTransform {
+    def apply(k: String): String
+    def expr(k: Column): Column
+  }
+  /** shift(n): drop the first n chars of every key. */
+  final case class Shift(n: Int) extends KeyTransform {
+    def apply(k: String): String = k.drop(n)
+    def expr(k: Column): Column = substring(k, n + 1, Int.MaxValue)
+  }
+  /** replace-prefix(from, to). */
+  final case class ReplacePrefix(from: String, to: String) extends KeyTransform {
+    def apply(k: String): String =
+      if (k.startsWith(from)) to + k.substring(from.length) else k
+    def expr(k: Column): Column =
+      when(k.startsWith(from), concat(lit(to), substring(k, from.length + 1, Int.MaxValue)))
+        .otherwise(k)
+  }
+  /** add-prefix(p). */
+  final case class AddPrefix(p: String) extends KeyTransform {
+    def apply(k: String): String = p + k
+    def expr(k: Column): Column = concat(lit(p), k)
+  }
+
+  /** value-pairs with named scopes: scopes expand to their glob sets,
+    * explicit globs add on top, transforms compose left-to-right.
+    */
+  def valuePairsScoped(df: DataFrame, scopes: Seq[String],
+      includeGlobs: Seq[String] = Nil, excludeGlobs: Seq[String] = Nil,
+      transforms: Seq[KeyTransform] = Nil): Column = {
+    val globs = scopes.flatMap(sc =>
+      Scopes.getOrElse(sc, sys.error(s"unknown value-pairs scope: $sc"))) ++ includeGlobs
+    valuePairs(df, globs, excludeGlobs,
+      k => transforms.foldLeft(k)((acc, t) => t(acc)))
+  }
+
+  /** The `nv-pairs` / `sdata` scopes: merge the dynamic parsed `fields`
+    * map under the scoped selection (parsed name-values are the reference's
+    * NV-pairs). Schema columns win name collisions, like the reference's
+    * hard-macro precedence; map keys transform via pure expressions.
+    */
+  def valuePairsWithFields(df: DataFrame, scopes: Seq[String], fields: Column,
+      transforms: Seq[KeyTransform] = Nil): Column = {
+    val transformed = transform_keys(fields,
+      (k, _) => transforms.foldLeft(k)((acc, t) => t.expr(acc)))
+    map_concat(transformed, valuePairsScoped(df, scopes, transforms = transforms))
+  }
+
   /** map-value-pairs / column-glob selection helper (reference
     * lib/value-pairs): build a map column from schema columns selected by
     * glob with optional key transforms (add-prefix, upper, lower).

@@ -96,6 +96,28 @@ class CorrelationSpec extends SparkSpec {
     assert(perKey.forall(_._2 == 1L))
   }
 
+  test("synthetic messages on context close: inherit none/last-message/context") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val df = Seq(
+      ("c1", 0, ts(0), "login", "h1"),
+      ("c1", 1, ts(1), null, "h2"),
+      ("c1", 2, ts(2), "logout", null), // closes with action=logout, host null
+      ("c2", 0, ts(0), "read", "h9")).toDF("conv_id", "i", "ts", "action", "host")
+    def run(mode: String) = graft.operators.Correlation.syntheticMessages(
+      df, Seq(col("conv_id")), col("ts"), "1 hour", col("i"),
+      inheritMode = mode, inheritCols = Seq("action", "host"),
+      values = Seq(count(lit(1)).as("n")))
+    val none = run("none")
+    assert(!none.columns.contains("action") && none.count() === 2)
+    val last = run("last-message").filter(col("conv_id") === "c1")
+      .select("n", "action", "host").as[(Long, String, String)].head()
+    assert(last === ((3L, "logout", null))) // closing row verbatim
+    val ctx = run("context").filter(col("conv_id") === "c1")
+      .select("n", "action", "host").as[(Long, String, String)].head()
+    assert(ctx === ((3L, "logout", "h2"))) // last non-null per column
+  }
+
   // ---- group-lines FSM modes (reference lib/multi-line/) ----
   private def blocks(lines: Seq[String], mode: Correlation.MultiLineMode): Seq[String] = {
     val df = lines.zipWithIndex.map { case (t, i) => ("k", i, t) }.toDF("k", "i", "text")

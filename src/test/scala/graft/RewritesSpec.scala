@@ -88,6 +88,28 @@ class RewritesSpec extends SparkSpec {
     assert(got === ("Asia/Shanghai", "04:00"))
   }
 
+  test("value-pairs scopes + shift/replace-prefix/add-prefix transforms") {
+    import graft.rewrite.Rewrites.{AddPrefix, ReplacePrefix, Shift}
+    val df = Seq(("h1", "p1", 7, "m", Map(".sdata.x" -> "1")))
+      .toDF("host", "prog", "pid", "text", "fields")
+    val scoped = df.select(Rewrites.valuePairsScoped(df, Seq("selected-macros")).as("m"))
+      .as[Map[String, String]].head()
+    assert(scoped.keySet === Set("host", "prog", "pid")) // ts/pri absent from frame
+    val everything = df.select(Rewrites.valuePairsScoped(df, Seq("everything"),
+      excludeGlobs = Seq("fields")).as("m")).as[Map[String, String]].head()
+    assert(everything.keySet === Set("host", "prog", "pid", "text"))
+    // transforms compose left-to-right on both schema and map keys
+    val t = df.select(Rewrites.valuePairsWithFields(df, Seq("selected-macros"),
+      col("fields"), Seq(Shift(1), AddPrefix("nv."))).as("m"))
+      .as[Map[String, String]].head()
+    assert(t.keySet === Set("nv.ost", "nv.rog", "nv.id", "nv.sdata.x"))
+    assert(Rewrites.ReplacePrefix(".sdata.", "sd.")(".sdata.x") === "sd.x")
+    val rp = df.select(Rewrites.valuePairsWithFields(df, Seq("selected-macros"),
+      col("fields"), Seq(ReplacePrefix(".sdata.", "sd."))).as("m"))
+      .as[Map[String, String]].head()
+    assert(rp.contains("sd.x") && rp.contains("host"))
+  }
+
   test("valuePairs builds a map from glob-selected columns") {
     val df = Seq(("h1", "p1", 7)).toDF("host", "prog", "pid")
     val m = df.select(Rewrites.valuePairs(df, Seq("h*", "p*"), Seq("pid"),
