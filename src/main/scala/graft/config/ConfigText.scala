@@ -201,8 +201,35 @@ object ConfigText {
 
   // ----------------------------------------------------------- top level
   /** Parse config text into the case-class Config (IR #1). */
+  /** `@version: X.Y` pragma + `@include "path"` expansion (reference
+    * lib/cfg-lex.l pragma handling + include resolution): pragmas are
+    * recorded and stripped, includes splice the file's text in place
+    * (recursively, cycle-guarded). Returns (expanded text, version or "").
+    */
+  def preprocess(text: String, seen: Set[String] = Set.empty): (String, String) = {
+    var version = ""
+    val out = new StringBuilder
+    text.linesIterator.foreach { line =>
+      val t = line.trim
+      if (t.startsWith("@version")) {
+        version = t.stripPrefix("@version").stripPrefix(":").stripSuffix(";").trim
+      } else if (t.startsWith("@include")) {
+        val path = t.stripPrefix("@include").trim
+          .stripSuffix(";").stripPrefix("\"").stripSuffix("\"")
+        require(!seen.contains(path), s"@include cycle: $path")
+        val included = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+        val (expanded, v) = preprocess(included, seen + path)
+        if (version.isEmpty) version = v
+        out.append(expanded).append('\n')
+      } else out.append(line).append('\n')
+    }
+    (out.toString, version)
+  }
+
   def parse(text: String): Dsl.Config = {
-    val p = new P(lex(text))
+    val (expanded, _) = preprocess(text)
+    val p = new P(lex(expanded))
     val sources = Map.newBuilder[String, SparkSession => DataFrame]
     val filters = scala.collection.mutable.Map[String, DataFrame => Column]()
     val parsers = scala.collection.mutable.Map[String, DataFrame => DataFrame]()

@@ -40,10 +40,42 @@ object FieldParsers {
 
   /** json-parser(): JSON → typed struct via schema-on-read (reference
     * modules/json/json-parser.c:329). Dotted-column flattening is the
-    * caller's `select(col("j.*"))`.
+    * caller's `select(col("j.*"))` — or [[jsonFlatten]] for the full
+    * prefix()/extract-prefix() surface.
     */
   def jsonParser(input: Column, schemaDdl: String): Column =
     from_json(input, StructType.fromDDL(schemaDdl))
+
+  /** json-parser(prefix(), extract-prefix()) (reference
+    * modules/json/json-parser.c:70-120): nested objects flatten into
+    * dotted top-level columns `prefix + a.b.c`; `extractPrefix` first
+    * descends to that subtree and flattens only it. Pure projection —
+    * one from_json, columns pruned by Catalyst when unused.
+    */
+  def jsonFlatten(df: DataFrame, input: Column, schemaDdl: String,
+      prefix: String = "", extractPrefix: Option[String] = None): DataFrame = {
+    val schema = StructType.fromDDL(schemaDdl)
+    val parsed = from_json(input, schema)
+    val (root, rootType: DataType) = extractPrefix match {
+      case None => (parsed, schema)
+      case Some(p) =>
+        p.split("\\.").foldLeft((parsed, schema: DataType)) {
+          case ((c, st: StructType), name) => (c(name), st(name).dataType)
+          case _ => sys.error(s"extract-prefix $p does not address a struct")
+        }
+    }
+    def flat(c: Column, t: DataType, path: String): Seq[(String, Column)] = t match {
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f =>
+          flat(c(f.name), f.dataType, if (path.isEmpty) f.name else s"$path.${f.name}"))
+      case _ => Seq(path -> c)
+    }
+    val cols = rootType match {
+      case s: StructType => flat(root, s, "")
+      case _             => Seq("" -> root)
+    }
+    cols.foldLeft(df) { case (acc, (p, c)) => acc.withColumn(prefix + p, c) }
+  }
 
   /** date-parser(): strptime with a format list — first format that parses
     * wins (reference modules/timestamp/date-parser.c:105-137). Uses

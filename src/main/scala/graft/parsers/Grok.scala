@@ -180,6 +180,13 @@ object GrokStage {
     }(enc)
   }
 
+  /** drop-invalid(yes) sugar (reference syslog-parser drop-invalid flag):
+    * unmatched rows are DROPPED instead of tagged — the only row-dropping
+    * parse mode; default stays tag-and-keep (logmsg.h:105-124).
+    */
+  def dropInvalid(parsed: DataFrame): DataFrame =
+    parsed.filter(org.apache.spark.sql.functions.col("rule_id").isNotNull)
+
   /** The engine's standard ruleset for transcript `text` lines: BSD-syslog
     * (reference modules/syslogformat/syslog-format.c), kv lines
     * (reference modules/kvformat), flat JSON event lines (reference

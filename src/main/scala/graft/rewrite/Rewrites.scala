@@ -116,6 +116,25 @@ object Rewrites {
     when(num.isNotNull && num.between(0, 23), num).otherwise(byName)
   }
 
+  /** store-matches: capture groups of `re` against `value` into a $0..$n
+    * matches array (reference lib/logmatcher.c:73-119); $0 is the whole
+    * match like the reference.
+    */
+  def storeMatches(df: DataFrame, matchesCol: String, value: Column, re: String): DataFrame =
+    df.withColumn(matchesCol,
+      when(value.rlike(re), regexp_extract_all(value, lit("(" + re + ")"), lit(0)))
+        .otherwise(array().cast("array<string>")))
+
+  /** set-matches(v0, v1, …) — overwrite the matches array wholesale
+    * (reference lib/rewrite/rewrite-set-matches.c).
+    */
+  def setMatches(df: DataFrame, matchesCol: String, values: Seq[Column]): DataFrame =
+    df.withColumn(matchesCol, array(values.map(_.cast("string")): _*))
+
+  /** unset-matches — clear it (rewrite-unset-matches.c). */
+  def unsetMatches(df: DataFrame, matchesCol: String): DataFrame =
+    df.withColumn(matchesCol, array().cast("array<string>"))
+
   /** set-time-zone (reference modules/timestamp/rewrite-set-timezone.c):
     * CONVERT the instant into another zone's wall clock.
     */

@@ -109,4 +109,24 @@ class ConfigTextSpec extends SparkSpec {
         col("variant") === 1).count()
     assert(c.sink("hits").count() === truth)
   }
+
+  test("@version pragma + @include splicing") {
+    val inc = java.nio.file.Files.createTempFile("graft-inc", ".conf")
+    java.nio.file.Files.write(inc,
+      s"""filter f_inc { match("tool_call" value("event")); };""".getBytes)
+    val cfg = s"""
+      @version: 4.8
+      @include "$inc"
+      source s { transcripts("$sfUnit"); };
+      parser p { db-parser(); };
+      destination d { file("hits"); };
+      log { source(s); parser(p); filter(f_inc); destination(d); };
+    """
+    val (expanded, version) = graft.config.ConfigText.preprocess(cfg)
+    assert(version === "4.8" && expanded.contains("f_inc") && !expanded.contains("@include"))
+    val c = graft.config.ConfigText.compile(spark, cfg)
+    val truth = graft.transcripts.Transcripts.loadFull(spark, sfUnit)
+      .filter(col("variant") === 1).count()
+    assert(c.sink("hits").count() === truth)
+  }
 }

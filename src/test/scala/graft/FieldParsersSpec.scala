@@ -47,4 +47,19 @@ class FieldParsersSpec extends SparkSpec {
     assert(got(0) === "2026-03-05 06:07:00" && got(1) === "2026-03-05 06:07:00")
     assert(got(2) == null)
   }
+
+  test("jsonFlatten: dotted columns, prefix, extract-prefix") {
+    val df = Seq("""{"a":{"b":7,"c":"s"},"d":"x"}""").toDF("j")
+    val flat = graft.parsers.FieldParsers.jsonFlatten(
+      df, col("j"), "a STRUCT<b: INT, c: STRING>, d STRING")
+    assert(flat.select(col("`a.b`"), col("`a.c`"), col("d"))
+      .as[(Int, String, String)].head() == ((7, "s", "x")))
+    val pref = graft.parsers.FieldParsers.jsonFlatten(
+      df, col("j"), "a STRUCT<b: INT, c: STRING>, d STRING", prefix = ".json.")
+    assert(pref.columns.count(_.startsWith(".json.")) === 3)
+    val sub = graft.parsers.FieldParsers.jsonFlatten(
+      df, col("j"), "a STRUCT<b: INT, c: STRING>, d STRING",
+      extractPrefix = Some("a"))
+    assert(sub.select("b", "c").as[(Int, String)].head() == ((7, "s")))
+  }
 }

@@ -117,4 +117,17 @@ class RewritesSpec extends SparkSpec {
       .as[Map[String, String]].head()
     assert(m == Map("nv.host" -> "h1", "nv.prog" -> "p1"))
   }
+
+  test("store-matches / set-matches / unset-matches") {
+    val df = Seq("user=alice id=42", "no pairs here").toDF("text")
+    val m = Rewrites.storeMatches(df, "matches", col("text"), "id=(\\d+)")
+      .select("matches").as[Seq[String]].collect()
+    assert(m.exists(_ == Seq("id=42")) && m.exists(_.isEmpty))
+    val set = Rewrites.setMatches(df, "matches", Seq(lit("a"), lit(7)))
+      .select("matches").as[Seq[String]].head()
+    assert(set === Seq("a", "7"))
+    val un = Rewrites.unsetMatches(Rewrites.setMatches(df, "matches", Seq(lit("a"))), "matches")
+      .select("matches").as[Seq[String]].head()
+    assert(un === Seq.empty)
+  }
 }
