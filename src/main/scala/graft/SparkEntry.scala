@@ -649,6 +649,16 @@ object SparkEntry {
         text = col("line"), mode = Correlation.Indented)
     }),
 
+    // patterndb rule actions: synthetic message per closed context with
+    // context-mode inheritance (last non-null value per inherited column)
+    "q_synthetic_close" -> ((s, dir) => {
+      Correlation.syntheticMessages(
+        transcripts(s, dir), Seq(col("conv_id")), col("ts"), "8 hours",
+        col("turn_idx"), inheritMode = "context",
+        inheritCols = Seq("role", "tool"),
+        values = Seq(count(lit(1)).as("n_turns")))
+    }),
+
     // salted variants of the hot-key windowed operators: row-identical to
     // their unsalted counterparts (checked against the SAME oracles), but
     // no task ever owns a whole hot conversation (Skew order-aligned
@@ -980,6 +990,19 @@ object SparkEntry {
            CASE WHEN tool IS NULL THEN role ELSE concat(role, ',', tool) END AS b,
            strftime(ts, '%Y/%m/%d %H:%M') AS c
          FROM transcripts"""),
+
+    "q_synthetic_close" -> Transcripts.oracle(
+      """, y0 AS (SELECT conv_id, ts, turn_idx, role, tool,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 8 HOUR THEN 1 ELSE 0 END AS ns
+                  FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+         , y1 AS (SELECT *, sum(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                          ROWS UNBOUNDED PRECEDING) AS sid FROM y0)
+         SELECT conv_id, cast(count(*) AS bigint) AS n_turns,
+           first(role ORDER BY ts DESC, turn_idx DESC) AS role,
+           first(tool ORDER BY (tool IS NOT NULL) DESC, ts DESC, turn_idx DESC) AS tool,
+           min(ts) AS session_start, max(ts) + INTERVAL 8 HOUR AS session_end
+         FROM y1 GROUP BY conv_id, sid"""),
 
     "q_grouping_by" -> Transcripts.oracle(
       """, s0 AS (SELECT conv_id, ts, turn_idx, tool,

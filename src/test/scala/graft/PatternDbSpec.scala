@@ -181,4 +181,21 @@ class PatternDbSpec extends SparkSpec {
     assert(out(1) == ("h=0x1F", "hex", "system", null, null, 31L, Seq()))
     assert(out(2) == ("n=42 f=2.5e1", "num", "metrics", 42L, 25.0, null, Seq()))
   }
+
+  test("radix dispatch over 2000 rules: first-match + typed captures intact") {
+    // thousands of rules sharing literal prefixes exercise edge splitting;
+    // dispatch stays O(message length) regardless of rule count
+    val rules = (0 until 2000).map { i =>
+      PdbRule(s"r$i", Seq(s"svc-$i: op=@ESTRING:op: @took=@NUMBER:ms@ms"))
+    }
+    val matcher = new Matcher(rules)
+    val caps = new ArrayBuffer[Cap]
+    for (i <- Seq(0, 7, 999, 1999)) {
+      caps.clear()
+      val hit = matcher.find(s"svc-$i: op=read took=42ms", caps)
+      assert(hit != null && hit.id == s"r$i")
+      assert(caps.map(c => c.name -> c.value).toMap == Map("op" -> "read", "ms" -> "42"))
+    }
+    assert(matcher.find("svc-2000: op=x took=1ms", new ArrayBuffer[Cap]) == null)
+  }
 }

@@ -155,4 +155,23 @@ class StreamingSpec extends SparkSpec {
       assert(streamTotal === batchTotal)
     } finally q.stop()
   }
+
+  test("patterndb + scanner stages on a stream match their batch results") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val parsed = graft.parsers.PatternDb.annotate(
+      input.toDS().toDF(), "text", graft.parsers.PatternDb.transcriptRules)
+    val q = parsed.select(col("conv_id"), col("pdb_rule"),
+        col("pdb_fields")("duration_ms").as("dur"))
+      .writeStream.format("memory").queryName("pdbstream").start()
+    try {
+      input.addData(
+        turn("a", 0, 0, text = "event=tool_call tool=bash duration_ms=77 ok=true"),
+        turn("a", 1, 1, text = "~~CORRUPT#1##"))
+      q.processAllAvailable()
+      val got = spark.table("pdbstream")
+        .as[(String, String, String)].collect().sortBy(r => Option(r._2))
+      assert(got.toSeq === Seq(("a", null, null), ("a", "pdb-kv", "77")))
+    } finally q.stop()
+  }
 }
