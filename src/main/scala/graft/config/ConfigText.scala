@@ -167,16 +167,55 @@ object ConfigText {
 
   private def parserDriver(c: Call): DataFrame => DataFrame = c.name match {
     case "db-parser" | "grok" =>
-      df => GrokStage(df, c.kwargs.getOrElse("value", "text"), GrokStage.transcriptRules)
+      // db-parser(file("rules.xml")) loads a patterndb XML rule set and
+      // runs the typed radix matcher; without file() the grok transcript
+      // ruleset applies (regexp first-match)
+      c.kwargs.get("file") match {
+        case Some(path) =>
+          val rules = graft.parsers.PatternDb.loadXml(new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+          df => graft.parsers.PatternDb.promote(
+            graft.parsers.PatternDb.annotate(
+              df, c.kwargs.getOrElse("value", "text"), rules), rules)
+        case None =>
+          df => GrokStage(df, c.kwargs.getOrElse("value", "text"), GrokStage.transcriptRules)
+      }
     case "kv-parser" =>
-      df => df.withColumn(c.kwargs.getOrElse("prefix", "kv"),
-        FieldParsers.kvParser(col(c.kwargs.getOrElse("value", "text"))))
+      // quoted-dialect scan when requested; plain str_to_map otherwise
+      if (c.kwargs.get("dialect").contains("scanner") || c.args.contains("extract-stray-words"))
+        df => graft.parsers.Scanners.kvStage(df, c.kwargs.getOrElse("value", "text"),
+          graft.parsers.Scanners.KvOptions(
+            extractStrayWords = c.args.contains("extract-stray-words")),
+          prefix = c.kwargs.getOrElse("prefix", "kv_"))
+      else
+        df => df.withColumn(c.kwargs.getOrElse("prefix", "kv"),
+          FieldParsers.kvParser(col(c.kwargs.getOrElse("value", "text"))))
     case "json-parser" =>
       df => df.withColumn(c.kwargsOrFail("prefix"),
         FieldParsers.jsonParser(col(c.kwargs.getOrElse("value", "text")),
           c.args.head))
     case "csv-parser" =>
-      df => FieldParsers.csvParser(df, col(c.kwargs.getOrElse("value", "text")), c.args)
+      // dialect() selects the scanner FSM (escape modes, greedy, strip)
+      c.kwargs.get("dialect") match {
+        case Some(d) =>
+          val dialect = d match {
+            case "escape-none" => graft.parsers.Scanners.EscapeNone
+            case "escape-backslash" => graft.parsers.Scanners.EscapeBackslash
+            case "escape-backslash-with-sequences" => graft.parsers.Scanners.EscapeBackslashWithSequences
+            case "escape-double-char" => graft.parsers.Scanners.EscapeDoubleChar
+            case other => sys.error(s"unknown csv dialect: $other")
+          }
+          val names = c.args.filterNot(Set("greedy", "strip-whitespace"))
+          df => graft.parsers.Scanners.csvStage(
+            df, c.kwargs.getOrElse("value", "text"), names,
+            graft.parsers.Scanners.CsvOptions(
+              delimiters = c.kwargs.getOrElse("delimiters", ","),
+              dialect = dialect,
+              greedy = c.args.contains("greedy"),
+              stripWhitespace = c.args.contains("strip-whitespace")))
+        case None =>
+          df => FieldParsers.csvParser(df, col(c.kwargs.getOrElse("value", "text")), c.args)
+      }
     case other => sys.error(s"unknown parser driver: $other")
   }
 

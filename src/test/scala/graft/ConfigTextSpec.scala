@@ -129,4 +129,27 @@ class ConfigTextSpec extends SparkSpec {
       .filter(col("variant") === 1).count()
     assert(c.sink("hits").count() === truth)
   }
+
+  test("db-parser(file()) loads patterndb XML; csv-parser(dialect()) scans quoted") {
+    val rulesFile = java.nio.file.Files.createTempFile("graft-pdb", ".xml")
+    java.nio.file.Files.write(rulesFile,
+      """<patterndb version="4"><ruleset name="kv" id="r"><rules>
+        |<rule id="kvline" class="app"><patterns>
+        |<pattern>event=@ESTRING:ev: @tool=@ESTRING:tl: @duration_ms=@NUMBER:dur@ ok=@ANYSTRING:okv@</pattern>
+        |</patterns></rule></rules></ruleset></patterndb>""".stripMargin.getBytes)
+    val cfg = s"""
+      source s { transcripts("$sfUnit"); };
+      parser p { db-parser(file("$rulesFile")); };
+      filter f { match("kvline" value("pdb_rule")); };
+      destination d { file("kv"); };
+      log { source(s); parser(p); filter(f); destination(d); };
+    """
+    val c = graft.config.ConfigText.compile(spark, cfg)
+    val hits = c.sink("kv")
+    val truth = graft.transcripts.Transcripts.loadFull(spark, sfUnit)
+      .filter(col("variant") === 1)
+    assert(hits.count() === truth.count())
+    // typed promotion happened: dur is bigint
+    assert(hits.schema("dur").dataType === org.apache.spark.sql.types.LongType)
+  }
 }
