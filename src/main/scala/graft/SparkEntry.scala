@@ -994,7 +994,7 @@ object SparkEntry {
     "q_synthetic_close" -> Transcripts.oracle(
       """, y0 AS (SELECT conv_id, ts, turn_idx, role, tool,
                    CASE WHEN lag(ts) OVER w IS NULL
-                          OR ts - lag(ts) OVER w >= INTERVAL 8 HOUR THEN 1 ELSE 0 END AS ns
+                          OR ts - lag(ts) OVER w > INTERVAL 8 HOUR THEN 1 ELSE 0 END AS ns
                   FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
          , y1 AS (SELECT *, sum(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
                                           ROWS UNBOUNDED PRECEDING) AS sid FROM y0)
@@ -1007,7 +1007,7 @@ object SparkEntry {
     "q_grouping_by" -> Transcripts.oracle(
       """, s0 AS (SELECT conv_id, ts, turn_idx, tool,
                    CASE WHEN lag(ts) OVER w IS NULL
-                          OR ts - lag(ts) OVER w >= INTERVAL 8 HOUR THEN 1 ELSE 0 END AS ns
+                          OR ts - lag(ts) OVER w > INTERVAL 8 HOUR THEN 1 ELSE 0 END AS ns
                   FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
          , s1 AS (SELECT *, sum(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
                                           ROWS UNBOUNDED PRECEDING) AS sid FROM s0)

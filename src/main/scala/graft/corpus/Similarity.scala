@@ -127,8 +127,14 @@ object Similarity {
       bits: Int = 128, rowsPerBand: Int = 4, dim: Int = 64): DataFrame = {
     val numBands = bits / rowsPerBand
     val base = corpus.select(id.as("vec_id"), vec.as("v"))
+    // fail fast on a dim mismatch: zip_with would null every projection,
+    // every bit would render "0", and the bucket join would silently
+    // degrade to all-pairs
+    val checked = when(size(col("v")) === dim, col("v"))
+      .otherwise(raise_error(concat(lit(s"hyperplane LSH configured for dim=$dim, got "),
+        size(col("v")).cast("string"))))
     val sig = base.select(col("vec_id"),
-      transform(hyperplaneBits(col("v"), bits, dim), b => when(b, "1").otherwise("0")).as("bitstr"))
+      transform(hyperplaneBits(checked, bits, dim), b => when(b, "1").otherwise("0")).as("bitstr"))
     val bands = sig.select(col("vec_id"),
       explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),

@@ -226,11 +226,14 @@ object Templates {
     val rTs = recvTs.getOrElse(ts)
     val pTs = procTs.getOrElse(rTs)
     val facLetters = typedlit(('A' to 'X').map(_.toString))
+    val dS = dateMacros(ts)
+    val dR = dateMacros(rTs)
+    val dP = dateMacros(pTs)
     val dates =
-      dateMacros(ts) ++
-        dateMacros(ts).map { case (k, v) => s"S_$k" -> v } ++
-        dateMacros(rTs).map { case (k, v) => s"R_$k" -> v } ++
-        dateMacros(pTs).flatMap { case (k, v) => Seq(s"C_$k" -> v, s"P_$k" -> v) }
+      dS ++
+        dS.map { case (k, v) => s"S_$k" -> v } ++
+        dR.map { case (k, v) => s"R_$k" -> v } ++
+        dP.flatMap { case (k, v) => Seq(s"C_$k" -> v, s"P_$k" -> v) }
     val prog = fields("prog")
     val pid = fields("pid")
     val fixed: Map[String, Column] = dates ++ Map(
@@ -248,7 +251,7 @@ object Templates {
       "PRI" -> pri.cast("string"),
       "TAG" -> lpad(lower(hex(pri)), 2, "0"), // pri as 2-digit hex
       "BSDTAG" -> concat(pmod(pri, lit(8)).cast("string"),
-        element_at(facLetters, floor(pri / 8).cast("int") + 1)),
+        coalesce(try_element_at(facLetters, floor(pri / 8).cast("int") + 1), lit("?"))),
       "FACILITY" -> graft.model.SyslogNames.facilityName(pri),
       "FACILITY_NUM" -> graft.model.SyslogNames.facilityNum(pri).cast("string"),
       "SEVERITY" -> graft.model.SyslogNames.severityName(pri),
@@ -348,11 +351,13 @@ object TemplateFunctions {
     "-" -> (fold(_, _ - _)),
     "*" -> (fold(_, _ * _)),
     // int64-first like the reference (numeric-funcs.c): integer-formed
-    // operands divide as int64 (floor), anything with a '.'/'e' as double
+    // operands divide as int64 (C truncation toward zero, NOT floor —
+    // -7/2 = -3), anything with a '.'/'e' divides as double
     "/" -> (a => {
       val intForm = (c: Column) => c.cast("string").rlike("^-?\\d+$")
       val q = num(a(0).col) / num(a(1).col)
-      renderNum(when(intForm(a(0).col) && intForm(a(1).col), floor(q)).otherwise(q))
+      renderNum(when(intForm(a(0).col) && intForm(a(1).col),
+        q.cast("long").cast("double")).otherwise(q))
     }),
     "%" -> (a => renderNum(pmod(num(a(0).col), num(a(1).col)))),
     "sum" -> (fold(_, _ + _)),

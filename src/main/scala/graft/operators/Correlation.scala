@@ -136,12 +136,8 @@ object Correlation {
     val w = Window.partitionBy(key).orderBy(order.asc)
     df.withColumn("block", sum(when(isStart, 1).otherwise(0)).over(w))
       .groupBy(key.as("key"), col("block"))
-      .agg(
-        count(lit(1)).as("n_lines"),
-        min(order).as("start_idx"),
-        concat_ws("\n",
-          transform(array_sort(collect_list(struct(order.as("o"), text.as("t")))),
-            x => x("t"))).as("joined"))
+      .agg(Correlation.blockAggs(order, text).head,
+        Correlation.blockAggs(order, text).tail: _*)
   }
 
   /** patterndb rule actions: a synthetic message per closed correlation
@@ -228,13 +224,21 @@ object Correlation {
       .withColumn("block", sum(when(isStart, 1).otherwise(0)).over(w))
       .filter(!col("__ml_ex"))
       .groupBy(key.as("key"), col("block"))
-      .agg(
-        count(lit(1)).as("n_lines"),
-        min(order).as("start_idx"),
-        concat_ws("\n",
-          transform(array_sort(collect_list(struct(order.as("o"), text.as("t")))),
-            x => x("t"))).as("joined"))
+      .agg(Correlation.blockAggs(order, text).head,
+        Correlation.blockAggs(order, text).tail: _*)
   }
+
+  /** The ordered-block output aggregate shared by every multi-line shape
+    * (and Skew.saltedMultiLine — the salted/unsalted row-identity contract
+    * is structural, not copy-paste): line count, first order value, and
+    * the order-sorted newline join.
+    */
+  private[graft] def blockAggs(order: Column, text: Column): Seq[Column] = Seq(
+    count(lit(1)).as("n_lines"),
+    min(order).as("start_idx"),
+    concat_ws("\n",
+      transform(array_sort(collect_list(struct(order.as("o"), text.as("t")))),
+        x => x("t"))).as("joined"))
 
   /** The context-scoped template functions (reference
     * modules/basicfuncs/basic-funcs.c:81-83 `$(context-length)`,

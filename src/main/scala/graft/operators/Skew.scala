@@ -68,12 +68,8 @@ object Skew {
       .join(offsets, Seq("__sk_k", "__sk_slice"))
       .withColumn("block", col("__sk_wblock") + col("__sk_off"))
       .groupBy(col("__sk_k").as("key"), col("block"))
-      .agg(
-        count(lit(1)).as("n_lines"),
-        min(order).as("start_idx"),
-        concat_ws("\n",
-          transform(array_sort(collect_list(struct(order.as("o"), text.as("t")))),
-            x => x("t"))).as("joined"))
+      .agg(Correlation.blockAggs(order, text).head,
+        Correlation.blockAggs(order, text).tail: _*)
   }
 
   /** Salted suppress: row-identical to Correlation.suppress. The previous

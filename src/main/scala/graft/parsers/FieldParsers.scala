@@ -74,7 +74,8 @@ object FieldParsers {
       case s: StructType => flat(root, s, "")
       case _             => Seq("" -> root)
     }
-    cols.foldLeft(df) { case (acc, (p, c)) => acc.withColumn(prefix + p, c) }
+    // one projection: a withColumn per leaf re-analyzes the plan per column
+    df.withColumns(cols.map { case (p, c) => (prefix + p) -> c }.toMap)
   }
 
   /** date-parser(): strptime with a format list — first format that parses

@@ -153,6 +153,17 @@ object PatternDb {
   private[parsers] final class PNode(
       val ptype: String, val name: String, val param: String) {
     // initial-character dispatch gate (radix.c parser_node->first/last)
+    // config-time validation (the reference rejects these at rule load,
+    // radix.c r_new_pnode msg_error branches)
+    ptype match {
+      case "QSTRING" => require(param.nonEmpty, "@QSTRING@ needs a quote-character param")
+      case "ESTRING" => require(param.nonEmpty, "@ESTRING@ needs a delimiter param")
+      case "SET"     => require(param.nonEmpty, "@SET@ needs a character-set param")
+      case "PCRE"    => require(param.nonEmpty, "@PCRE@ needs a regex param")
+      case "LLADDR"  => require(param.isEmpty || param.forall(_.isDigit),
+        "@LLADDR@ param must be a part count")
+      case _ => ()
+    }
     val (first: Char, last: Char) = ptype match {
       case "IPv4"             => ('0', '9')
       case "NUMBER" | "FLOAT" | "DOUBLE" => ('-', '9')
@@ -637,11 +648,13 @@ object PatternDb {
   def promote(df: DataFrame, rules: Seq[PdbRule]): DataFrame = {
     val cols = typedFields(rules).map { case (name, dt) =>
       val raw = try_element_at(col("pdb_fields"), lit(name))
+      // try_cast: FLOAT/NUMBER atoms can capture strings ANSI cast rejects
+      // ('12e' with no exponent digits, '-', > Long.MaxValue digits)
       val typed = dt match {
         case LongType =>
-          when(raw.rlike("^0[xX]"), conv(regexp_replace(raw, "^0[xX]", ""), 16, 10).cast(LongType))
-            .otherwise(raw.cast(LongType))
-        case DoubleType => raw.cast(DoubleType)
+          when(raw.rlike("^0[xX]"), conv(regexp_replace(raw, "^0[xX]", ""), 16, 10).try_cast(LongType))
+            .otherwise(raw.try_cast(LongType))
+        case DoubleType => raw.try_cast(DoubleType)
         case _          => raw
       }
       typed.as(name)

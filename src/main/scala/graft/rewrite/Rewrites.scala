@@ -238,7 +238,13 @@ object Rewrites {
       transforms: Seq[KeyTransform] = Nil): Column = {
     val transformed = transform_keys(fields,
       (k, _) => transforms.foldLeft(k)((acc, t) => t.expr(acc)))
-    map_concat(transformed, valuePairsScoped(df, scopes, transforms = transforms))
+    val scoped = valuePairsScoped(df, scopes, transforms = transforms)
+    // schema-wins on collisions: map_concat under the default
+    // mapKeyDedupPolicy=EXCEPTION would throw DUPLICATED_MAP_KEY when a
+    // parsed field name matches a scoped column — filter those out first
+    map_concat(
+      map_filter(transformed, (k, _) => !array_contains(map_keys(scoped), k)),
+      scoped)
   }
 
   /** map-value-pairs / column-glob selection helper (reference
