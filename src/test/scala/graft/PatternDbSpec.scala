@@ -198,4 +198,24 @@ class PatternDbSpec extends SparkSpec {
     }
     assert(matcher.find("svc-2000: op=x took=1ms", new ArrayBuffer[Cap]) == null)
   }
+
+  test("promote survives captures ANSI casts reject; bad atom params fail at load") {
+    import spark.implicits._
+    // FLOAT accepts '12e' (exponent marker, no digits) — promote must
+    // yield null, not kill the job under ANSI mode
+    val rules = Seq(PdbRule("f", Seq("v=@FLOAT:score@!")))
+    val out = PatternDb.promote(
+      PatternDb.annotate(Seq("v=12e!").toDF("text"), "text", rules), rules)
+      .select("pdb_rule", "score").collect().head
+    assert(out.getString(0) == "f" && out.isNullAt(1))
+    // config-time rejection of malformed atoms (reference rule-load errors)
+    intercept[IllegalArgumentException] {
+      new Matcher(Seq(PdbRule("q", Seq("x=@QSTRING:v@"))))
+        .find("x=1", new ArrayBuffer[Cap])
+    }
+    intercept[IllegalArgumentException] {
+      new Matcher(Seq(PdbRule("l", Seq("x=@LLADDR:v:abc@"))))
+        .find("x=1", new ArrayBuffer[Cap])
+    }
+  }
 }

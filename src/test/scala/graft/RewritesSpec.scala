@@ -130,4 +130,13 @@ class RewritesSpec extends SparkSpec {
       .select("matches").as[Seq[String]].head()
     assert(un === Seq.empty)
   }
+
+  test("valuePairsWithFields: parsed field colliding with a schema column — schema wins") {
+    val df = Seq(("schema-host", Map("host" -> "parsed-host", "extra" -> "e")))
+      .toDF("host", "fields")
+    val m = df.select(Rewrites.valuePairsWithFields(df, Seq("selected-macros"),
+      col("fields")).as("m")).as[Map[String, String]].head()
+    assert(m("host") === "schema-host") // no DUPLICATED_MAP_KEY, schema wins
+    assert(m("extra") === "e")
+  }
 }

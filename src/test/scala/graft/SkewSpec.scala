@@ -110,4 +110,21 @@ class SkewSpec extends SparkSpec {
       .as[String].head()
     assert(got === "aXb2")
   }
+
+  test("equal-gap events merge in both session paths (boundary semantics)") {
+    import graft.operators.Correlation
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def t(m: Long) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    // gaps of exactly 30 min with a 30-minute timeout: session_window
+    // merges them; the salted marker (gap > timeout) must agree
+    val df = Seq(("c", 0, t(0)), ("c", 1, t(30)), ("c", 2, t(60)), ("c", 3, t(121)))
+      .toDF("conv_id", "i", "ts")
+    val aggs = Seq(count(lit(1)).as("n"))
+    val direct = Correlation.groupingBy(df, Seq(col("conv_id")), col("ts"),
+      "30 minutes", aggs).select("n").as[Long].collect().sorted
+    val salted = Skew.saltedSessionize(df, Seq(col("conv_id")), col("ts"),
+      1800L, aggs, sliceSeconds = 3600L).select("n").as[Long].collect().sorted
+    assert(direct.toSeq === Seq(1L, 3L)) // equal-gap rows merged
+    assert(salted.toSeq === direct.toSeq)
+  }
 }

@@ -104,4 +104,14 @@ class TemplatesSpec extends SparkSpec {
     assert(ev("$(tag t1)/$(tag t9)") === "1/0")
     assert(ev("$(tags-head)") === "t1")
   }
+
+  test("$(/) truncates toward zero for ints, divides doubles as doubles") {
+    val df = Seq(1).toDF("x")
+    val r: graft.functions.Templates.Resolver = _ => None
+    def eval(t: String): String =
+      df.select(graft.functions.Templates.compile(t, r).as("v")).as[String].head()
+    assert(eval("$(/ -7 2)") === "-3")  // C int64 truncation, not floor(-3.5) = -4
+    assert(eval("$(/ 7 2)") === "3")
+    assert(eval("$(/ 7.0 2)") === "3.5") // double-formed operand → double division
+  }
 }
