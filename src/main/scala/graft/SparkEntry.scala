@@ -529,6 +529,12 @@ object SparkEntry {
         embeddings(s, dir), col("vec_id"), col("embedding"), threshold = 0.4)
     }),
 
+    // composed end-to-end dedup: exact + near-dup pairs -> clusters ->
+    // survivors-only corpus (the operation a training pipeline runs)
+    "q_dedup_pipeline" -> ((s, dir) => {
+      Dedup.dedupCorpus(documents(s, dir), col("doc_id"), col("text"))
+    }),
+
     // pairs -> transitive duplicate clusters -> survivor per cluster
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = documents(s, dir)
@@ -1060,6 +1066,33 @@ object SparkEntry {
          , p AS (SELECT vec_a, vec_b, $COSINE AS cos
                  FROM a, b WHERE vec_a < vec_b)
          SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4""",
+
+    "q_dedup_pipeline" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in generate_series(1, len(w) - 2)]) AS s
+                FROM tok),
+         near AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.s, b.s))::double /
+                        len(list_distinct(list_concat(a.s, b.s)))::double >= 0.5),
+         ex AS (SELECT l.kid AS doc_a, d.doc_id AS doc_b
+                FROM documents d
+                JOIN (SELECT lower(trim(text)) AS t0, min(doc_id) AS kid
+                      FROM documents GROUP BY 1) l
+                  ON lower(trim(d.text)) = l.t0
+                WHERE l.kid < d.doc_id),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM near
+                   UNION SELECT doc_b, doc_a FROM near
+                   UNION SELECT doc_a, doc_b FROM ex
+                   UNION SELECT doc_b, doc_a FROM ex),
+         walk(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
+         keep AS (SELECT id FROM walk GROUP BY id HAVING id = min(lab))
+         SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.id""",
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -213,6 +213,39 @@ object Dedup {
         coalesce(col("lab"), col("member_id")).as("keep_id"))
   }
 
+  /** The canonical corpus dedup pass, composed end-to-end: exact duplicate
+    * pairs (same normalized content) ∪ MinHash-LSH near-dup pairs →
+    * connected components → keep only each cluster's minimum-id survivor.
+    * Returns the surviving rows of `docs`, unchanged schema — the "drop
+    * the duplicates" operation a training-data pipeline actually runs.
+    *
+    * Scale shape: one content-hash aggregate (exact pairs come from the
+    * hash groups, never a text self-join), the id-only LSH band shuffle,
+    * O(log diameter) component rounds, and one final semi-join of
+    * survivors back to the corpus.
+    */
+  def dedupCorpus(
+      docs: DataFrame, id: Column, text: Column,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // exact-dup pairs: every doc in a content group pairs with the group's
+    // keeper (star edges are enough for connectivity)
+    val exactPairs = docs
+      .select(id.as("doc_id"), sha2(lower(trim(text)), 256).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_a"), collect_set(col("doc_id")).as("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+    val nearPairs = minhashLsh(docs, id, text, shingleK, threshold = threshold)
+      .select("doc_a", "doc_b")
+    val clusters = resolveClusters(
+      docs.select(id.as("member_id")),
+      exactPairs.unionByName(nearPairs), "doc_a", "doc_b")
+    docs.join(
+      clusters.filter(col("member_id") === col("keep_id"))
+        .select(col("member_id").as("__keep")),
+      id === col("__keep"), "left_semi")
+  }
+
   /** SimHash signature per document: one bit per md5 nibble-MSB of each
     * token, majority-voted over all tokens (bit = 1 when the +1/−1 vote sum
     * is ≥ 0). `bits` ≤ 32 uses the first `bits` hex nibbles of md5(token).
