@@ -282,9 +282,27 @@ object Scanners {
       s.add(StructField(n, StringType, nullable = true)))
       .add(StructField(s"${prefix}invalid", BooleanType, nullable = false))
     val textIdx = inSchema.fieldIndex(textCol)
+    val nCols = names.length
+    if (df.isStreaming) {
+      // streaming frames cannot lower to an RDD: external-Row path
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val nIn = inSchema.length
+      return df.mapPartitions { it =>
+        it.map { row =>
+          val text = row.getString(textIdx)
+          val vals = if (text == null) null else scanCsv(text, nCols, o)
+          val out = new Array[Any](nIn + nCols + 1)
+          var c = 0
+          while (c < nIn) { out(c) = row.get(c); c += 1 }
+          var k = 0
+          while (k < nCols) { out(nIn + k) = if (vals == null) null else vals(k); k += 1 }
+          out(nIn + nCols) = vals == null
+          new org.apache.spark.sql.catalyst.expressions.GenericRow(out): org.apache.spark.sql.Row
+        }
+      }(enc)
+    }
     val inTypes = inSchema.fields.map(_.dataType)
     val nIn = inSchema.length
-    val nCols = names.length
     val rdd = Bridge.toInternalRdd(df).mapPartitions { it =>
       it.map { row =>
         val text = if (row.isNullAt(textIdx)) null else row.getUTF8String(textIdx).toString
@@ -315,6 +333,25 @@ object Scanners {
         MapType(StringType, StringType, valueContainsNull = false), nullable = false))
       .add(StructField(s"${prefix}stray", StringType, nullable = false))
     val textIdx = inSchema.fieldIndex(textCol)
+    if (df.isStreaming) {
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val nIn = inSchema.length
+      return df.mapPartitions { it =>
+        it.map { row =>
+          val text = row.getString(textIdx)
+          val out = new Array[Any](nIn + 2)
+          var c = 0
+          while (c < nIn) { out(c) = row.get(c); c += 1 }
+          if (text == null) { out(nIn) = Map.empty[String, String]; out(nIn + 1) = "" }
+          else {
+            val (pairs, stray) = scanKv(text, o)
+            out(nIn) = pairs.toMap // last-wins
+            out(nIn + 1) = stray
+          }
+          new org.apache.spark.sql.catalyst.expressions.GenericRow(out): org.apache.spark.sql.Row
+        }
+      }(enc)
+    }
     val inTypes = inSchema.fields.map(_.dataType)
     val nIn = inSchema.length
     val rdd = Bridge.toInternalRdd(df).mapPartitions { it =>

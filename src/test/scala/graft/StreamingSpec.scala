@@ -173,5 +173,19 @@ class StreamingSpec extends SparkSpec {
         .as[(String, String, String)].collect().sortBy(r => Option(r._2))
       assert(got.toSeq === Seq(("a", null, null), ("a", "pdb-kv", "77")))
     } finally q.stop()
+
+    // kv scanner FSM on a stream (Row path)
+    val input2 = MemoryStream[Turn]
+    val kvq = graft.parsers.Scanners.kvStage(
+      input2.toDS().toDF(), "text",
+      graft.parsers.Scanners.KvOptions(extractStrayWords = true))
+      .select(col("kv_fields")("msg").as("m"), col("kv_stray"))
+      .writeStream.format("memory").queryName("kvstream").start()
+    try {
+      input2.addData(turn("a", 0, 0, text = "boot msg='hello world' n=2"))
+      kvq.processAllAvailable()
+      val r = spark.table("kvstream").as[(String, String)].head()
+      assert(r === (("hello world", "boot")))
+    } finally kvq.stop()
   }
 }
