@@ -122,6 +122,21 @@ object PatternDb {
     PdbRule("pdb-csv", Seq(
       "conv-@NUMBER:cnum@,@NUMBER:cturn@,@STRING:crole@,@NUMBER:clat@"), "csv"))
 
+  /** app-parser() (reference modules/app-parser, scl application
+    * auto-detection): try every application's ruleset, first match wins —
+    * which is exactly one merged radix dispatch, since the trie's
+    * first-match order subsumes per-app iteration. Rules get their app
+    * name as ruleClass, so `pdb_class` IS the detected application
+    * ($(.app.name) analog); unmatched rows keep the parse-error tag.
+    */
+  def appParser(df: DataFrame, textCol: String,
+      appRules: Map[String, Seq[PdbRule]]): DataFrame = {
+    val merged = appRules.toSeq.sortBy(_._1).flatMap { case (app, rules) =>
+      rules.map(r => r.copy(ruleClass = app))
+    }
+    annotate(df, textCol, merged)
+  }
+
   // ------------------------------------------------------- XML rule files
 
   /** Minimal patterndb XML loader (the v3-v6 schema subset the matcher

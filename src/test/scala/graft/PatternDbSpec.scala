@@ -218,4 +218,21 @@ class PatternDbSpec extends SparkSpec {
         .find("x=1", new ArrayBuffer[Cap])
     }
   }
+
+  test("app-parser: merged rulesets detect the application via pdb_class") {
+    import spark.implicits._
+    val apps = Map(
+      "sshd" -> Seq(PdbRule("ssh-fail",
+        Seq("Failed password for @ESTRING:user: @from @IPvANY:ip@"))),
+      "nginx" -> Seq(PdbRule("ngx-req",
+        Seq("@IPvANY:client@ - GET @ESTRING:path: @HTTP"))))
+    val df = Seq(
+      "Failed password for root from 10.0.0.9",
+      "10.1.2.3 - GET /idx.html HTTP",
+      "unrelated").toDF("text")
+    val got = PatternDb.appParser(df, "text", apps)
+      .select("pdb_class", "pdb_rule").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("sshd", "ssh-fail"), ("nginx", "ngx-req"), (null, null)))
+  }
 }
