@@ -266,8 +266,107 @@ object ConfigText {
     (out.toString, version)
   }
 
+  // ------------------------------------------------------ block generators
+
+  private final case class BlockDef(
+      ctx: String, name: String, params: Seq[(String, String)], body: String)
+
+  /** Scan to the matching close char, honoring quoted strings. */
+  private def matching(text: String, open: Int, oc: Char, cc: Char): Int = {
+    var depth = 0
+    var i = open
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '"' || c == '\'') {
+        val close = text.indexOf(c, i + 1)
+        require(close > 0, s"unterminated string at $i")
+        i = close
+      } else if (c == oc) depth += 1
+      else if (c == cc) { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    sys.error(s"unbalanced $oc$cc from offset $open")
+  }
+
+  /** Parse `name1(value1) name2(value2) ...` - quotes stripped off values. */
+  private def parseParamList(s: String): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i).isWhitespace || s.charAt(i) == ',') i += 1
+      else {
+        val j0 = i
+        while (i < s.length && s.charAt(i) != '(') i += 1
+        require(i < s.length, s"block param without (default): $s")
+        val name = s.substring(j0, i).trim
+        val close = matching(s, i, '(', ')')
+        val raw = s.substring(i + 1, close).trim
+        val v = if (raw.length >= 2 && (raw.head == '"' || raw.head == '\'') &&
+          raw.last == raw.head) raw.substring(1, raw.length - 1) else raw
+        out += name -> v
+        i = close + 1
+      }
+    }
+    out.result()
+  }
+
+  /** SCL block generators (reference lib/cfg-block.c + the scl conf library):
+    * `block <ctx> <name>(p1(default) ...) { body with backtick-p1 refs };`
+    * definitions are stripped; each later `name(p1(v) ...);` call splices
+    * the body with backtick-params substituted (given args override
+    * defaults). Blocks may call blocks - expansion iterates to fixpoint.
+    */
+  def expandBlocks(text0: String): String = {
+    var text = text0
+    val blocks = scala.collection.mutable.LinkedHashMap.empty[String, BlockDef]
+    // 1. strip definitions
+    val defRe = """(?m)^\s*block\s+(\w+)\s+([\w.-]+)\s*\(""".r
+    var m = defRe.findFirstMatchIn(text)
+    while (m.isDefined) {
+      val g = m.get
+      val paramsClose = matching(text, g.end - 1, '(', ')')
+      val bodyOpen = text.indexOf('{', paramsClose)
+      require(bodyOpen > 0, s"block ${g.group(2)} has no body")
+      val bodyClose = matching(text, bodyOpen, '{', '}')
+      var end = bodyClose + 1
+      while (end < text.length && (text.charAt(end) == ';' || text.charAt(end).isWhitespace)) end += 1
+      blocks(g.group(2)) = BlockDef(g.group(1), g.group(2),
+        parseParamList(text.substring(g.end, paramsClose)),
+        text.substring(bodyOpen + 1, bodyClose))
+      text = text.substring(0, g.start) + text.substring(end)
+      m = defRe.findFirstMatchIn(text)
+    }
+    // 2. expand calls to fixpoint (nested block calls)
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 10) {
+      changed = false
+      rounds += 1
+      blocks.values.foreach { b =>
+        val callRe = (java.util.regex.Pattern.quote(b.name) + """\s*\(""").r
+        var cm = callRe.findFirstMatchIn(text)
+        while (cm.isDefined) {
+          val c = cm.get
+          val argsClose = matching(text, c.end - 1, '(', ')')
+          val args = parseParamList(text.substring(c.end, argsClose)).toMap
+          var end = argsClose + 1
+          if (end < text.length && text.charAt(end) == ';') end += 1
+          val subst = b.params.toMap ++ args
+          val body = subst.foldLeft(b.body) { case (acc, (k, v)) =>
+            acc.replace("`" + k + "`", v)
+          }
+          text = text.substring(0, c.start) + body + text.substring(end)
+          changed = true
+          cm = callRe.findFirstMatchIn(text)
+        }
+      }
+    }
+    text
+  }
+
   def parse(text: String): Dsl.Config = {
-    val (expanded, _) = preprocess(text)
+    val (included, _) = preprocess(text)
+    val expanded = expandBlocks(included)
     val p = new P(lex(expanded))
     val sources = Map.newBuilder[String, SparkSession => DataFrame]
     val filters = scala.collection.mutable.Map[String, DataFrame => Column]()

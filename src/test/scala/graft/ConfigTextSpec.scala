@@ -152,4 +152,26 @@ class ConfigTextSpec extends SparkSpec {
     // typed promotion happened: dur is bigint
     assert(hits.schema("dur").dataType === org.apache.spark.sql.types.LongType)
   }
+
+  test("block generators: parameterized config macros expand with defaults and overrides") {
+    val cfg = s"""
+      block filter status-is(val("ok")) {
+        match("^`val`$$" value("status"))
+      };
+      block parser parse-then-tag(tag("seen")) {
+        db-parser();
+      };
+      source s { transcripts("$sfUnit"); };
+      parser p { parse-then-tag(); };
+      filter f_err { status-is(val("error")) or status-is(val("fail")); };
+      destination d { file("errs"); };
+      log { source(s); parser(p); filter(f_err); destination(d); };
+    """
+    val expanded = graft.config.ConfigText.expandBlocks(cfg)
+    assert(!expanded.contains("block ") && expanded.contains("^error$"))
+    val c = graft.config.ConfigText.compile(spark, cfg)
+    val truth = graft.transcripts.Transcripts.loadFull(spark, sfUnit)
+      .filter(col("variant").isin(0, 2) && col("status").isin("error", "fail")).count()
+    assert(c.sink("errs").count() === truth)
+  }
 }
