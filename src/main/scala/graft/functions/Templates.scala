@@ -411,7 +411,20 @@ object TemplateFunctions {
     }),
     // --- tags --------------------------------------------------------------
     "tag" -> (a => when(array_contains(col("tags"), a(0).col), "1").otherwise("0")),
-    "tags-head" -> (a => element_at(col("tags"), 1))
+    "tags-head" -> (a => element_at(col("tags"), 1)),
+    // --- context functions (reference basic-funcs.c:81-83, evaluated over
+    //     a whole CorrelationContext): these compile to AGGREGATE columns,
+    //     so a template using them is only valid inside grouping-by's
+    //     aggregate() (exactly the reference's constraint — num_msg > 1
+    //     contexts). $(context-values $x $order) needs the explicit order
+    //     ref because a batch context has no arrival order of its own.
+    "context-length" -> (_ => graft.operators.Correlation.Context.length.cast("string")),
+    "context-values" -> (a => concat_ws(",",
+      graft.operators.Correlation.Context.values(a(0).col, a(1).col))),
+    "context-lookup" -> (a => concat_ws(",",
+      graft.operators.Correlation.Context.lookup(truthy(a(0).col), a(1).col))),
+    "grep" -> (a => concat_ws(",",
+      graft.operators.Correlation.Context.grep(truthy(a(0).col), a(1).col)))
   )
 
   /** Compile a template argument as a lambda body: `$_` resolves to the

@@ -160,4 +160,24 @@ class CorrelationSpec extends SparkSpec {
     assert(got(2).startsWith("Traceback") && got(2).contains("raise ValueError"))
     assert(got(3) === "done")
   }
+
+  test("context functions callable from template text inside aggregate()") {
+    import graft.functions.Templates
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val df = Seq(
+      ("c1", 0, t(0), "login"), ("c1", 1, t(1), "read"), ("c1", 2, t(2), "logout"))
+      .toDF("conv_id", "i", "ts", "action")
+    val resolver: Templates.Resolver = n =>
+      if (Set("action", "i").contains(n)) Some(col(n)) else None
+    // grep condition: "is action exactly 6 chars" -> only 'logout' here
+    // (nested calls: if(length(action)-6, falsy, truthy))
+    val summary = Templates.compile(
+      "n=$(context-length) acts=$(context-values $action $i)" +
+        " outs=$(grep $(if $(- $(length $action) 6) 0 1) $action)",
+      resolver)
+    val got = Correlation.groupingBy(df, Seq(col("conv_id")), col("ts"), "1 hour",
+      aggs = Seq(summary.as("s"))).select("s").as[String].head()
+    assert(got === "n=3 acts=login,read,logout outs=logout")
+  }
 }
