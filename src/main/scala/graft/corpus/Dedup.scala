@@ -228,13 +228,17 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     // exact-dup pairs: every doc in a content group pairs with the group's
-    // keeper (star edges are enough for connectivity)
-    val exactPairs = docs
-      .select(id.as("doc_id"), sha2(lower(trim(text)), 256).as("h"))
-      .groupBy(col("h"))
-      .agg(min(col("doc_id")).as("doc_a"), collect_set(col("doc_id")).as("members"))
-      .select(col("doc_a"), explode(col("members")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
+    // keeper (star edges are enough for connectivity). Keeper-join, NOT
+    // collect_set: a viral duplicate (10^8 copies of one text) must not
+    // materialize its whole id set into a single row
+    val hashed = docs.select(id.as("doc_id"), sha2(lower(trim(text)), 256).as("h"))
+    val keepers = hashed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("h", "doc_a")
+    val exactPairs = hashed.join(keepers, Seq("h"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
     val nearPairs = minhashLsh(docs, id, text, shingleK, threshold = threshold)
       .select("doc_a", "doc_b")
     val clusters = resolveClusters(
