@@ -33,9 +33,14 @@ object Dedup {
     * duplicate count — one map-side-combinable aggregate, the canonical
     * first pass of any corpus pipeline.
     */
+  /** The ONE normalization + hash defining "identical content" — shared
+    * by exact() and dedupCorpus so the two entry points can never diverge.
+    */
+  def contentHash(text: Column): Column = sha2(lower(trim(text)), 256)
+
   def exact(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs
-      .groupBy(sha2(lower(trim(text)), 256).as("content_hash"))
+      .groupBy(contentHash(text).as("content_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Per-shingle hash pair: ONE md5 per shingle, split into a 60-bit and a
@@ -228,14 +233,18 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     // exact-dup pairs: every doc in a content group pairs with the group's
-    // keeper (star edges are enough for connectivity). Keeper-join, NOT
-    // collect_set: a viral duplicate (10^8 copies of one text) must not
-    // materialize its whole id set into a single row
-    val hashed = docs.select(id.as("doc_id"), sha2(lower(trim(text)), 256).as("h"))
-    val keepers = hashed.groupBy(col("h"))
-      .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("n"))
-      .filter(col("n") > 1)
-      .select("h", "doc_a")
+    // keeper (star edges are enough for connectivity). Keeper-JOIN, not
+    // collect_set (a viral duplicate — 10^8 copies of one text — must not
+    // materialize its id set into one row) and not a window-min (the viral
+    // group would land on one task). Trade-off: the text column is scanned
+    // and hashed on both sides; persist the (doc_id, h) projection when a
+    // second scan of the corpus is the more expensive side. NULL-text docs
+    // never join (NULL keys drop) and so are never deduplicated — same as
+    // SQL-engine null-join semantics.
+    val hashed = docs.select(id.as("doc_id"), contentHash(text).as("h"))
+    val keepers = exact(docs, id, text)
+      .filter(col("n_copies") > 1)
+      .select(col("content_hash").as("h"), col("keep_id").as("doc_a"))
     val exactPairs = hashed.join(keepers, Seq("h"))
       .filter(col("doc_id") =!= col("doc_a"))
       .select(col("doc_a"), col("doc_id").as("doc_b"))
