@@ -28,16 +28,16 @@ object Dedup {
     array_distinct(when(size(w) >= k, grams).otherwise(array()))
   }
 
-  /** Exact dedup: hash-groupBy on a normalization of the text. Emits one row
-    * per distinct content with the surviving (minimum) doc_id and the
-    * duplicate count — one map-side-combinable aggregate, the canonical
-    * first pass of any corpus pipeline.
-    */
   /** The ONE normalization + hash defining "identical content" — shared
     * by exact() and dedupCorpus so the two entry points can never diverge.
     */
   def contentHash(text: Column): Column = sha2(lower(trim(text)), 256)
 
+  /** Exact dedup: hash-groupBy on a normalization of the text. Emits one row
+    * per distinct content with the surviving (minimum) doc_id and the
+    * duplicate count — one map-side-combinable aggregate, the canonical
+    * first pass of any corpus pipeline.
+    */
   def exact(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs
       .groupBy(contentHash(text).as("content_hash"))
