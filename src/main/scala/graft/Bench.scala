@@ -110,9 +110,13 @@ object Bench {
         nTurns / secs
       } finally s.stop()
     }
-    val tpLow = throughputAt(scaleN, 2)
-    val tpHigh = throughputAt(scaleN * 4, 4)
-    val tpFull = if (cpus != scaleN * 4) throughputAt(cpus, 4) else tpHigh
+    // more repeats = better min-over-repeats steal rejection (the host
+    // intermittently steals 2-4x; see BASELINE.md variance note). Equal
+    // repeats at BOTH levels: a stolen low-level reading would inflate
+    // the efficiency ratio, not just deflate it
+    val tpLow = throughputAt(scaleN, 4)
+    val tpHigh = throughputAt(scaleN * 4, 6)
+    val tpFull = if (cpus != scaleN * 4) throughputAt(cpus, 6) else tpHigh
     val eff = (tpHigh / tpLow) / 4.0
 
     // ---- per-stage wall clock at full width (cumulative prefixes) ----
