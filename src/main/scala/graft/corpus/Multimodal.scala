@@ -63,6 +63,57 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Stub resize: re-encode the payload at a bounded target size and
+    * update the meta struct — a real build swaps the body for the codec's
+    * scale call. The Spark shape is the contract: narrow per-partition
+    * transform, payload stays binary, meta width/height reflect the new
+    * geometry, n_bytes shrinks with the target.
+    */
+  def resize(df: DataFrame, maxSide: Int): DataFrame = {
+    val inSchema = df.schema
+    require(inSchema.fieldNames.contains("meta"), "resize runs after decode()")
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val metaIdx = inSchema.fieldIndex("meta")
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        val meta = row.getStruct(metaIdx)
+        val (w, h) = (meta.getInt(1), meta.getInt(2))
+        val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+        val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+        // codec scale call goes here; the stub truncates proportionally
+        val nBytes = math.max(1, (bytes.length * scale * scale).toInt)
+        val out = row.toSeq.updated(payloadIdx, bytes.take(nBytes))
+          .updated(metaIdx, Row(meta.getString(0), nw, nh, nBytes.toLong))
+        Row.fromSeq(out)
+      }
+    }(Encoders.row(inSchema))
+  }
+
+  /** Stub frame sampler: one output row per sampled frame of a video
+    * payload — the flatMap shape (row explosion, frame index column,
+    * per-frame payload slice) of a real `every-nth-frame` extractor.
+    */
+  def frameSample(df: DataFrame, everyNth: Int, maxFrames: Int = 16): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add(StructField("frame_idx", IntegerType, nullable = false))
+      .add(StructField("frame", BinaryType, nullable = false))
+    val payloadIdx = inSchema.fieldIndex("payload")
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        // stub container parse: fixed-size "frames" of 64 bytes
+        val frameSize = 64
+        val nFrames = math.max(1, bytes.length / frameSize)
+        (0 until nFrames by everyNth).take(maxFrames).map { f =>
+          val frame = bytes.slice(f * frameSize, math.min(bytes.length, (f + 1) * frameSize))
+          Row.fromSeq(row.toSeq :+ f :+ frame)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Stub feature extractor: fixed-dim float vector from payload bytes —
     * the plumbing of an embedding-model pass (dimension, batch shape,
     * column type all real; values deterministic fakes).

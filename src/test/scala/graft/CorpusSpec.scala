@@ -155,6 +155,19 @@ class CorpusSpec extends SparkSpec {
     assert(fps.forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("multimodal: resize bounds geometry; frame-sample explodes rows") {
+    val d = Multimodal.decode(Multimodal.withPayload(docs, "text"))
+    val r = Multimodal.resize(d, maxSide = 80)
+    val geo = r.select(col("meta.width"), col("meta.height"), col("meta.n_bytes"),
+      length(col("payload")).cast("long")).collect()
+    assert(geo.forall(x => x.getInt(0) <= 80 && x.getInt(1) <= 80))
+    assert(geo.forall(x => x.getLong(2) === x.getLong(3))) // meta tracks payload
+    val f = Multimodal.frameSample(Multimodal.withPayload(docs, "text"), everyNth = 2)
+    assert(f.count() > docs.count()) // exploded
+    val frames = f.select(col("doc_id"), col("frame_idx")).collect()
+    assert(frames.forall(_.getInt(1) % 2 == 0))
+  }
+
   test("multimodal: payload → per-partition stub decode → meta struct + features") {
     val d = Multimodal.decode(Multimodal.withPayload(docs, "text"))
     assert(d.schema("meta").dataType === Multimodal.MetaSchema)
