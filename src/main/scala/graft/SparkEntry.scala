@@ -514,7 +514,7 @@ object SparkEntry {
         .agg(
           Correlation.Context.length.as("ctx_len"),
           concat_ws(",", array_sort(array_distinct(
-            Correlation.Context.grep(col("tool").isNotNull, col("tool"))))).as("tools_used"),
+            Correlation.Context.grep(col("tool").isNotNull, col("tool"), col("turn_idx"))))).as("tools_used"),
           concat_ws("|", slice(
             Correlation.Context.values(col("role"), col("turn_idx")), 1, 5)).as("first_roles"))
     }),

@@ -316,8 +316,43 @@ object ConfigText {
     * the body with backtick-params substituted (given args override
     * defaults). Blocks may call blocks - expansion iterates to fixpoint.
     */
+  /** Remove #-comments (quote-aware) — expansion must not splice bodies
+    * into commented-out text, and brace matching must not trip on
+    * apostrophes inside comments. The lexer ignores comments anyway.
+    */
+  private def stripComments(text: String): String = {
+    // java StringBuilder: scala's append(x, start, end) auto-tuples to
+    // append(Any) and splices "(text,i,j)" instead of the slice
+    val out = new java.lang.StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '"' || c == '\'') {
+        val close = text.indexOf(c, i + 1)
+        require(close > 0, s"unterminated string at $i")
+        out.append(text, i, close + 1); i = close + 1
+      } else if (c == '#') {
+        while (i < text.length && text.charAt(i) != '\n') i += 1
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Is offset `idx` inside a quoted string? (quote-parity scan) */
+  private def inString(text: String, idx: Int): Boolean = {
+    var i = 0
+    var q: Char = 0
+    while (i < idx) {
+      val c = text.charAt(i)
+      if (q == 0 && (c == '"' || c == '\'')) q = c
+      else if (c == q) q = 0
+      i += 1
+    }
+    q != 0
+  }
+
   def expandBlocks(text0: String): String = {
-    var text = text0
+    var text = stripComments(text0)
     val blocks = scala.collection.mutable.LinkedHashMap.empty[String, BlockDef]
     // 1. strip definitions
     val defRe = """(?m)^\s*block\s+(\w+)\s+([\w.-]+)\s*\(""".r
@@ -336,28 +371,43 @@ object ConfigText {
       text = text.substring(0, g.start) + text.substring(end)
       m = defRe.findFirstMatchIn(text)
     }
-    // 2. expand calls to fixpoint (nested block calls)
-    var rounds = 0
+    // 2. expand calls to fixpoint (nested block calls). Bounded total
+    // expansion count: a self-recursive block must error, not hang
+    var expansions = 0
     var changed = true
-    while (changed && rounds < 10) {
+    while (changed) {
       changed = false
-      rounds += 1
       blocks.values.foreach { b =>
-        val callRe = (java.util.regex.Pattern.quote(b.name) + """\s*\(""").r
-        var cm = callRe.findFirstMatchIn(text)
+        // left boundary: the name must not be a suffix of a longer
+        // identifier (names may contain - and ., so \b is not enough)
+        val callRe = ("""(?<![\w.-])""" + java.util.regex.Pattern.quote(b.name) + """\s*\(""").r
+        var searchFrom = 0
+        var cm = callRe.findFirstMatchIn(text.substring(searchFrom))
         while (cm.isDefined) {
           val c = cm.get
-          val argsClose = matching(text, c.end - 1, '(', ')')
-          val args = parseParamList(text.substring(c.end, argsClose)).toMap
-          var end = argsClose + 1
-          if (end < text.length && text.charAt(end) == ';') end += 1
-          val subst = b.params.toMap ++ args
-          val body = subst.foldLeft(b.body) { case (acc, (k, v)) =>
-            acc.replace("`" + k + "`", v)
+          val start = searchFrom + c.start
+          val parenAt = searchFrom + c.end - 1
+          if (inString(text, start)) {
+            searchFrom = parenAt + 1 // quoted occurrence: not a call
+          } else {
+            expansions += 1
+            require(expansions < 1000,
+              s"block expansion did not terminate (recursive block ${b.name}?)")
+            val argsClose = matching(text, parenAt, '(', ')')
+            val args = parseParamList(text.substring(parenAt + 1, argsClose)).toMap
+            // consume a trailing ';' (possibly whitespace-separated)
+            var j = argsClose + 1
+            while (j < text.length && text.charAt(j).isWhitespace) j += 1
+            val end = if (j < text.length && text.charAt(j) == ';') j + 1 else argsClose + 1
+            val subst = b.params.toMap ++ args
+            val body = subst.foldLeft(b.body) { case (acc, (k, v)) =>
+              acc.replace("`" + k + "`", v)
+            }
+            text = text.substring(0, start) + body + text.substring(end)
+            changed = true
+            searchFrom = 0
           }
-          text = text.substring(0, c.start) + body + text.substring(end)
-          changed = true
-          cm = callRe.findFirstMatchIn(text)
+          cm = callRe.findFirstMatchIn(text.substring(searchFrom))
         }
       }
     }

@@ -82,7 +82,8 @@ object Multimodal {
         val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
         val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
         // codec scale call goes here; the stub truncates proportionally
-        val nBytes = math.max(1, (bytes.length * scale * scale).toInt)
+        val nBytes =
+          if (bytes.isEmpty) 0 else math.max(1, (bytes.length * scale * scale).toInt)
         val out = row.toSeq.updated(payloadIdx, bytes.take(nBytes))
           .updated(metaIdx, Row(meta.getString(0), nw, nh, nBytes.toLong))
         Row.fromSeq(out)
@@ -95,6 +96,8 @@ object Multimodal {
     * per-frame payload slice) of a real `every-nth-frame` extractor.
     */
   def frameSample(df: DataFrame, everyNth: Int, maxFrames: Int = 16): DataFrame = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
     val inSchema = df.schema
     val outSchema = inSchema
       .add(StructField("frame_idx", IntegerType, nullable = false))

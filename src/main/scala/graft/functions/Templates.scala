@@ -421,10 +421,12 @@ object TemplateFunctions {
     "context-length" -> (_ => graft.operators.Correlation.Context.length.cast("string")),
     "context-values" -> (a => concat_ws(",",
       graft.operators.Correlation.Context.values(a(0).col, a(1).col))),
+    // $(context-lookup cond $x $order) / $(grep cond $x $order): the order
+    // ref keeps multi-match output deterministic across retries
     "context-lookup" -> (a => concat_ws(",",
-      graft.operators.Correlation.Context.lookup(truthy(a(0).col), a(1).col))),
+      graft.operators.Correlation.Context.lookup(truthy(a(0).col), a(1).col, a(2).col))),
     "grep" -> (a => concat_ws(",",
-      graft.operators.Correlation.Context.grep(truthy(a(0).col), a(1).col)))
+      graft.operators.Correlation.Context.grep(truthy(a(0).col), a(1).col, a(2).col)))
   )
 
   /** Compile a template argument as a lambda body: `$_` resolves to the

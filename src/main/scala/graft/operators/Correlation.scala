@@ -255,13 +255,18 @@ object Correlation {
       transform(array_sort(collect_list(struct(order.as("o"), value.as("v")))), x => x("v"))
 
     /** $(context-lookup filter $x) / $(grep cond $x) — values of x from
-      * context messages matching the condition (collect_list drops the
-      * nulls the `when` produces for non-matching rows).
+      * context messages matching the condition, in context order
+      * (collect_list alone is partition-order nondeterministic — the same
+      * reason values() takes an order ref; stage retries must re-produce
+      * identical arrays).
       */
-    def lookup(cond: Column, value: Column): Column =
-      collect_list(when(cond, value))
+    def lookup(cond: Column, value: Column, order: Column): Column =
+      transform(
+        array_sort(collect_list(when(cond, struct(order.as("o"), value.as("v"))))),
+        x => x("v"))
 
-    def grep(cond: Column, value: Column): Column = lookup(cond, value)
+    def grep(cond: Column, value: Column, order: Column): Column =
+      lookup(cond, value, order)
   }
 
   /** logscheduler(partitions(N)) — reference lib/logscheduler.c:62-112

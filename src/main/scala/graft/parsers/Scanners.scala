@@ -345,7 +345,9 @@ object Scanners {
           if (text == null) { out(nIn) = Map.empty[String, String]; out(nIn + 1) = "" }
           else {
             val (pairs, stray) = scanKv(text, o)
-            out(nIn) = pairs.toMap // last-wins
+            // ListMap: last-wins values in FIRST-SEEN key order, matching
+            // the batch path's LinkedHashMap (plain toMap hash-orders >4 keys)
+            out(nIn) = scala.collection.immutable.ListMap(pairs: _*)
             out(nIn + 1) = stray
           }
           new org.apache.spark.sql.catalyst.expressions.GenericRow(out): org.apache.spark.sql.Row

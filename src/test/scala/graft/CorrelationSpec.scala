@@ -174,7 +174,7 @@ class CorrelationSpec extends SparkSpec {
     // (nested calls: if(length(action)-6, falsy, truthy))
     val summary = Templates.compile(
       "n=$(context-length) acts=$(context-values $action $i)" +
-        " outs=$(grep $(if $(- $(length $action) 6) 0 1) $action)",
+        " outs=$(grep $(if $(- $(length $action) 6) 0 1) $action $i)",
       resolver)
     val got = Correlation.groupingBy(df, Seq(col("conv_id")), col("ts"), "1 hour",
       aggs = Seq(summary.as("s"))).select("s").as[String].head()
