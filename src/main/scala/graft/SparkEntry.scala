@@ -465,6 +465,53 @@ object SparkEntry {
         Templates.compile("$(format-date '%Y/%m/%d %H:%M' ${ts})", r).as("c"))
     }),
 
+    // ================= §2.12 FilterX =================
+    // Statement block: drop predicate + branch-guarded writes + dict
+    // marshaling + regex — the whole block is one projection + one filter
+    // (lib/filterx/filterx-eval.c:189 exec semantics).
+    "q_filterx" -> ((s, dir) => {
+      graft.filterx.FilterX(transcripts(s, dir),
+        """$role != 'system';
+          |$is_tool = isset($tool) ? 1 : 0;
+          |if ($role == 'tool') { $kind = 'T'; }
+          |elif (len($text) > 60) { $kind = 'long'; }
+          |else { $kind = 'short'; };
+          |$meta = {'role': "$role", 'kind': $kind, 'n': len($text)};
+          |$flag = $text =~ 'error' ? 'err' : 'ok';""".stripMargin)
+        .select("conv_id", "turn_idx", "role", "kind", "is_tool", "meta", "flag")
+    }),
+
+    // Comparison-mode semantics (expr-comparison.c): type-aware numeric
+    // parse of strings with NaN→only-!=, null-as-zero ordering, null type
+    // equality, string-based eq/lt, elvis.
+    "q_filterx_cmp" -> ((s, dir) => {
+      graft.filterx.FilterX(transcripts(s, dir),
+        """$gt_str = $turn_idx > '2' ? 1 : 0;
+          |$nan_eq = $turn_idx == 'xyz' ? 1 : 0;
+          |$nan_ne = $turn_idx != 'xyz' ? 1 : 0;
+          |$null_gt = $turn_idx > null ? 1 : 0;
+          |$null_eq = $turn_idx == null ? 1 : 0;
+          |$str_lt = $role < 'tool' ? 1 : 0;
+          |$str_eq = $role eq 'user' ? 1 : 0;
+          |$tv_ne = $turn_idx !== 'x' ? 1 : 0;
+          |$fb = $tool ?: 'none';""".stripMargin)
+        .select("conv_id", "turn_idx", "gt_str", "nan_eq", "nan_ne",
+          "null_gt", "null_eq", "str_lt", "str_eq", "tv_ne", "fb")
+    }),
+
+    // json() + dynamic getattr + typecasts over the JSON-variant turns
+    // (object-json getattr unwraps scalars; int()/string() typecasts).
+    "q_filterx_json" -> ((s, dir) => {
+      graft.filterx.FilterX(transcripts(s, dir),
+        """$text =~ '^\\{';
+          |$j = json($text);
+          |$evt = string($j.event);
+          |$tokens = int($j.tokens);
+          |$status = string($j.status);
+          |$big = $j.tokens > 200 ? 1 : 0;""".stripMargin)
+        .select("conv_id", "turn_idx", "evt", "tokens", "status", "big")
+    }),
+
     // ================= §2.4 stateful/correlation =================
     "q_grouping_by" -> ((s, dir) => {
       Correlation.groupingBy(
@@ -728,6 +775,40 @@ object SparkEntry {
 
     "q_parse_errors" -> Transcripts.oracle(
       "SELECT conv_id, turn_idx, text FROM transcripts_full WHERE variant = 4"),
+
+    "q_filterx" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx, role,
+           CASE WHEN role = 'tool' THEN 'T'
+                WHEN length(text) > 60 THEN 'long' ELSE 'short' END AS kind,
+           CAST(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS bigint) AS is_tool,
+           concat('{"role":"', role, '","kind":"',
+             CASE WHEN role = 'tool' THEN 'T'
+                  WHEN length(text) > 60 THEN 'long' ELSE 'short' END,
+             '","n":', cast(length(text) AS varchar), '}') AS meta,
+           CASE WHEN regexp_matches(text, 'error') THEN 'err' ELSE 'ok' END AS flag
+         FROM transcripts WHERE role <> 'system'"""),
+
+    "q_filterx_cmp" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           CAST(CASE WHEN turn_idx > 2 THEN 1 ELSE 0 END AS bigint) AS gt_str,
+           CAST(0 AS bigint) AS nan_eq,
+           CAST(1 AS bigint) AS nan_ne,
+           CAST(CASE WHEN turn_idx > 0 THEN 1 ELSE 0 END AS bigint) AS null_gt,
+           CAST(0 AS bigint) AS null_eq,
+           CAST(CASE WHEN role < 'tool' THEN 1 ELSE 0 END AS bigint) AS str_lt,
+           CAST(CASE WHEN role = 'user' THEN 1 ELSE 0 END AS bigint) AS str_eq,
+           CAST(1 AS bigint) AS tv_ne,
+           CASE WHEN tool IS NOT NULL AND length(tool) > 0 THEN tool ELSE 'none' END AS fb
+         FROM transcripts"""),
+
+    "q_filterx_json" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           json_extract_string(text, '$.event') AS evt,
+           CAST(json_extract_string(text, '$.tokens') AS bigint) AS tokens,
+           json_extract_string(text, '$.status') AS status,
+           CAST(CASE WHEN CAST(json_extract_string(text, '$.tokens') AS bigint) > 200
+                THEN 1 ELSE 0 END AS bigint) AS big
+         FROM transcripts WHERE text LIKE '{%'"""),
 
     "q_parse_kv" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx, 'tool_call' AS event,

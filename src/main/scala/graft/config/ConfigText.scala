@@ -414,10 +414,67 @@ object ConfigText {
     text
   }
 
+  /** Pull `filterx [name] { body }` blocks out of the text before lexing —
+    * the filterx language has its own lexical rules ($refs, `==`/`=~`
+    * operators, template strings) that the config lexer must not tokenize.
+    * Each body is stashed under a `__fxN` key and the block is replaced
+    * with `filterx [name] __fxN;`; the parser resolves the key back to the
+    * raw body and hands it to [[graft.filterx.FilterX]].
+    */
+  private def extractFilterx(text0: String): (String, Map[String, String]) = {
+    var text = text0
+    val bodies = Map.newBuilder[String, String]
+    var n = 0
+    val re = """(?<![\w.-])filterx(\s+[\w.-]+)?\s*\{""".r
+    var searchFrom = 0
+    var m = re.findFirstMatchIn(text.substring(searchFrom))
+    while (m.isDefined) {
+      val g = m.get
+      if (inString(text, searchFrom + g.start)) {
+        searchFrom = searchFrom + g.end
+        m = re.findFirstMatchIn(text.substring(searchFrom))
+      } else {
+      val open = searchFrom + g.end - 1
+      val close = matching(text, open, '{', '}')
+      val key = s"__fx$n"
+      n += 1
+      bodies += key -> text.substring(open + 1, close)
+      val nameDecl = Option(g.group(1)).map(_.trim).getOrElse("")
+      val repl =
+        if (nameDecl.nonEmpty) s"filterx $nameDecl $key;" else s"filterx $key;"
+      var end = close + 1
+      while (end < text.length && text.charAt(end).isWhitespace) end += 1
+      val stop = if (end < text.length && text.charAt(end) == ';') end + 1 else close + 1
+      text = text.substring(0, searchFrom + g.start) + repl + text.substring(stop)
+      searchFrom = 0
+      m = re.findFirstMatchIn(text)
+      }
+    }
+    (text, bodies.result())
+  }
+
+  /** A filterx block as log-path elements: the match predicate routes
+    * (unmatched rows leave the path, filterx-pipe.c:74-80) and the variable
+    * writes apply — Compiler.walk guards the transform with the frozen
+    * predicate, giving the reference's "store only if matched" semantics.
+    */
+  private def filterxElements(body: String): Seq[Dsl.Element] = Seq(
+    Dsl.FilterE(df => graft.filterx.FilterX.compile(df, body).matched),
+    Dsl.TransformE { df =>
+      val c = graft.filterx.FilterX.compile(df, body)
+      val updated = df.columns.toSeq.map(n =>
+        c.updates.find(_._1 == n).map(_._2.as(n)).getOrElse(col(n)))
+      val added = c.updates.filterNot(u => df.columns.contains(u._1))
+        .map { case (nm, v) => v.as(nm) }
+      df.select(updated ++ added: _*)
+    })
+
   def parse(text: String): Dsl.Config = {
     val (included, _) = preprocess(text)
     val expanded = expandBlocks(included)
-    val p = new P(lex(expanded))
+    val (fxText, fxBodies) = extractFilterx(expanded)
+    val filterxNamed = scala.collection.mutable.Map[String, String]()
+    val p = new P(lex(fxText))
     val sources = Map.newBuilder[String, SparkSession => DataFrame]
     val filters = scala.collection.mutable.Map[String, DataFrame => Column]()
     val parsers = scala.collection.mutable.Map[String, DataFrame => DataFrame]()
@@ -434,6 +491,10 @@ object ConfigText {
           case "parser"      => p.expect("("); els += Dsl.TransformE(parsers(p.ident())); p.expect(")")
           case "rewrite"     => p.expect("("); els += Dsl.TransformE(rewrites(p.ident())); p.expect(")")
           case "destination" => p.expect("("); els += Dsl.DestE(dests(p.ident())); p.expect(")")
+          case "filterx" =>
+            if (p.isPunct("(")) { // reference to a named top-level block
+              p.expect("("); els ++= filterxElements(filterxNamed(p.ident())); p.expect(")")
+            } else els ++= filterxElements(fxBodies(p.ident())) // inline body
           case "flags"       => p.expect("("); while (!p.isPunct(")")) p.next(); p.expect(")")
           case "junction" =>
             p.expect("{")
@@ -492,6 +553,9 @@ object ConfigText {
           val name = p.ident(); p.expect("{")
           val call = parseCall(p); p.eat(";"); p.expect("}")
           dests(name) = call.args.headOption.getOrElse(name)
+        case "filterx" =>
+          val name = p.ident()
+          filterxNamed(name) = fxBodies(p.ident())
         case "log" =>
           p.expect("{")
           // pre-scan for source()/flags() refs, then re-walk for elements

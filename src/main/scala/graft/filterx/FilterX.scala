@@ -1,0 +1,922 @@
+package graft.filterx
+
+import scala.collection.immutable.ListMap
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Templates
+
+/** FilterX — the reference's typed per-message expression language
+  * (reference lib/filterx/: grammar filterx-grammar.ym, statement execution
+  * filterx-eval.c:189 `filterx_eval_exec_statements`, comparison semantics
+  * expr-comparison.c:127-210, truthiness object-string.c:81 /
+  * object-primitive.c:41, conditionals expr-condition.c:38).
+  *
+  * Execution model (filterx-pipe.c:46-80): a `filterx { stmt; ... }` block
+  * runs per message; statements evaluate in order; an assignment's value is
+  * ignored (expr-assign.c:54 ignore_falsy_result) but any OTHER statement
+  * evaluating falsy (or erroring) makes the message UNMATCHED — it is
+  * dropped from the path and no variable writes are stored
+  * (filterx-eval.c:202 "only store the results if the entire evaluation was
+  * successful").
+  *
+  * Spark-first compilation: the whole block folds into ONE projection +
+  * ONE predicate over the input frame. Message variables and block-local
+  * (floating) variables live in a compile-time environment of Column
+  * expressions, so "sequential" statement semantics become pure expression
+  * substitution — a statement after an assignment sees the assigned
+  * expression, conditionals become `when()` guards threaded through the
+  * walk, and nothing is materialized until the final select. The entire
+  * block stays inside whole-stage codegen; there is no UDF and no
+  * per-statement pass over the data.
+  *
+  * Typing: the reference's runtime FilterXObject types map to compile-time
+  * `FxType` tags backed by typed Spark columns — string/integer/double/
+  * boolean/null/datetime exactly; `json` is a string column holding JSON
+  * text (scalars read out of it are dynamically typed, compared numerically
+  * against numbers and textually against strings, mirroring how getattr on
+  * a json object unwraps primitives); dict/list literals are compile-time
+  * trees of Columns materialized to JSON text only when stored to a message
+  * variable (the reference marshals json values the same way).
+  *
+  * Declared divergences, each chosen for deterministic distributed
+  * execution: (1) reading an unknown message variable is a compile error
+  * (the reference fails at eval time per message); (2) a runtime NULL in a
+  * typed column behaves like the reference's eval error — predicates on it
+  * drop the row; (3) `declare` scope is one block unless the caller chains
+  * `Compiled.declared` into the next block's `inherited`.
+  */
+object FilterX {
+
+  // ------------------------------------------------------------------ AST
+
+  private[filterx] object Ast {
+    sealed trait Expr
+    final case class IntLit(v: Long) extends Expr
+    final case class DblLit(v: Double) extends Expr
+    final case class BoolLit(v: Boolean) extends Expr
+    case object NullLit extends Expr
+    /** Double-quoted strings are templates (grammar `template: LL_STRING`,
+      * construct_template_expr); single-quoted are literal.
+      */
+    final case class StrLit(raw: String, template: Boolean) extends Expr
+    final case class MsgVar(name: String) extends Expr
+    final case class FloatVar(name: String) extends Expr
+    final case class GetAttr(e: Expr, name: String) extends Expr
+    /** key == None is the `[]` append form (set-subscript with NULL key). */
+    final case class GetSub(e: Expr, key: Option[Expr]) extends Expr
+    final case class Not(e: Expr) extends Expr
+    final case class And(l: Expr, r: Expr) extends Expr
+    final case class Or(l: Expr, r: Expr) extends Expr
+    /** op: FCMPX bits (EQ=1 LT=2 GT=4, NE=LT|GT=6 — expr-comparison.h:28).
+      * mode: 0 type-aware, 1 string-based, 2 type-and-value.
+      */
+    final case class Cmp(l: Expr, r: Expr, op: Int, mode: Int) extends Expr
+    final case class Regex(e: Expr, pattern: String) extends Expr
+    final case class Ternary(cond: Expr, t: Option[Expr], f: Expr) extends Expr
+    final case class Func(name: String, args: Seq[Expr]) extends Expr
+    final case class IsSet(e: Expr) extends Expr
+    final case class UnsetE(e: Expr) extends Expr
+    final case class DictGen(entries: Seq[(Expr, Expr)]) extends Expr
+    final case class ListGen(items: Seq[Expr]) extends Expr
+
+    sealed trait Stmt
+    final case class ExprStmt(e: Expr) extends Stmt
+    final case class Assign(lhs: Expr, rhs: Expr) extends Stmt
+    final case class Declare(name: String, rhs: Expr) extends Stmt
+    final case class IfStmt(branches: Seq[(Expr, Seq[Stmt])], otherwise: Seq[Stmt]) extends Stmt
+  }
+
+  // ------------------------------------------------------------ tokenizer
+
+  private sealed trait Tok
+  private final case class TIdent(s: String) extends Tok
+  private final case class TMsgRef(s: String) extends Tok
+  private final case class TInt(v: Long) extends Tok
+  private final case class TDbl(v: Double) extends Tok
+  private final case class TStr(s: String, template: Boolean) extends Tok
+  private final case class TOp(s: String) extends Tok
+
+  private val multiOps = Seq("===", "!==", "=~", "==", "!=", "<=", ">=")
+
+  private def tokenize(text: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '#') { while (i < n && text.charAt(i) != '\n') i += 1 }
+      else if (c == '"' || c == '\'') {
+        val sb = new java.lang.StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          val d = text.charAt(j)
+          if (d == '\\' && j + 1 < n) {
+            text.charAt(j + 1) match {
+              case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+              case 'r' => sb.append('\r'); case other => sb.append(other)
+            }
+            j += 2
+          } else if (d == c) { closed = true; j += 1 }
+          else { sb.append(d); j += 1 }
+        }
+        require(closed, s"filterx: unterminated string at offset $i")
+        out += TStr(sb.toString, template = c == '"')
+        i = j
+      } else if (c == '$') {
+        if (i + 1 < n && text.charAt(i + 1) == '{') {
+          val close = text.indexOf('}', i + 2)
+          require(close > 0, s"filterx: unterminated $${ at $i")
+          out += TMsgRef(text.substring(i + 2, close)); i = close + 1
+        } else {
+          var j = i + 1
+          while (j < n && (text.charAt(j).isLetterOrDigit || text.charAt(j) == '_')) j += 1
+          require(j > i + 1, s"filterx: bare $$ at offset $i")
+          out += TMsgRef(text.substring(i + 1, j)); i = j
+        }
+      } else if (c.isDigit ||
+        ((c == '-' || c == '+') && i + 1 < n && text.charAt(i + 1).isDigit)) {
+        var j = if (c == '-' || c == '+') i + 1 else i
+        while (j < n && text.charAt(j).isDigit) j += 1
+        if (j < n && text.charAt(j) == '.' && j + 1 < n && text.charAt(j + 1).isDigit) {
+          j += 1
+          while (j < n && text.charAt(j).isDigit) j += 1
+          out += TDbl(text.substring(i, j).toDouble)
+        } else if (j < n && (text.charAt(j) == 'x' || text.charAt(j) == 'X') &&
+          text.charAt(i) == '0' && j == i + 1) {
+          j += 1; val h0 = j
+          while (j < n && Character.digit(text.charAt(j), 16) >= 0) j += 1
+          out += TInt(java.lang.Long.parseLong(text.substring(h0, j), 16))
+        } else out += TInt(text.substring(i, j).toLong)
+        i = j
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < n && (text.charAt(j).isLetterOrDigit || text.charAt(j) == '_')) j += 1
+        out += TIdent(text.substring(i, j)); i = j
+      } else {
+        multiOps.find(op => text.startsWith(op, i)) match {
+          case Some(op) => out += TOp(op); i += op.length
+          case None     => out += TOp(c.toString); i += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  // --------------------------------------------------------------- parser
+
+  private final class Parser(toks: Vector[Tok]) {
+    import Ast._
+    private var pos = 0
+    private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def eatOp(s: String): Boolean =
+      peek.contains(TOp(s)) && { pos += 1; true }
+    private def expectOp(s: String): Unit =
+      require(eatOp(s), s"filterx: expected '$s' but found ${peek.getOrElse("<eof>")}")
+
+    def parseProgram(): Seq[Stmt] = {
+      val stmts = Seq.newBuilder[Stmt]
+      while (peek.isDefined) stmts ++= parseStmt()
+      stmts.result()
+    }
+
+    private def parseBlock(): Seq[Stmt] = {
+      expectOp("{")
+      val stmts = Seq.newBuilder[Stmt]
+      while (!peek.contains(TOp("}"))) stmts ++= parseStmt()
+      expectOp("}")
+      stmts.result()
+    }
+
+    private def parseStmt(): Seq[Stmt] = peek match {
+      case Some(TOp(";")) => next(); Nil
+      case Some(TIdent("if")) =>
+        next()
+        val branches = Seq.newBuilder[(Expr, Seq[Stmt])]
+        expectOp("("); val c0 = parseExpr(); expectOp(")")
+        branches += c0 -> parseBlock()
+        var otherwise: Seq[Stmt] = Nil
+        var done = false
+        while (!done) peek match {
+          case Some(TIdent("elif")) =>
+            next(); expectOp("("); val c = parseExpr(); expectOp(")")
+            branches += c -> parseBlock()
+          case Some(TIdent("else")) =>
+            next(); otherwise = parseBlock(); done = true
+          case _ => done = true
+        }
+        eatOp(";")
+        Seq(IfStmt(branches.result(), otherwise))
+      case Some(TIdent("declare")) =>
+        next()
+        val name = next() match {
+          case TIdent(s) => s
+          case other     => sys.error(s"filterx: declare expects a variable name, got $other")
+        }
+        expectOp("="); val rhs = parseExpr(); expectOp(";")
+        Seq(Declare(name, rhs))
+      case _ =>
+        val e = parseExpr()
+        val s = if (eatOp("=")) Assign(e, parseExpr()) else ExprStmt(e)
+        expectOp(";")
+        Seq(s)
+    }
+
+    // precedence (filterx-grammar.ym via cfg-grammar.y %left ladder):
+    // ternary < or < and < not < comparison/=~ < postfix(. []) < primary
+    def parseExpr(): Expr = parseTernary()
+
+    private def parseTernary(): Expr = {
+      val c = parseOr()
+      if (eatOp("?")) {
+        if (eatOp(":")) Ternary(c, None, parseTernary()) // elvis `c ?: f`
+        else {
+          val t = parseExpr()
+          expectOp(":")
+          Ternary(c, Some(t), parseTernary())
+        }
+      } else c
+    }
+
+    private def parseOr(): Expr = {
+      var e = parseAnd()
+      while (peek.contains(TIdent("or"))) { next(); e = Or(e, parseAnd()) }
+      e
+    }
+
+    private def parseAnd(): Expr = {
+      var e = parseNot()
+      while (peek.contains(TIdent("and"))) { next(); e = And(e, parseNot()) }
+      e
+    }
+
+    private def parseNot(): Expr =
+      if (peek.contains(TIdent("not"))) { next(); Not(parseNot()) }
+      else parseCmp()
+
+    private val strOps = Map("lt" -> 2, "le" -> 3, "eq" -> 1, "ne" -> 6, "ge" -> 5, "gt" -> 4)
+    private val taOps = Map("<" -> 2, "<=" -> 3, "==" -> 1, "!=" -> 6, ">=" -> 5, ">" -> 4)
+
+    private def parseCmp(): Expr = {
+      val l = parsePostfix()
+      peek match {
+        case Some(TOp(op)) if taOps.contains(op) =>
+          next(); Cmp(l, parsePostfix(), taOps(op), 0)
+        case Some(TOp("===")) => next(); Cmp(l, parsePostfix(), 1, 2)
+        case Some(TOp("!==")) => next(); Cmp(l, parsePostfix(), 6, 2)
+        case Some(TIdent(op)) if strOps.contains(op) =>
+          next(); Cmp(l, parsePostfix(), strOps(op), 1)
+        case Some(TOp("=~")) =>
+          next()
+          next() match {
+            case TStr(p, _) => Regex(l, p)
+            case other      => sys.error(s"filterx: =~ needs a string pattern, got $other")
+          }
+        case _ => l
+      }
+    }
+
+    private def parsePostfix(): Expr = {
+      var e = parsePrimary()
+      var going = true
+      while (going) peek match {
+        case Some(TOp(".")) =>
+          next()
+          next() match {
+            case TIdent(name) => e = GetAttr(e, name)
+            case other        => sys.error(s"filterx: expected attribute name after '.', got $other")
+          }
+        case Some(TOp("[")) =>
+          next()
+          if (eatOp("]")) e = GetSub(e, None)
+          else { val k = parseExpr(); expectOp("]"); e = GetSub(e, Some(k)) }
+        case _ => going = false
+      }
+      e
+    }
+
+    private def parsePrimary(): Expr = next() match {
+      case TInt(v)       => IntLit(v)
+      case TDbl(v)       => DblLit(v)
+      case TStr(s, tpl)  => StrLit(s, tpl)
+      case TMsgRef(name) => MsgVar(name)
+      case TIdent("true")  => BoolLit(true)
+      case TIdent("false") => BoolLit(false)
+      case TIdent("null")  => NullLit
+      case TIdent("isset") => expectOp("("); val e = parseExpr(); expectOp(")"); IsSet(e)
+      case TIdent("unset") => expectOp("("); val e = parseExpr(); expectOp(")"); UnsetE(e)
+      case TIdent(name) if peek.contains(TOp("(")) =>
+        next()
+        val args = Seq.newBuilder[Expr]
+        if (!eatOp(")")) {
+          args += parseExpr()
+          while (eatOp(",")) args += parseExpr()
+          expectOp(")")
+        }
+        Func(name, args.result())
+      case TIdent(name) => FloatVar(name)
+      case TOp("(")     => val e = parseExpr(); expectOp(")"); e
+      case TOp("{") =>
+        val entries = Seq.newBuilder[(Expr, Expr)]
+        if (!eatOp("}")) {
+          def entry(): Unit = { val k = parseExpr(); expectOp(":"); entries += k -> parseExpr() }
+          entry()
+          while (eatOp(",")) entry()
+          expectOp("}")
+        }
+        DictGen(entries.result())
+      case TOp("[") =>
+        val items = Seq.newBuilder[Expr]
+        if (!eatOp("]")) {
+          items += parseExpr()
+          while (eatOp(",")) items += parseExpr()
+          expectOp("]")
+        }
+        ListGen(items.result())
+      case other => sys.error(s"filterx: unexpected token $other")
+    }
+  }
+
+  // --------------------------------------------------------- value model
+
+  /** Compile-time type tag — the analog of the reference's FilterXType. */
+  sealed trait FxType
+  case object FxString extends FxType
+  case object FxInt extends FxType
+  case object FxDouble extends FxType
+  case object FxBool extends FxType
+  case object FxNull extends FxType
+  case object FxDatetime extends FxType
+  /** JSON text in a string column; scalars read from it are dynamic. */
+  case object FxJson extends FxType
+
+  sealed trait FxVal
+  final case class FxScalar(c: Column, t: FxType) extends FxVal
+  final case class FxDict(entries: ListMap[String, FxVal]) extends FxVal
+  final case class FxList(items: Vector[FxVal]) extends FxVal
+
+  private def fxTypeOf(dt: DataType): FxType = dt match {
+    case StringType                          => FxString
+    case LongType | IntegerType | ShortType | ByteType => FxInt
+    case DoubleType | FloatType | _: DecimalType       => FxDouble
+    case BooleanType                         => FxBool
+    case TimestampType | TimestampNTZType | DateType   => FxDatetime
+    case NullType                            => FxNull
+    case _                                   => FxString // arrays/maps read as JSON text
+  }
+
+  private def sparkTypeOf(t: FxType): DataType = t match {
+    case FxString | FxJson => StringType
+    case FxInt             => LongType
+    case FxDouble          => DoubleType
+    case FxBool            => BooleanType
+    case FxNull            => StringType
+    case FxDatetime        => TimestampNTZType
+  }
+
+  // ------------------------------------------------- marshaling helpers
+
+  /** String representation — the reference's filterx_object_marshal
+    * (object-string.c:88 raw text, object-primitive.c bool "true"/"false",
+    * object-null.c:51 "null", json marshals to its text).
+    */
+  private def strRepr(v: FxVal): Column = v match {
+    case FxScalar(c, FxString | FxJson) => c
+    case FxScalar(c, FxInt)             => c.cast(StringType)
+    case FxScalar(c, FxDouble)          => c.cast(StringType)
+    case FxScalar(c, FxBool)            => when(c, "true").otherwise("false")
+    case FxScalar(_, FxNull)            => lit("null")
+    case FxScalar(c, FxDatetime)        => date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+    case d: FxDict                      => jsonText(d)
+    case l: FxList                      => jsonText(l)
+  }
+
+  /** Truthiness (object-string.c:81 len>0, object-primitive.c:41 != 0,
+    * object-null falsy, dict/list truthy iff non-empty). NULL-safe: a
+    * runtime NULL is falsy (reference: eval error → unmatched).
+    */
+  private def truthy(v: FxVal): Column = v match {
+    case FxScalar(c, FxString | FxJson) => coalesce(length(c) > 0, lit(false))
+    case FxScalar(c, FxInt)             => coalesce(c =!= 0L, lit(false))
+    case FxScalar(c, FxDouble)          => coalesce(c =!= 0.0, lit(false))
+    case FxScalar(c, FxBool)            => coalesce(c, lit(false))
+    case FxScalar(_, FxNull)            => lit(false)
+    case FxScalar(c, FxDatetime)        => c.isNotNull
+    case FxDict(m)                      => lit(m.nonEmpty)
+    case FxList(xs)                     => lit(xs.nonEmpty)
+  }
+
+  /** Spark-typed (struct/array/scalar) column for embedding a compile-time
+    * dict/list tree into to_json.
+    */
+  private def treeCol(v: FxVal): Column = v match {
+    case FxScalar(c, _) => c
+    case FxDict(m) =>
+      struct(m.toSeq.map { case (k, e) => treeCol(e).as(k) }: _*)
+    case FxList(xs) =>
+      val scalarTypes = xs.collect { case FxScalar(_, t) => t }.distinct
+      if (xs.isEmpty) array().cast(ArrayType(StringType))
+      else if (xs.forall(_.isInstanceOf[FxScalar]) && scalarTypes.length == 1)
+        array(xs.map(treeCol): _*)
+      else if (xs.forall(_.isInstanceOf[FxDict]))
+        array(xs.map(treeCol): _*)
+      else array(xs.map(strRepr): _*) // mixed-type list: string elements
+  }
+
+  /** Marshal a dict/list tree to JSON text (the reference marshals json
+    * objects the same way when stored to a message value). ignoreNullFields
+    * off so NULL entries serialize as JSON null like the reference.
+    */
+  private def jsonText(v: FxVal): Column =
+    to_json(treeCol(v), Map("ignoreNullFields" -> "false").asJava)
+
+  private implicit class MapOps(m: Map[String, String]) {
+    def asJava: java.util.Map[String, String] = {
+      val jm = new java.util.HashMap[String, String]()
+      m.foreach { case (k, v) => jm.put(k, v) }
+      jm
+    }
+  }
+
+  /** Materialize any FxVal to a single (Column, FxType) pair. */
+  private def materialize(v: FxVal): (Column, FxType) = v match {
+    case FxScalar(c, t) => (c, t)
+    case d: FxDict      => (jsonText(d), FxJson)
+    case l: FxList      => (jsonText(l), FxJson)
+  }
+
+  /** Unify two scalars to a common type for when/otherwise blending. */
+  private def unify(a: (Column, FxType), b: (Column, FxType)): (Column, Column, FxType) =
+    (a._2, b._2) match {
+      case (ta, tb) if ta == tb          => (a._1, b._1, ta)
+      case (FxInt, FxDouble)             => (a._1.cast(DoubleType), b._1, FxDouble)
+      case (FxDouble, FxInt)             => (a._1, b._1.cast(DoubleType), FxDouble)
+      case (FxNull, tb)                  => (lit(null).cast(sparkTypeOf(tb)), b._1, tb)
+      case (ta, FxNull)                  => (a._1, lit(null).cast(sparkTypeOf(ta)), ta)
+      case (FxString, FxJson) | (FxJson, FxString) => (a._1, b._1, FxString)
+      case _ => (strRepr(FxScalar(a._1, a._2)), strRepr(FxScalar(b._1, b._2)), FxString)
+    }
+
+  // ------------------------------------------------------------ compare
+
+  /** cmp result from an already-typed pair; op = FCMPX bits
+    * (_evaluate_comparison, expr-comparison.c:95).
+    */
+  private def applyOp(l: Column, r: Column, op: Int): Column = op match {
+    case 1 => l === r
+    case 2 => l < r
+    case 3 => l <= r
+    case 4 => l > r
+    case 5 => l >= r
+    case 6 => l =!= r
+    case _ => lit(true)
+  }
+
+  /** Numeric comparison (_evaluate_as_num, expr-comparison.c:127):
+    * primitives by value, null as 0, datetime as epoch seconds, strings
+    * parsed — unparseable is NaN, and NaN compares false except `!=`.
+    */
+  private def cmpNumeric(l: FxVal, r: FxVal, op: Int): Column = {
+    def isLongish(t: FxType) = t == FxInt || t == FxBool || t == FxNull || t == FxDatetime
+    def isParsed(t: FxType) = t == FxString || t == FxJson
+    def toLong(c: Column, t: FxType): Column = t match {
+      case FxInt      => c
+      case FxBool     => c.cast(LongType)
+      case FxNull     => lit(0L)
+      case FxDatetime => unix_timestamp(c.cast(TimestampType))
+      case _          => c
+    }
+    def toDouble(c: Column, t: FxType): Column = t match {
+      case FxDouble          => c
+      case FxString | FxJson => c.try_cast(DoubleType)
+      case other             => toLong(c, other).cast(DoubleType)
+    }
+    val (lc, lt) = materialize(l)
+    val (rc, rt) = materialize(r)
+    if (isLongish(lt) && isLongish(rt)) applyOp(toLong(lc, lt), toLong(rc, rt), op)
+    else {
+      val ln = toDouble(lc, lt)
+      val rn = toDouble(rc, rt)
+      if (isParsed(lt) || isParsed(rt))
+        when(ln.isNull || rn.isNull, lit(op == 6)).otherwise(applyOp(ln, rn, op))
+      else applyOp(ln, rn, op)
+    }
+  }
+
+  /** Type-aware comparison (_evaluate_type_aware, expr-comparison.c:143):
+    * string-family LHS compares textually; a `null` operand makes ==/!=
+    * pure type comparisons; everything else compares numerically. A json
+    * scalar LHS (getattr out of a json object — dynamically typed in the
+    * reference) compares numerically against numbers and textually
+    * otherwise.
+    */
+  private def cmpTypeAware(l: FxVal, r: FxVal, op: Int): Column = {
+    val lt = l match { case FxScalar(_, t) => t; case _ => FxJson }
+    val rt = r match { case FxScalar(_, t) => t; case _ => FxJson }
+    val numericTypes = Set[FxType](FxInt, FxDouble, FxBool, FxDatetime)
+    if (l.isInstanceOf[FxDict] || l.isInstanceOf[FxList] || lt == FxString)
+      applyOp(strRepr(l), strRepr(r), op)
+    else if (lt == FxJson)
+      if (numericTypes.contains(rt)) cmpNumeric(l, r, op)
+      else applyOp(strRepr(l), strRepr(r), op)
+    else if ((lt == FxNull || rt == FxNull) && (op == 1 || op == 6))
+      if (op == 1) lit(lt == rt) else lit(lt != rt)
+    else cmpNumeric(l, r, op)
+  }
+
+  /** Type-and-value `===`/`!==` (_evaluate_type_and_value_based): types
+    * must match before values are compared — statically known here.
+    */
+  private def cmpTypeValue(l: FxVal, r: FxVal, op: Int): Column = {
+    val lt = l match { case FxScalar(_, t) => t; case _ => FxJson }
+    val rt = r match { case FxScalar(_, t) => t; case _ => FxJson }
+    if (lt != rt) lit(op == 6)
+    else cmpTypeAware(l, r, op)
+  }
+
+  // ----------------------------------------------------------- compiler
+
+  /** The compiled block: `matched` is the all-statements-passed predicate;
+    * `updates` are the final message-variable values, already blended with
+    * the pre-block values for unmatched/unreached rows. Both are pure
+    * expressions over the input frame.
+    */
+  final case class Compiled(
+      matched: Column,
+      updates: Seq[(String, Column)],
+      declared: Map[String, FxVal]) {
+
+    /** Standalone application: drop unmatched rows, store updates — one
+      * projection + one filter, evaluated against the ORIGINAL frame.
+      */
+    def apply(df: DataFrame): DataFrame = {
+      val updated = df.columns.toSeq.map { c =>
+        updates.find(_._1 == c).map(_._2.as(c)).getOrElse(col(c))
+      }
+      val added = updates.filterNot(u => df.columns.contains(u._1)).map { case (n, v) => v.as(n) }
+      df.select(updated ++ added :+ matched.as("__fx_matched"): _*)
+        .where(col("__fx_matched")).drop("__fx_matched")
+    }
+  }
+
+  def compile(df: DataFrame, program: String,
+      inherited: Map[String, FxVal] = Map.empty): Compiled = {
+    import Ast._
+    val stmts = new Parser(tokenize(program)).parseProgram()
+    val schema = df.schema
+    val baseCols = schema.fields.map(f => f.name -> f.dataType).toMap
+
+    val msgEnv = mutable.LinkedHashMap.empty[String, FxVal]
+    val floatEnv = mutable.LinkedHashMap.empty[String, FxVal]
+    val declaredNames = mutable.Set.empty[String]
+    inherited.foreach { case (k, v) => floatEnv(k) = v; declaredNames += k }
+    var fail: Column = lit(false)
+
+    def baseVal(name: String): Option[FxVal] =
+      baseCols.get(name).map(dt => FxScalar(col(name).cast(sparkTypeOf(fxTypeOf(dt))), fxTypeOf(dt)))
+        .orElse {
+          // grok-style dynamic fields map: $name falls through to fields['name']
+          baseCols.get("fields").collect {
+            case MapType(StringType, StringType, _) => FxScalar(col("fields")(name), FxString)
+          }
+        }
+
+    def readMsg(name: String): FxVal =
+      msgEnv.getOrElse(name, baseVal(name).getOrElse(
+        sys.error(s"filterx: unknown message variable $$$name (not a column of the frame)")))
+
+    /** Template resolver for double-quoted strings: block-local view of the
+      * message (pending writes visible), then frame columns / fields map.
+      */
+    val resolver: Templates.Resolver = name =>
+      msgEnv.get(name).map(v => materialize(v)._1)
+        .orElse(baseVal(name).map(v => materialize(v)._1))
+
+    def blend(guard: Option[Column], newV: FxVal, oldV: FxVal): FxVal = guard match {
+      case None => newV
+      case Some(g) =>
+        val (nc, oc, t) = unify(materialize(newV), materialize(oldV))
+        FxScalar(when(g, nc).otherwise(oc), t)
+    }
+
+    def evalExpr(e: Expr, guard: Option[Column]): FxVal = e match {
+      case IntLit(v)  => FxScalar(lit(v), FxInt)
+      case DblLit(v)  => FxScalar(lit(v), FxDouble)
+      case BoolLit(v) => FxScalar(lit(v), FxBool)
+      case NullLit    => FxScalar(lit(null).cast(StringType), FxNull)
+      case StrLit(raw, false) => FxScalar(lit(raw), FxString)
+      case StrLit(raw, true) =>
+        // grammar construct_template_expr: literal text stays a string
+        // literal; a lone `$name` passes the variable through TYPED; real
+        // templates render to strings
+        if (!raw.contains('$')) FxScalar(lit(raw), FxString)
+        else {
+          val trivial = "^\\$\\{?([A-Za-z0-9_]+)\\}?$".r
+          raw match {
+            case trivial(name) => readMsg(name)
+            case _             => FxScalar(Templates.compile(raw, resolver), FxString)
+          }
+        }
+      case MsgVar(name) => readMsg(name)
+      case FloatVar(name) => floatEnv.getOrElse(name,
+        sys.error(s"filterx: undefined variable $name"))
+      case GetAttr(base, name) => getKey(evalExpr(base, guard), Left(name))
+      case GetSub(base, Some(k)) =>
+        evalExpr(k, guard) match {
+          case FxScalar(_, FxInt) if literalOf(k).isDefined =>
+            getKey(evalExpr(base, guard), Right(literalOf(k).get.toInt))
+          case _ =>
+            literalStrOf(k) match {
+              case Some(s) => getKey(evalExpr(base, guard), Left(s))
+              case None    => sys.error("filterx: subscript keys must be literals")
+            }
+        }
+      case GetSub(_, None) => sys.error("filterx: `[]` is only valid as an assignment target")
+      case Not(x) => FxScalar(!truthy(evalExpr(x, guard)), FxBool)
+      case And(l, r) => FxScalar(truthy(evalExpr(l, guard)) && truthy(evalExpr(r, guard)), FxBool)
+      case Or(l, r)  => FxScalar(truthy(evalExpr(l, guard)) || truthy(evalExpr(r, guard)), FxBool)
+      case Cmp(l, r, op, mode) =>
+        val lv = evalExpr(l, guard); val rv = evalExpr(r, guard)
+        val c = mode match {
+          case 0 => cmpTypeAware(lv, rv, op)
+          case 1 => applyOp(strRepr(lv), strRepr(rv), op)
+          case 2 => cmpTypeValue(lv, rv, op)
+        }
+        FxScalar(c, FxBool)
+      case Regex(x, pattern) =>
+        val v = evalExpr(x, guard)
+        v match {
+          case FxScalar(c, FxString | FxJson) => FxScalar(c.rlike(pattern), FxBool)
+          case _ => sys.error("filterx: =~ left hand side must be a string (expr-regexp.c:105)")
+        }
+      case Ternary(c, t, f) =>
+        val cv = evalExpr(c, guard)
+        val fv = evalExpr(f, guard)
+        t match {
+          case Some(te) =>
+            val tv = evalExpr(te, guard)
+            val (tc, fc, ty) = unify(materialize(tv), materialize(fv))
+            FxScalar(when(truthy(cv), tc).otherwise(fc), ty)
+          case None => // elvis: truthy(c) ? c : f
+            val (cc, fc, ty) = unify(materialize(cv), materialize(fv))
+            FxScalar(when(truthy(cv), cc).otherwise(fc), ty)
+        }
+      case IsSet(x) => FxScalar(isSet(x), FxBool)
+      case UnsetE(_) => sys.error("filterx: unset() is only valid as a statement")
+      case DictGen(entries) =>
+        FxDict(ListMap(entries.map { case (k, v) =>
+          val key = literalStrOf(k).getOrElse(
+            sys.error("filterx: dict keys must be string literals"))
+          key -> evalExpr(v, guard)
+        }: _*))
+      case ListGen(items) => FxList(items.map(evalExpr(_, guard)).toVector)
+      case Func(name, args) => evalFunc(name, args, guard)
+    }
+
+    def literalOf(e: Expr): Option[Long] = e match {
+      case IntLit(v) => Some(v)
+      case _         => None
+    }
+    def literalStrOf(e: Expr): Option[String] = e match {
+      case StrLit(s, false)                  => Some(s)
+      case StrLit(s, true) if !s.contains('$') => Some(s)
+      case _                                 => None
+    }
+
+    def getKey(base: FxVal, key: Either[String, Int]): FxVal = (base, key) match {
+      case (FxDict(m), Left(k)) =>
+        m.getOrElse(k, FxScalar(lit(null).cast(StringType), FxNull))
+      case (FxList(xs), Right(i)) =>
+        if (i >= 0 && i < xs.length) xs(i) else FxScalar(lit(null).cast(StringType), FxNull)
+      case (FxScalar(c, FxJson), Left(k))  => FxScalar(get_json_object(c, s"$$['$k']"), FxJson)
+      case (FxScalar(c, FxJson), Right(i)) => FxScalar(get_json_object(c, s"$$[$i]"), FxJson)
+      case (FxScalar(c, FxString), Left(k)) => FxScalar(get_json_object(c, s"$$['$k']"), FxJson)
+      case other => sys.error(s"filterx: cannot index a ${other._1.getClass.getSimpleName}")
+    }
+
+    def isSet(e: Expr): Column = e match {
+      case MsgVar(name) =>
+        msgEnv.get(name).map(v => materialize(v)._1.isNotNull)
+          .orElse(baseVal(name).map(v => materialize(v)._1.isNotNull))
+          .getOrElse(lit(false))
+      case FloatVar(name) =>
+        floatEnv.get(name).map(v => materialize(v)._1.isNotNull).getOrElse(lit(false))
+      case GetAttr(_, _) | GetSub(_, Some(_)) =>
+        materialize(evalExpr(e, None))._1.isNotNull
+      case _ => materialize(evalExpr(e, None))._1.isNotNull
+    }
+
+    def evalFunc(name: String, args: Seq[Expr], guard: Option[Column]): FxVal = {
+      def arg0 = evalExpr(args.head, guard)
+      name match {
+        // filterx-globals.c:73-110 builtin registry
+        case "json"       => FxScalar(materialize(arg0)._1.cast(StringType), FxJson)
+        case "json_array" => FxScalar(materialize(arg0)._1.cast(StringType), FxJson)
+        case "string"     => FxScalar(strRepr(arg0), FxString)
+        case "int" =>
+          val (c, t) = materialize(arg0)
+          val out = t match {
+            case FxInt             => c
+            case FxBool            => c.cast(LongType)
+            case FxDouble          => c.cast(LongType) // truncates toward zero
+            case FxString | FxJson => c.try_cast(DoubleType).cast(LongType)
+            case FxDatetime        => unix_timestamp(c.cast(TimestampType))
+            case FxNull            => lit(null).cast(LongType)
+          }
+          FxScalar(out, FxInt)
+        case "double" =>
+          val (c, t) = materialize(arg0)
+          val out = t match {
+            case FxDouble          => c
+            case FxString | FxJson => c.try_cast(DoubleType)
+            case FxNull            => lit(null).cast(DoubleType)
+            case FxDatetime        => unix_timestamp(c.cast(TimestampType)).cast(DoubleType)
+            case _                 => c.cast(DoubleType)
+          }
+          FxScalar(out, FxDouble)
+        case "bool" => FxScalar(truthy(arg0), FxBool)
+        case "len" =>
+          arg0 match {
+            case FxScalar(c, FxString) => FxScalar(length(c).cast(LongType), FxInt)
+            case FxScalar(c, FxJson) =>
+              FxScalar(coalesce(
+                json_array_length(c).cast(LongType),
+                size(json_object_keys(c)).cast(LongType),
+                length(c).cast(LongType)), FxInt)
+            case FxDict(m)  => FxScalar(lit(m.size.toLong), FxInt)
+            case FxList(xs) => FxScalar(lit(xs.length.toLong), FxInt)
+            case FxScalar(_, t) => sys.error(s"filterx: len() of $t")
+          }
+        case "istype" =>
+          val want = literalStrOf(args(1)).getOrElse(
+            sys.error("filterx: istype() needs a literal type name"))
+          val have = arg0 match {
+            case FxScalar(_, FxString)   => lit("string")
+            case FxScalar(_, FxInt)      => lit("integer")
+            case FxScalar(_, FxDouble)   => lit("double")
+            case FxScalar(_, FxBool)     => lit("boolean")
+            case FxScalar(_, FxNull)     => lit("null")
+            case FxScalar(_, FxDatetime) => lit("datetime")
+            case FxDict(_)               => lit("json_object")
+            case FxList(_)               => lit("json_array")
+            case FxScalar(c, FxJson) =>
+              val t = ltrim(c)
+              when(t.startsWith("{"), "json_object")
+                .when(t.startsWith("["), "json_array")
+                .otherwise("string")
+          }
+          FxScalar(have === want, FxBool)
+        case "datetime" =>
+          val (c, t) = materialize(arg0)
+          val out = t match {
+            case FxDatetime        => c
+            case FxInt | FxDouble  => timestamp_seconds(c).cast(TimestampNTZType)
+            case _                 => c.try_cast(TimestampNTZType)
+          }
+          FxScalar(out, FxDatetime)
+        case "isodate" =>
+          FxScalar(date_format(materialize(arg0)._1, "yyyy-MM-dd'T'HH:mm:ss"), FxString)
+        case other => sys.error(s"filterx: unknown function $other()")
+      }
+    }
+
+    def assignTo(lhs: Expr, v: FxVal, guard: Option[Column]): Unit = lhs match {
+      case MsgVar(name) =>
+        val old = msgEnv.get(name).orElse(baseVal(name))
+          .getOrElse(FxScalar(lit(null).cast(StringType), FxNull))
+        msgEnv(name) = blend(guard, v, old)
+      case FloatVar(name) =>
+        val old = floatEnv.getOrElse(name, FxScalar(lit(null).cast(StringType), FxNull))
+        floatEnv(name) = if (floatEnv.contains(name)) blend(guard, v, old) else v
+      case GetAttr(base, name) => updatePath(base, Left(name), v, guard)
+      case GetSub(base, Some(k)) =>
+        literalStrOf(k) match {
+          case Some(s) => updatePath(base, Left(s), v, guard)
+          case None => literalOf(k) match {
+            case Some(i) => updatePath(base, Right(i.toInt), v, guard)
+            case None    => sys.error("filterx: assignment subscript must be a literal")
+          }
+        }
+      case GetSub(base, None) => // $xs[] = v — append
+        resolveVar(base) match {
+          case (read, write) => read() match {
+            case FxList(xs) => write(FxList(xs :+ v))
+            case other      => sys.error(s"filterx: []= append needs a list, got $other")
+          }
+        }
+      case other => sys.error(s"filterx: invalid assignment target $other")
+    }
+
+    /** (reader, writer) pair for a variable root. */
+    def resolveVar(e: Expr): (() => FxVal, FxVal => Unit) = e match {
+      case MsgVar(n)   => (() => readMsg(n), v => msgEnv(n) = v)
+      case FloatVar(n) => (() => floatEnv.getOrElse(n, sys.error(s"filterx: undefined variable $n")),
+        v => floatEnv(n) = v)
+      case other => sys.error(s"filterx: cannot assign through $other")
+    }
+
+    /** Structural set-attr/set-subscript (expr-setattr.c/expr-set-subscript
+      * .c): only meaningful on dict/list trees built in this block — a
+      * compile-time tree update; guarded writes blend at the leaf.
+      */
+    def updatePath(base: Expr, key: Either[String, Int], v: FxVal, guard: Option[Column]): Unit = {
+      val (read, write) = base match {
+        case GetAttr(inner, name) =>
+          val (r, w) = resolveVar(inner) // one level of nesting supported
+          (() => r() match {
+            case FxDict(m) => m.getOrElse(name, sys.error(s"filterx: no attribute $name"))
+            case other     => sys.error(s"filterx: cannot navigate $other")
+          }, (nv: FxVal) => r() match {
+            case FxDict(m) => w(FxDict(m.updated(name, nv)))
+            case _         => ()
+          })
+        case _ => resolveVar(base)
+      }
+      read() match {
+        case FxDict(m) =>
+          val k = key.swap.toOption.getOrElse(sys.error("filterx: dict keys are strings"))
+          val old = m.getOrElse(k, FxScalar(lit(null).cast(StringType), FxNull))
+          val stored = if (guard.isEmpty || !m.contains(k)) v else blend(guard, v, old)
+          write(FxDict(m.updated(k, stored)))
+        case FxList(xs) =>
+          val i = key.toOption.getOrElse(sys.error("filterx: list subscripts are integers"))
+          require(i >= 0 && i < xs.length, s"filterx: list index $i out of bounds")
+          write(FxList(xs.updated(i, if (guard.isEmpty) v else blend(guard, v, xs(i)))))
+        case FxScalar(_, _) =>
+          sys.error("filterx: set-attr target must be a dict or list built in this block")
+      }
+    }
+
+    def unsetTarget(e: Expr, guard: Option[Column]): Unit = e match {
+      case MsgVar(name) =>
+        val old = msgEnv.get(name).orElse(baseVal(name))
+          .getOrElse(FxScalar(lit(null).cast(StringType), FxNull))
+        val (oc, ot) = materialize(old)
+        val nulled = FxScalar(lit(null).cast(sparkTypeOf(ot)), ot)
+        msgEnv(name) = blend(guard, nulled, FxScalar(oc, ot))
+      case FloatVar(name) => floatEnv.remove(name); ()
+      case GetAttr(base, name) =>
+        resolveVar(base) match {
+          case (read, write) => read() match {
+            case FxDict(m) => write(FxDict(m - name))
+            case _         => ()
+          }
+        }
+      case other => sys.error(s"filterx: cannot unset $other")
+    }
+
+    def walk(body: Seq[Stmt], guard: Option[Column]): Unit = body.foreach {
+      case ExprStmt(UnsetE(target)) => unsetTarget(target, guard)
+      case ExprStmt(e) =>
+        val ok = truthy(evalExpr(e, guard))
+        val failHere = guard.map(g => g && !ok).getOrElse(!ok)
+        fail = fail || failHere
+      case Assign(lhs, rhs) => assignTo(lhs, evalExpr(rhs, guard), guard)
+      case Declare(name, rhs) =>
+        declaredNames += name
+        val v = evalExpr(rhs, guard)
+        val old = floatEnv.getOrElse(name, FxScalar(lit(null).cast(StringType), FxNull))
+        floatEnv(name) = if (floatEnv.contains(name)) blend(guard, v, old) else v
+      case IfStmt(branches, otherwise) =>
+        // exclusive ladder like Dsl.IfElse; an unmatched conditional is
+        // TRUE (expr-condition.c:64) so only taken-branch statements can
+        // fail the row
+        var noneEarlier: Column = lit(true)
+        branches.foreach { case (condE, bodyStmts) =>
+          val c = truthy(evalExpr(condE, guard))
+          val g = guard.map(_ && noneEarlier && c).getOrElse(noneEarlier && c)
+          walk(bodyStmts, Some(g))
+          noneEarlier = noneEarlier && !c
+        }
+        if (otherwise.nonEmpty) {
+          val g = guard.map(_ && noneEarlier).getOrElse(noneEarlier)
+          walk(otherwise, Some(g))
+        }
+    }
+
+    walk(stmts, None)
+
+    val matched = !fail
+    val updates = msgEnv.toSeq.map { case (name, v) =>
+      val (nc, nt) = materialize(v)
+      val origVal: (Column, FxType) = baseCols.get(name) match {
+        case Some(dt) => (col(name).cast(sparkTypeOf(fxTypeOf(dt))), fxTypeOf(dt))
+        case None     => (lit(null).cast(sparkTypeOf(nt)), nt)
+      }
+      // commit only when the whole block matched (filterx-eval.c:202)
+      val (ocU, ncU, _) = unify(origVal, (nc, nt))
+      name -> when(matched, ncU).otherwise(ocU)
+    }
+    Compiled(matched, updates,
+      floatEnv.filter { case (k, _) => declaredNames.contains(k) }.toMap)
+  }
+
+  /** One-step convenience: compile against `df` and apply. */
+  def apply(df: DataFrame, program: String): DataFrame = compile(df, program)(df)
+}

@@ -153,6 +153,37 @@ class ConfigTextSpec extends SparkSpec {
     assert(hits.schema("dur").dataType === org.apache.spark.sql.types.LongType)
   }
 
+  test("filterx blocks: named + inline, drop semantics, branch-guarded writes") {
+    val cfg = s"""
+      source s { transcripts("$sfUnit"); };
+
+      # named top-level block (reference filterx-pipe.c rule form)
+      filterx fx_route {
+        $$role != 'system';
+        if ($$role == 'tool') { $$kind = 'T'; }
+        else { $$kind = len($$text) > 40 ? 'long' : 'short'; };
+      };
+
+      destination d_main { file("main"); };
+      destination d_rest { file("rest"); };
+
+      log { source(s); filterx(fx_route); destination(d_main); flags(final); };
+      log { source(s); filterx { $$role == 'system'; $$kind = 'SYS'; };
+            destination(d_rest); };
+    """
+    val c = ConfigText.compile(spark, cfg)
+    val t = graft.transcripts.Transcripts.load(spark, sfUnit)
+
+    val main = c.sink("main")
+    val rest = c.sink("rest")
+    assert(main.count() === t.filter(col("role") =!= "system").count())
+    assert(rest.count() === t.filter(col("role") === "system").count())
+    assert(main.where(col("role") === "tool" && col("kind") =!= "T").count() === 0)
+    assert(rest.select("kind").distinct().as[String].collect().toSeq === Seq("SYS"))
+    // branch-guarded: non-tool rows got long/short, never T
+    assert(main.where(col("role") =!= "tool" && col("kind") === "T").count() === 0)
+  }
+
   test("block generators: parameterized config macros expand with defaults and overrides") {
     val cfg = s"""
       block filter status-is(val("ok")) {

@@ -1,0 +1,285 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.filterx.FilterX
+
+/** FilterX language semantics, ported from the reference's criterion
+  * suites: comparison cases from lib/filterx/tests/test_expr_comparison.c,
+  * conditional/drop semantics from test_expr_condition.c and
+  * filterx-eval.c:189, regexp from test_expr_regexp.c, typecasts/len/istype
+  * from test_builtin_functions.c and func-istype.c.
+  */
+class FilterXSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** One-row frame with a typed column per filterx base type. */
+  private lazy val one = Seq((7L, 3.14, "alma", true, "")).toDF("i", "d", "s", "b", "empty")
+
+  /** Evaluate a single filterx expression as a boolean against `one`. */
+  private def holds(expr: String): Boolean = {
+    val out = FilterX(one, s"$$result = $expr ? 1 : 0;")
+    out.select("result").as[Long].head() == 1L
+  }
+
+  /** true iff the row survives `program` as a filter. */
+  private def passes(program: String): Boolean =
+    FilterX(one, program).count() == 1L
+
+  // ---- type-aware comparisons (test_expr_comparison.c:57-134; int lhs
+  // dispatches to _evaluate_as_num like the NUM_BASED cases there)
+
+  test("type-aware int vs int / int vs double") {
+    assert(holds("$i == 7"))
+    assert(!holds("$i == 6"))
+    assert(holds("$i != 6"))
+    assert(holds("$i > 3.5"))
+    assert(!holds("$i < 3.5"))
+    assert(holds("7 == 7.0"))
+    assert(!holds("7 === 7.0")) // type-and-value: int vs double differs
+    assert(holds("7 === 7"))
+    assert(holds("7 !== 7.0"))
+  }
+
+  test("type-aware int vs string parses the string; unparseable is NaN") {
+    assert(holds("3 == '3'"))          // :99
+    assert(!holds("7 == '6'"))         // :101
+    assert(!holds("7 == '7.1'"))       // :102
+    assert(!holds("7 == 'invalid'"))   // :103  NaN → only != is true
+    assert(holds("7 != 'invalid'"))    // :124
+    assert(!holds("7 > 'invalid'"))    // :110
+    assert(!holds("7 < 'invalid'"))
+    assert(holds("8 > '7.1'"))         // :109
+    assert(holds("7 < '7.1'"))         // :116
+  }
+
+  test("type-aware null operand: ==/!= compare types, </> treat null as 0 (:131-134)") {
+    assert(!holds("7 == null"))
+    assert(holds("7 != null"))
+    assert(holds("7 > null"))
+    assert(!holds("7 < null"))
+    assert(holds("null == null"))
+  }
+
+  test("type-aware string lhs compares textually (expr-comparison.c:143)") {
+    assert(holds("$s == 'alma'"))
+    assert(!holds("$s == 'korte'"))
+    assert(holds("$s < 'korte'"))
+    assert(holds("'7' == 7")) // string lhs: rhs marshals to "7"
+    assert(!holds("'7.0' == 7")) // textual, not numeric
+  }
+
+  test("string-based operators eq/ne/lt/le/ge/gt") {
+    assert(holds("$s eq 'alma'"))
+    assert(holds("$s ne 'korte'"))
+    assert(holds("$s lt 'korte'"))
+    assert(holds("$s le 'alma'"))
+    assert(holds("$s ge 'alma'"))
+    assert(holds("$i eq '7'")) // int marshals to its text
+  }
+
+  // ---- truthiness (object-string.c:81, object-primitive.c:41)
+
+  test("truthiness: empty string / 0 / 0.0 / false / null are falsy") {
+    assert(!passes("$empty;"))
+    assert(!passes("0;"))
+    assert(!passes("0.0;"))
+    assert(!passes("false;"))
+    assert(!passes("null;"))
+    assert(passes("$s;"))
+    assert(passes("$i;"))
+    assert(passes("-1;"))
+    assert(passes("true;"))
+  }
+
+  test("boolean algebra and not") {
+    assert(passes("$b and $i == 7;"))
+    assert(!passes("$b and $i == 6;"))
+    assert(passes("$b or $i == 6;"))
+    assert(passes("not ($i == 6);"))
+  }
+
+  // ---- statements, assignment, drop semantics (filterx-eval.c:159)
+
+  test("assignment results are ignored for matching; predicates drop") {
+    // a falsy assignment must NOT drop (expr-assign.c:54)
+    assert(passes("$x = 0;"))
+    assert(passes("$x = false; $i == 7;"))
+    assert(!passes("$x = true; $i == 6;"))
+  }
+
+  test("sequential visibility: later statements see earlier writes") {
+    val out = FilterX(one, "$x = 5; $y = $x == 5 ? 'yes' : 'no'; $x = 6;")
+    val r = out.select("x", "y").as[(Long, String)].head()
+    assert(r == ((6L, "yes")))
+  }
+
+  test("unmatched rows keep their original values (filterx-eval.c:202)") {
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val c = FilterX.compile(df, "$v = 99; $k == 'a';")
+    // apply the updates WITHOUT the filter: row b failed the block, so its
+    // write must not commit
+    val updated = df.withColumn("v", c.updates.toMap.apply("v"))
+    val got = updated.orderBy("k").select("v").as[Long].collect().toSeq
+    assert(got == Seq(99L, 2L))
+  }
+
+  // ---- conditionals (expr-condition.c:38-75)
+
+  test("if/elif/else guards assignments; unmatched conditional is true") {
+    val df = Seq(("user", 1L), ("tool", 2L), ("system", 3L)).toDF("role", "v")
+    val out = FilterX(df,
+      """if ($role == 'user') { $tag = 'U'; }
+        |elif ($role == 'tool') { $tag = 'T'; }
+        |else { $tag = 'X'; };""".stripMargin)
+    val got = out.orderBy("v").select("tag").as[String].collect().toSeq
+    assert(got == Seq("U", "T", "X"))
+  }
+
+  test("a falsy predicate inside a TAKEN branch drops only branch rows") {
+    val df = Seq(("user", 1L), ("tool", 2L)).toDF("role", "v")
+    val out = FilterX(df, "if ($role == 'user') { $v == 99; };")
+    // user row took the branch and failed; tool row never entered it
+    assert(out.select("role").as[String].collect().toSeq == Seq("tool"))
+  }
+
+  test("ternary and elvis") {
+    assert(FilterX(one, "$r = $i > 5 ? 'big' : 'small';")
+      .select("r").as[String].head() == "big")
+    assert(FilterX(one, "$r = $empty ?: 'fallback';")
+      .select("r").as[String].head() == "fallback")
+    assert(FilterX(one, "$r = $s ?: 'fallback';")
+      .select("r").as[String].head() == "alma")
+  }
+
+  // ---- regexp (expr-regexp.c: pcre2_match is a SEARCH, not anchored)
+
+  test("=~ is an unanchored search on strings") {
+    assert(holds("$s =~ 'lm'"))
+    assert(holds("$s =~ '^al'"))
+    assert(!holds("$s =~ '^lm'"))
+    assert(holds("$s =~ 'a.ma'"))
+  }
+
+  // ---- dict/list generators, attribute access, json
+
+  test("dict generator marshals to JSON on message-var store; getattr reads back") {
+    val out = FilterX(one,
+      "$meta = {'kind': 'x', 'n': $i, 'ok': true}; $n2 = $meta.n; $k = $meta.kind;")
+    val r = out.select("meta", "n2", "k").as[(String, Long, String)].head()
+    assert(r._1 == """{"kind":"x","n":7,"ok":true}""")
+    assert(r._2 == 7L)
+    assert(r._3 == "x")
+  }
+
+  test("setattr / subscript-set / append mutate the block-local tree") {
+    val out = FilterX(one,
+      """$m = {'a': 1};
+        |$m.b = 'two';
+        |$m['c'] = false;
+        |$xs = [1, 2];
+        |$xs[] = $i;
+        |$xs[0] = 9;""".stripMargin)
+    val r = out.select("m", "xs").as[(String, String)].head()
+    assert(r._1 == """{"a":1,"b":"two","c":false}""")
+    assert(r._2 == "[9,2,7]")
+  }
+
+  test("json() parses text; getattr/subscript navigate dynamically") {
+    val df = Seq(("""{"user":{"name":"bob","uid":42},"tags":["a","b"]}""", 1L))
+      .toDF("raw", "v")
+    val out = FilterX(df,
+      """$j = json($raw);
+        |$name = string($j.user.name);
+        |$uid = int($j.user.uid);
+        |$t0 = string($j.tags[0]);
+        |$uid > 40;""".stripMargin)
+    val r = out.select("name", "uid", "t0").as[(String, Long, String)].head()
+    assert(r == (("bob", 42L, "a")))
+  }
+
+  test("json scalar compares numerically against numbers (dynamic typing)") {
+    val df = Seq(("""{"n": 42}""", 1L)).toDF("raw", "v")
+    assert(FilterX(df, "json($raw).n == 42;").count() == 1L)
+    assert(FilterX(df, "json($raw).n > 41.5;").count() == 1L)
+    assert(FilterX(df, "json($raw).n == '42';").count() == 1L) // textual vs string
+  }
+
+  // ---- functions
+
+  test("typecasts: string/int/double/bool (filterx-globals.c:73-83)") {
+    val out = FilterX(one,
+      """$si = string($i);
+        |$ii = int('42');
+        |$it = int('7.9');
+        |$dd = double('2.5');
+        |$bi = bool($i) ? 1 : 0;
+        |$b0 = bool($empty) ? 1 : 0;""".stripMargin)
+    val r = out.select("si", "ii", "it", "dd", "bi", "b0")
+      .as[(String, Long, Long, Double, Long, Long)].head()
+    assert(r == (("7", 42L, 7L, 2.5, 1L, 0L)))
+  }
+
+  test("len on strings, dicts, lists, json arrays (func-len.c)") {
+    val df = Seq(("""["x","y","z"]""", 1L)).toDF("raw", "v")
+    assert(FilterX(one, "$n = len($s);").select("n").as[Long].head() == 4L)
+    assert(FilterX(one, "$n = len({'a':1,'b':2});").select("n").as[Long].head() == 2L)
+    assert(FilterX(one, "$n = len([1,2,3]);").select("n").as[Long].head() == 3L)
+    assert(FilterX(df, "$n = len(json($raw));").select("n").as[Long].head() == 3L)
+  }
+
+  test("istype static and dynamic (func-istype.c)") {
+    assert(holds("istype($i, 'integer')"))
+    assert(holds("istype($s, 'string')"))
+    assert(!holds("istype($i, 'string')"))
+    assert(holds("istype({'a':1}, 'json_object')"))
+    assert(holds("istype([1], 'json_array')"))
+    val df = Seq(("""{"a":1}""", """[1]""")).toDF("o", "a")
+    assert(FilterX(df, "istype(json($o), 'json_object');").count() == 1L)
+    assert(FilterX(df, "istype(json($a), 'json_array');").count() == 1L)
+  }
+
+  test("isset / unset (expr-isset.c, expr-unset.c)") {
+    assert(holds("isset($s)"))
+    assert(holds("isset($empty)")) // empty string is set (it exists)
+    assert(!holds("isset($nosuchcolumn)"))
+    val out = FilterX(one, "unset($s); $after = isset($s) ? 1 : 0;")
+    val r = out.select("s", "after").as[(Option[String], Long)].head()
+    assert(r == ((None, 0L)))
+  }
+
+  // ---- templates in double-quoted strings (construct_template_expr)
+
+  test("double-quoted strings are templates; trivial $name stays typed") {
+    val out = FilterX(one,
+      """$msg = "value=$i s=$s";
+        |$typed = "$i";
+        |$lit = 'no $i expansion';""".stripMargin)
+    val r = out.select("msg", "typed", "lit").as[(String, Long, String)].head()
+    assert(r == (("value=7 s=alma", 7L, "no $i expansion")))
+  }
+
+  test("declare persists across chained blocks via inherited") {
+    val c1 = FilterX.compile(one, "declare counter = $i; $tmp = 1;")
+    // no arithmetic in filterx v1 grammar — read back through comparison
+    val c3 = FilterX.compile(one, "$out = counter == 7 ? 'yes' : 'no';", inherited = c1.declared)
+    assert(c1.declared.contains("counter"))
+    val out = one.select(c3.updates.toMap.apply("out").as("out"))
+    assert(out.as[String].head() == "yes")
+  }
+
+  test("drop-rate program over the transcripts fixture") {
+    val df = graft.transcripts.Transcripts.load(spark, sfUnit)
+    val total = df.count()
+    val kept = FilterX(df,
+      """$role != 'system';
+        |$quality = len($text) > 40 ? 'long' : 'short';
+        |if ($role == 'tool') { $quality = 'tool'; };""".stripMargin)
+    assert(kept.count() < total)
+    val qs = kept.select("quality").distinct().as[String].collect().toSet
+    assert(qs == Set("long", "short", "tool"))
+    // no system rows survive; tool rows all tagged
+    assert(kept.where(col("role") === "system").count() == 0)
+    assert(kept.where(col("role") === "tool" && col("quality") =!= "tool").count() == 0)
+  }
+}
