@@ -306,6 +306,21 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("ip"))
     }),
 
+    // geoip2 enrichment: range-bucket broadcast join over a mixed-prefix
+    // CIDR fixture (reference modules/geoip2/geoip-parser.c)
+    "q_enrich_geoip" -> ((s, dir) => {
+      val p = grokked(s, dir).filter(col("rule_id") === "syslog")
+        .withColumn("pri", f("pri").cast("int"))
+        .withColumn("ip", concat_ws(".", lit("10"),
+          SyslogNames.facilityNum(col("pri")).cast("string"),
+          SyslogNames.severityNum(col("pri")).cast("string"),
+          pmod(f("pid").cast("int"), lit(256)).cast("string")))
+      graft.enrich.GeoIp.enrich(p, col("ip"), graft.enrich.GeoIp.defaultRanges(s))
+        .select(col("conv_id"), col("turn_idx"), col("ip"),
+          col("geoip2_country_iso"), col("geoip2_city"),
+          col("geoip2_latitude"), col("geoip2_longitude"))
+    }),
+
     "q_filter_netmask6" -> ((s, dir) => {
       val p = grokked(s, dir).filter(col("rule_id") === "syslog")
         .withColumn("pri", f("pri").cast("int"))
@@ -922,6 +937,24 @@ object SparkEntry {
            concat('prog-', cast(prognum AS varchar)) AS prog, action
          FROM transcripts_full
          WHERE variant = 0 AND prognum IN (0,2,4) AND action IN ('login','logout')"""),
+
+    "q_enrich_geoip" -> Transcripts.oracle(
+      s"""SELECT conv_id, turn_idx,
+           concat('10.', cast(fac AS varchar), '.', cast(sev AS varchar), '.',
+                  cast(pid % 256 AS varchar)) AS ip,
+           g.country_iso AS geoip2_country_iso, g.city AS geoip2_city,
+           g.latitude AS geoip2_latitude, g.longitude AS geoip2_longitude
+         FROM transcripts_full
+         LEFT JOIN (${graft.enrich.GeoIp.rangesSql}) g
+           ON (167772160 + fac*65536 + sev*256 + (pid % 256)) // 65536
+                = g.net_start // 65536
+          AND 167772160 + fac*65536 + sev*256 + (pid % 256)
+              BETWEEN g.net_start AND g.net_end
+         WHERE variant = 0"""),
+    // ^ the /16-bucket equality mirrors the Spark-side bucket join AND
+    // keeps DuckDB on a hash join — its IE_JOIN can spin unboundedly on
+    // this pattern after memory-heavy recursive-CTE queries in the same
+    // connection (observed with the dedup oracles preceding this one)
 
     "q_filter_netmask" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx,
