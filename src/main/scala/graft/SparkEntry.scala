@@ -480,6 +480,24 @@ object SparkEntry {
         Templates.compile("$(format-date '%Y/%m/%d %H:%M' ${ts})", r).as("c"))
     }),
 
+    // CEF/WELF destination formats over a value-pairs map
+    // (modules/cef/format-cef-extension.c, modules/kvformat/format-welf.c)
+    "q_template_cef" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+        .withColumn("fields", map(
+          lit(".cef.role"), col("role"),
+          lit(".cef.note"), concat(lit("t="), col("turn_idx").cast("string"), lit(" of conv")),
+          lit(".cef.bad key"), col("role"), // invalid key: skipped
+          lit("other"), col("role"), // outside --subkeys: excluded
+          lit("id"), col("conv_id"),
+          lit("msg"), concat(lit("turn "), col("turn_idx").cast("string"))))
+      val r: Templates.Resolver = name =>
+        if (t.columns.contains(name)) Some(col(name)) else None
+      t.select(col("conv_id"), col("turn_idx"),
+        Templates.compile("$(format-cef-extension --subkeys .cef.)", r).as("cef"),
+        Templates.compile("$(format-welf --key *)", r).as("welf"))
+    }),
+
     // ================= §2.12 FilterX =================
     // Statement block: drop predicate + branch-guarded writes + dict
     // marshaling + regex — the whole block is one projection + one filter
@@ -790,6 +808,17 @@ object SparkEntry {
 
     "q_parse_errors" -> Transcripts.oracle(
       "SELECT conv_id, turn_idx, text FROM transcripts_full WHERE variant = 4"),
+
+    "q_template_cef" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           concat('note=t\=', cast(turn_idx AS varchar), ' of conv role=', role) AS cef,
+           concat('id=', conv_id,
+                  ' .cef.bad key=', role,
+                  ' .cef.note="t=', cast(turn_idx AS varchar), ' of conv"',
+                  ' .cef.role=', role,
+                  ' msg="turn ', cast(turn_idx AS varchar), '"',
+                  ' other=', role) AS welf
+         FROM transcripts"""),
 
     "q_filterx" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx, role,

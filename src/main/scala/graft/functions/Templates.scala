@@ -315,6 +315,28 @@ object TemplateFunctions {
   private def asList(a: Arg): Column = split(a.col, ",")
   private def render(l: Column): Column = concat_ws(",", l)
 
+  private def globRegex(g: String): String = "^" + g.flatMap {
+    case '*' => ".*"
+    case '?' => "."
+    case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+    case c => c.toString
+  } + "$"
+
+  /** WELF value: double-quote iff it contains a space, escaping inner
+    * quotes (format-welf.c:67-74).
+    */
+  private def welfValue(v: Column): Column =
+    when(v.contains(" "),
+      concat(lit("\""), regexp_replace(v, "\"", "\\\\\""), lit("\"")))
+      .otherwise(v)
+
+  /** CEF extension-value escaping (format-cef-extension.c:68-103):
+    * backslash first, then `=`, LF, CR.
+    */
+  private def cefEscape(v: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(v,
+      "\\\\", "\\\\\\\\"), "=", "\\\\="), "\n", "\\\\n"), "\r", "\\\\r")
+
   val registry: Map[String, TFunc] = Map(
     // --- cond (basic-funcs.c) -------------------------------------------
     "if" -> (a => when(truthy(a(0).col), a(1).col).otherwise(a(2).col)),
@@ -396,10 +418,46 @@ object TemplateFunctions {
       case (k, v) => v.as(k) }: _*))),
     "format-flat-json" -> (a => to_json(struct(kvArgs(a).map {
       case (k, v) => v.as(k.replace(".", "_")) }: _*))),
-    "format-welf" -> (a => concat_ws(" ", kvArgs(a).sortBy(_._1).map {
-      case (k, v) => concat(lit(k + "="),
-        when(v.contains(" "), concat(lit("\""), v, lit("\""))).otherwise(v))
-    }: _*)),
+    // two forms like the reference: explicit key=value args, or a
+    // value-pairs walk `$(format-welf --key <glob>)` over the dynamic
+    // fields map — sorted keys with "id" forced first
+    // (format-welf.c:80 tf_format_welf_strcmp), values containing a space
+    // are double-quoted with inner quotes escaped (:67-74)
+    "format-welf" -> (a =>
+      if (a.head.literal.contains("--key")) {
+        val glob = a(1).literal.getOrElse(sys.error("static --key glob required"))
+        val m = a.head.resolver("fields").getOrElse(
+          sys.error("format-welf --key needs a fields map in scope"))
+        val sorted = array_sort(transform(
+          filter(map_entries(m), e => e("key").rlike(globRegex(glob))),
+          e => struct(when(e("key") === "id", lit("")).otherwise(e("key")).as("s"),
+            e("key").as("k"), e("value").as("v"))))
+        concat_ws(" ", transform(sorted,
+          s => concat(s("k"), lit("="), welfValue(s("v")))))
+      } else concat_ws(" ", kvArgs(a).sortBy(_._1).map {
+        case (k, v) => concat(lit(k + "="), welfValue(v))
+      }: _*)),
+    // $(format-cef-extension --subkeys <prefix>) — reference modules/cef/
+    // format-cef-extension.c: pairs under the prefix, prefix stripped,
+    // sorted (tf_cef_walk_cmp), alnum-only keys (tf_cef_is_valid_key:58;
+    // bad keys are skipped per on-error ignore), values escape \ = \n \r
+    // (tf_cef_append_escaped:68-103; the \uXXXX control-char and \xNN
+    // invalid-UTF8 escapes are omitted — parquet strings carry neither)
+    "format-cef-extension" -> (a => {
+      require(a.head.literal.contains("--subkeys"),
+        "format-cef-extension expects --subkeys <prefix>")
+      val prefix = a(1).literal.getOrElse(sys.error("static subkeys prefix required"))
+      val m = a.head.resolver("fields").getOrElse(
+        sys.error("format-cef-extension needs a fields map in scope"))
+      val stripped = transform(
+        filter(map_entries(m), e => e("key").startsWith(prefix)),
+        e => struct(
+          e("key").substr(lit(prefix.length + 1), length(e("key"))).as("k"),
+          e("value").as("v")))
+      val sorted = array_sort(filter(stripped, s => s("k").rlike("^[a-zA-Z0-9]+$")))
+      concat_ws(" ", transform(sorted,
+        s => concat(s("k"), lit("="), cefEscape(s("v")))))
+    }),
     // --- iteration (tf-map.c, tf-filter.c): first arg is a template over
     //     `$_` (the current element), second the comma-separated list ------
     "map" -> (a => render(transform(asList(a(1)), x => lambda(a(0), x)))),

@@ -114,4 +114,44 @@ class TemplatesSpec extends SparkSpec {
     assert(eval("$(/ 7 2)") === "3")
     assert(eval("$(/ 7.0 2)") === "3.5") // double-formed operand → double division
   }
+
+  test("format-cef-extension: subkeys walk, sort, key validation, escaping (test-format-cef-extension.c)") {
+    val d = Seq(("v", "c:/program files", "10.0.0.1", "a=b", "x\\y", "skipme"))
+      .toDF("k", "act", "dst", "eq", "bs", "bad")
+      .withColumn("fields", map(
+        lit(".cef.k"), col("k"),
+        lit(".cef.act"), col("act"),
+        lit(".cef.dst"), col("dst"),
+        lit(".cef.bad key"), col("bad"),   // non-alnum key: skipped (:58)
+        lit("other.x"), col("bad")))       // outside --subkeys: excluded
+    val r: Templates.Resolver = name =>
+      if (d.columns.contains(name)) Some(col(name)) else None
+    val got = d.select(Templates.compile(
+      "$(format-cef-extension --subkeys .cef.)", r).as("v")).as[String].head()
+    // sorted keys, spaces NOT escaped (:118 "act=c:/program files dst=10.0.0.1")
+    assert(got === "act=c:/program files dst=10.0.0.1 k=v")
+
+    val esc = d.withColumn("fields", map(
+      lit(".cef.eq"), col("eq"), lit(".cef.bs"), col("bs")))
+    val got2 = esc.select(Templates.compile(
+      "$(format-cef-extension --subkeys .cef.)", r).as("v")).as[String].head()
+    // = -> \= (:175), backslash -> \\ (:173)
+    assert(got2 === "bs=x\\\\y eq=a\\=b")
+  }
+
+  test("format-welf --key glob walk: id first, space values quoted (format-welf.c)") {
+    val d = Seq(("w7", "alma", "blocked a ping", "zz"))
+      .toDF("idv", "prog", "msg", "other")
+      .withColumn("fields", map(
+        lit("id"), col("idv"), lit("prog"), col("prog"),
+        lit("msg"), col("msg"), lit("xother"), col("other")))
+    val r: Templates.Resolver = name =>
+      if (d.columns.contains(name)) Some(col(name)) else None
+    val all = d.select(Templates.compile("$(format-welf --key *)", r).as("v"))
+      .as[String].head()
+    assert(all === "id=w7 msg=\"blocked a ping\" prog=alma xother=zz")
+    val globbed = d.select(Templates.compile("$(format-welf --key m*)", r).as("v"))
+      .as[String].head()
+    assert(globbed === "msg=\"blocked a ping\"")
+  }
 }
