@@ -26,7 +26,7 @@ object Bench {
     "q_group_lines", "q_grouping_by", "q_rate_limit", "q_enrich",
     "q_template_eval", "q_dedup_exact", "q_dedup_minhash", "q_dedup_embed",
     "q_dedup_clusters", "q_embed_topk", "q_text_stats", "q_multimodal_meta",
-    "q1_agg")
+    "q_filterx", "q_enrich_geoip", "q1_agg")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -492,10 +492,13 @@ object SparkEntry {
           lit("id"), col("conv_id"),
           lit("msg"), concat(lit("turn "), col("turn_idx").cast("string"))))
       val r: Templates.Resolver = name =>
-        if (t.columns.contains(name)) Some(col(name)) else None
+        if (name == "UNIXTIME")
+          Some(unix_timestamp(col("ts").cast("timestamp")).cast("string"))
+        else if (t.columns.contains(name)) Some(col(name)) else None
       t.select(col("conv_id"), col("turn_idx"),
         Templates.compile("$(format-cef-extension --subkeys .cef.)", r).as("cef"),
-        Templates.compile("$(format-welf --key *)", r).as("welf"))
+        Templates.compile("$(format-welf --key *)", r).as("welf"),
+        Templates.compile("$(stardate --digits 3 $UNIXTIME)", r).as("sdate"))
     }),
 
     // ================= §2.12 FilterX =================
@@ -817,7 +820,11 @@ object SparkEntry {
                   ' .cef.note="t=', cast(turn_idx AS varchar), ' of conv"',
                   ' .cef.role=', role,
                   ' msg="turn ', cast(turn_idx AS varchar), '"',
-                  ' other=', role) AS welf
+                  ' other=', role) AS welf,
+           printf('%.3f', CAST(year(ts) AS double) + floor(
+             CAST(floor(epoch(ts)) - epoch(date_trunc('year', ts)) AS double)
+             / (CASE WHEN (year(ts)%4=0 AND year(ts)%100<>0) OR year(ts)%400=0
+                     THEN 31622400 ELSE 31536000 END) * 1000) / 1000) AS sdate
          FROM transcripts"""),
 
     "q_filterx" -> Transcripts.oracle(

@@ -315,6 +315,19 @@ object TemplateFunctions {
   private def asList(a: Arg): Column = split(a.col, ",")
   private def render(l: Column): Column = concat_ws(",", l)
 
+  /** Built-in protocol/service tables for $(getent) — both directions
+    * (name→number and number→name), like nss does for the reference.
+    */
+  private val getentDb: Map[String, Map[String, String]] = Map(
+    "protocols" -> Map(
+      "icmp" -> "1", "tcp" -> "6", "udp" -> "17", "ipv6-icmp" -> "58",
+      "1" -> "icmp", "6" -> "tcp", "17" -> "udp", "58" -> "ipv6-icmp"),
+    "services" -> Map(
+      "ssh" -> "22", "domain" -> "53", "http" -> "80", "https" -> "443",
+      "syslog" -> "514", "syslog-tls" -> "6514",
+      "22" -> "ssh", "53" -> "domain", "80" -> "http", "443" -> "https",
+      "514" -> "syslog", "6514" -> "syslog-tls"))
+
   private def globRegex(g: String): String = "^" + g.flatMap {
     case '*' => ".*"
     case '?' => "."
@@ -457,6 +470,67 @@ object TemplateFunctions {
       val sorted = array_sort(filter(stripped, s => s("k").rlike("^[a-zA-Z0-9]+$")))
       concat_ws(" ", transform(sorted,
         s => concat(s("k"), lit("="), cefEscape(s("v")))))
+    }),
+    // --- stardate (modules/stardate/stardate.c:109-140): year + elapsed
+    // fraction of the (leap-aware) year, truncated then fixed-printed ------
+    "stardate" -> (a => {
+      val (digits, arg) =
+        if (a.head.literal.contains("--digits")) (a(1).int, a(2)) else (2, a(0))
+      require(digits >= 0 && digits <= 9, "stardate: digits must be between 0-9")
+      val secs = num(arg.col).cast("long")
+      val t = timestamp_seconds(secs)
+      val y = year(t)
+      val startSecs = unix_timestamp(make_date(y, lit(1), lit(1)).cast("timestamp"))
+      val leap = (y % 4 === 0 && y % 100 =!= 0) || (y % 400 === 0)
+      val ySecs = when(leap, 31622400L).otherwise(31536000L)
+      val p = math.pow(10, digits)
+      val frac = floor((secs - startSecs).cast("double") / ySecs * p) / p
+      format_string(s"%.${digits}f", y.cast("double") + frac)
+    }),
+    // --- graphite plaintext lines (modules/graphite/graphite-output.c):
+    // `name value unixtime\n` per pair; leading '.' in names becomes '_'
+    // (:93-95); pairs from k=v args or a --key glob walk; --timestamp
+    // overrides the default $R_UNIXTIME ---------------------------------
+    "graphite-output" -> (a => {
+      var j = 0
+      var tsOpt: Option[Column] = None
+      var glob: Option[String] = None
+      val kvs = Seq.newBuilder[Arg]
+      while (j < a.length) {
+        a(j).literal match {
+          case Some("--timestamp") => tsOpt = Some(a(j + 1).col); j += 2
+          case Some("--key") =>
+            glob = Some(a(j + 1).literal.getOrElse(sys.error("static --key glob required")))
+            j += 2
+          case _ => kvs += a(j); j += 1
+        }
+      }
+      val tsC = tsOpt.getOrElse(
+        a.head.resolver("R_UNIXTIME").orElse(a.head.resolver("UNIXTIME"))
+          .map(_.cast("string"))
+          .getOrElse(sys.error("graphite-output: no UNIXTIME in scope and no --timestamp")))
+      def line(k: Column, v: Column): Column =
+        concat(regexp_replace(k, "^\\.", "_"), lit(" "), v, lit(" "), tsC, lit("\n"))
+      glob match {
+        case Some(g) =>
+          val m = a.head.resolver("fields").getOrElse(
+            sys.error("graphite-output --key needs a fields map in scope"))
+          val sorted = array_sort(transform(
+            filter(map_entries(m), e => e("key").rlike(globRegex(g))),
+            e => struct(e("key").as("k"), e("value").as("v"))))
+          concat_ws("", transform(sorted, s => line(s("k"), s("v"))))
+        case None =>
+          concat(kvArgs(kvs.result()).map { case (k, v) => line(lit(k), v) }: _*)
+      }
+    }),
+    // --- getent (modules/getent/tfgetent.c): protocols/services lookups
+    // from a built-in table (IANA basics); passwd/group/uid lookups are
+    // environment-dependent and out of scope ----------------------------
+    "getent" -> (a => {
+      val db = a(0).literal.getOrElse(sys.error("getent: static database name required"))
+      val table = getentDb.getOrElse(db,
+        sys.error(s"getent: unsupported database $db (protocols/services only)"))
+      coalesce(element_at(typedlit(table), a(1).col), lit(""))
     }),
     // --- iteration (tf-map.c, tf-filter.c): first arg is a template over
     //     `$_` (the current element), second the comma-separated list ------

@@ -154,4 +154,53 @@ class TemplatesSpec extends SparkSpec {
       .as[String].head()
     assert(globbed === "msg=\"blocked a ping\"")
   }
+
+  test("stardate: leap-aware year fraction, truncation, digits (modules/stardate/tests)") {
+    // port of test_stardate: 2012-07-15 → 2012.5 (leap year), 2013-07-01 →
+    // 2013.49, 2014-01-01 → 2014.000
+    val d = Seq(
+      (1342310400L, 1), (1372636800L, 2), (1388534400L, 3))
+      .toDF("ut", "p")
+    def run(digits: Int, ut: Long): String = {
+      val row = d.filter(col("ut") === ut)
+      val r: Templates.Resolver = name =>
+        if (name == "UNIXTIME") Some(col("ut").cast("string")) else None
+      row.select(Templates.compile(s"$$(stardate --digits $digits $$UNIXTIME)", r).as("v"))
+        .as[String].head()
+    }
+    assert(run(1, 1342310400L) === "2012.5")
+    assert(run(2, 1372636800L) === "2013.49")
+    assert(run(3, 1388534400L) === "2014.000")
+  }
+
+  test("graphite-output: k=v and --key glob forms (modules/graphite/tests)") {
+    val d = Seq(("4", "value", 1139684315L)).toDF("dice", "appv", "ut")
+      .withColumn("fields", map(lit("APP.VALUE"), col("appv"), lit(".lead"), lit("x")))
+    val r: Templates.Resolver = name => name match {
+      case "R_UNIXTIME" => Some(col("ut").cast("string"))
+      case n if d.columns.contains(n) => Some(col(n))
+      case _ => None
+    }
+    def run(t: String) = d.select(Templates.compile(t, r).as("v")).as[String].head()
+    // :59 inline k=v form
+    assert(run("$(graphite-output local.random.diceroll=$dice)")
+      === "local.random.diceroll 4 1139684315\n")
+    // :93 --timestamp override
+    assert(run("$(graphite-output --timestamp 123 x=y)") === "x y 123\n")
+    // --key glob walk + leading-dot rewrite (:93-95)
+    assert(run("$(graphite-output --key APP.VALUE*)")
+      === "APP.VALUE value 1139684315\n")
+    assert(run("$(graphite-output --key .lead)") === "_lead x 1139684315\n")
+  }
+
+  test("getent protocols/services both directions (modules/getent)") {
+    val r: Templates.Resolver = name =>
+      if (df.columns.contains(name)) Some(col(name)) else None
+    def run(t: String) = df.select(Templates.compile(t, r).as("v")).as[String].head()
+    assert(run("$(getent protocols tcp)") === "6")
+    assert(run("$(getent protocols 17)") === "udp")
+    assert(run("$(getent services ssh)") === "22")
+    assert(run("$(getent services 514)") === "syslog")
+    assert(run("$(getent services nosuch)") === "")
+  }
 }
