@@ -544,8 +544,10 @@ object SparkEntry {
           |$evt = string($j.event);
           |$tokens = int($j.tokens);
           |$status = string($j.status);
-          |$big = $j.tokens > 200 ? 1 : 0;""".stripMargin)
-        .select("conv_id", "turn_idx", "evt", "tokens", "status", "big")
+          |$big = $j.tokens > 200 ? 1 : 0;
+          |$rs = regexp_search($text, '"status":"(\\w+)"');
+          |$st2 = string($rs[1]);""".stripMargin)
+        .select("conv_id", "turn_idx", "evt", "tokens", "status", "big", "st2")
     }),
 
     // ================= §2.4 stateful/correlation =================
@@ -858,7 +860,8 @@ object SparkEntry {
            CAST(json_extract_string(text, '$.tokens') AS bigint) AS tokens,
            json_extract_string(text, '$.status') AS status,
            CAST(CASE WHEN CAST(json_extract_string(text, '$.tokens') AS bigint) > 200
-                THEN 1 ELSE 0 END AS bigint) AS big
+                THEN 1 ELSE 0 END AS bigint) AS big,
+           regexp_extract(text, '"status":"(\w+)"', 1) AS st2
          FROM transcripts WHERE text LIKE '{%'"""),
 
     "q_parse_kv" -> Transcripts.oracle(

@@ -86,6 +86,10 @@ object FilterX {
     sealed trait Stmt
     final case class ExprStmt(e: Expr) extends Stmt
     final case class Assign(lhs: Expr, rhs: Expr) extends Stmt
+    /** `lhs += generator` (grammar generator_assignment): append the
+      * generated elements to an existing list.
+      */
+    final case class AppendAssign(lhs: Expr, rhs: Expr) extends Stmt
     final case class Declare(name: String, rhs: Expr) extends Stmt
     final case class IfStmt(branches: Seq[(Expr, Seq[Stmt])], otherwise: Seq[Stmt]) extends Stmt
   }
@@ -100,7 +104,7 @@ object FilterX {
   private final case class TStr(s: String, template: Boolean) extends Tok
   private final case class TOp(s: String) extends Tok
 
-  private val multiOps = Seq("===", "!==", "=~", "==", "!=", "<=", ">=")
+  private val multiOps = Seq("===", "!==", "=~", "==", "!=", "<=", ">=", "+=")
 
   private def tokenize(text: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -223,7 +227,10 @@ object FilterX {
         Seq(Declare(name, rhs))
       case _ =>
         val e = parseExpr()
-        val s = if (eatOp("=")) Assign(e, parseExpr()) else ExprStmt(e)
+        val s =
+          if (eatOp("=")) Assign(e, parseExpr())
+          else if (eatOp("+=")) AppendAssign(e, parseExpr())
+          else ExprStmt(e)
         expectOp(";")
         Seq(s)
     }
@@ -402,7 +409,9 @@ object FilterX {
     * runtime NULL is falsy (reference: eval error → unmatched).
     */
   private def truthy(v: FxVal): Column = v match {
-    case FxScalar(c, FxString | FxJson) => coalesce(length(c) > 0, lit(false))
+    case FxScalar(c, FxJson) => // empty containers are falsy like the reference
+      coalesce(length(c) > 0 && !c.isin("[]", "{}", "null"), lit(false))
+    case FxScalar(c, FxString) => coalesce(length(c) > 0, lit(false))
     case FxScalar(c, FxInt)             => coalesce(c =!= 0L, lit(false))
     case FxScalar(c, FxDouble)          => coalesce(c =!= 0.0, lit(false))
     case FxScalar(c, FxBool)            => coalesce(c, lit(false))
@@ -442,6 +451,32 @@ object FilterX {
       m.foreach { case (k, v) => jm.put(k, v) }
       jm
     }
+  }
+
+  /** Capture-group index → name for `(?<name>…)` groups. Counts plain
+    * `(` groups, skips `(?:`/lookarounds and escaped parens. (A literal
+    * `(` inside a character class would miscount — not a pattern the
+    * reference tests use.)
+    */
+  private def namedGroups(p: String): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    var idx = 0
+    var i = 0
+    while (i < p.length) {
+      if (p.charAt(i) == '\\') i += 2
+      else if (p.charAt(i) == '(') {
+        if (i + 3 < p.length && p.charAt(i + 1) == '?' && p.charAt(i + 2) == '<' &&
+          p.charAt(i + 3) != '=' && p.charAt(i + 3) != '!') {
+          idx += 1
+          val close = p.indexOf('>', i + 3)
+          require(close > 0, s"filterx: malformed named group in $p")
+          out += idx -> p.substring(i + 3, close)
+          i = close + 1
+        } else if (i + 1 < p.length && p.charAt(i + 1) == '?') i += 2
+        else { idx += 1; i += 1 }
+      } else i += 1
+    }
+    out.result()
   }
 
   /** Materialize any FxVal to a single (Column, FxType) pair. */
@@ -782,6 +817,30 @@ object FilterX {
           FxScalar(out, FxDatetime)
         case "isodate" =>
           FxScalar(date_format(materialize(arg0)._1, "yyyy-MM-dd'T'HH:mm:ss"), FxString)
+        // regexp_search generator (expr-regexp.c:157-250): first match's
+        // capture groups as a json list, or a dict keyed "0","1",… with
+        // named groups renamed when the pattern has any. No match → empty
+        // container. Divergence: a non-participating optional group is ""
+        // here (the reference omits it).
+        case "regexp_search" =>
+          val (c, t) = materialize(arg0)
+          require(t == FxString || t == FxJson,
+            "filterx: regexp_search subject must be a string (expr-regexp.c:105)")
+          val pat = literalStrOf(args(1)).getOrElse(
+            sys.error("filterx: regexp_search needs a literal pattern"))
+          val nGroups =
+            java.util.regex.Pattern.compile(pat).matcher("").groupCount()
+          val names = namedGroups(pat)
+          val matched = c.rlike(pat)
+          if (names.isEmpty) {
+            val items = (0 to nGroups).map(i => regexp_extract(c, pat, i))
+            FxScalar(when(matched, to_json(array(items: _*))).otherwise("[]"), FxJson)
+          } else {
+            val fields = (0 to nGroups).map { i =>
+              regexp_extract(c, pat, i).as(names.getOrElse(i, i.toString))
+            }
+            FxScalar(when(matched, to_json(struct(fields: _*))).otherwise("{}"), FxJson)
+          }
         case other => sys.error(s"filterx: unknown function $other()")
       }
     }
@@ -873,6 +932,21 @@ object FilterX {
 
     def walk(body: Seq[Stmt], guard: Option[Column]): Unit = body.foreach {
       case ExprStmt(UnsetE(target)) => unsetTarget(target, guard)
+      case AppendAssign(lhs, rhs) =>
+        val items = evalExpr(rhs, guard) match {
+          case FxList(xs) => xs
+          case other      => Vector(other)
+        }
+        val (read, write) = resolveVar(lhs)
+        read() match {
+          case FxList(xs) if guard.isEmpty => write(FxList(xs ++ items))
+          case cur => // guarded or non-list: blend materialized forms
+            val appended = cur match {
+              case FxList(xs) => FxList(xs ++ items)
+              case other      => sys.error(s"filterx: += needs a list, got $other")
+            }
+            write(blend(guard, appended, cur))
+        }
       case ExprStmt(e) =>
         val ok = truthy(evalExpr(e, guard))
         val failHere = guard.map(g => g && !ok).getOrElse(!ok)

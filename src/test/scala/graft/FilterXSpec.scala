@@ -248,6 +248,35 @@ class FilterXSpec extends SparkSpec {
     assert(r == ((None, 0L)))
   }
 
+  test("regexp_search: group list, named-group dict, empty on no match (expr-regexp.c:157)") {
+    val out = FilterX(one,
+      """$m = regexp_search($s, '(a)(l)');
+        |$g1 = string($m[1]);
+        |$none = regexp_search($s, 'zz');
+        |$n_none = len($none);
+        |$empty_falsy = $none ? 1 : 0;""".stripMargin)
+    val r = out.select("m", "g1", "none", "n_none", "empty_falsy")
+      .as[(String, String, String, Long, Long)].head()
+    assert(r == ((("""["al","a","l"]"""), "a", "[]", 0L, 0L)))
+
+    val df = Seq(("hello world", 1L)).toDF("t", "v")
+    val named = FilterX(df,
+      """$d = regexp_search($t, '(?<w>hello) (?<x>world)');
+        |$w = string($d.w);""".stripMargin)
+    val s = named.select("d", "w").as[(String, String)].head()
+    assert(s._1 == """{"0":"hello world","w":"hello","x":"world"}""")
+    assert(s._2 == "hello")
+  }
+
+  test("+= appends generated elements to a list (generator_assignment)") {
+    val out = FilterX(one,
+      """$xs = [1, 2];
+        |$xs += [3, $i];
+        |$n = len($xs);""".stripMargin)
+    val r = out.select("xs", "n").as[(String, Long)].head()
+    assert(r == (("[1,2,3,7]", 4L)))
+  }
+
   // ---- templates in double-quoted strings (construct_template_expr)
 
   test("double-quoted strings are templates; trivial $name stays typed") {
