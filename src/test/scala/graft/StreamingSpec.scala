@@ -174,6 +174,38 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSeq === Seq(("a", null, null), ("a", "pdb-kv", "77")))
     } finally q.stop()
 
+    ()
+  }
+
+  test("filterx block + geoip enrichment run unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // FilterX compiles to pure Column expressions (one projection + one
+    // filter), so the same compile applies to a streaming frame; geoip is a
+    // stream-static broadcast join
+    val input = MemoryStream[Turn]
+    val fx = graft.filterx.FilterX(
+      input.toDS().toDF(),
+      """$role != 'system';
+        |$kind = isset($tool) ? 'T' : 'U';""".stripMargin)
+    val enriched = graft.enrich.GeoIp.enrich(
+      fx.withColumn("ip", concat(lit("10.2.0."), col("turn_idx").cast("string"))),
+      col("ip"), graft.enrich.GeoIp.defaultRanges(spark))
+    val q = enriched.select("conv_id", "kind", "geoip2_city")
+      .writeStream.format("memory").queryName("fxstream").start()
+    try {
+      input.addData(
+        turn("a", 0, 0, tool = "bash"),
+        turn("a", 1, 1).copy(role = "system"),
+        turn("a", 2, 2))
+      q.processAllAvailable()
+      val got = spark.table("fxstream")
+        .as[(String, String, String)].collect().sortBy(_._2)
+      assert(got.toSeq === Seq(("a", "T", "region-2"), ("a", "U", "region-2")))
+    } finally q.stop()
+  }
+
+  test("kv scanner FSM on a stream (Row path)") {
+    implicit val sqlCtx = spark.sqlContext
     // kv scanner FSM on a stream (Row path)
     val input2 = MemoryStream[Turn]
     val kvq = graft.parsers.Scanners.kvStage(
