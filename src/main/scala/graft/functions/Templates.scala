@@ -471,6 +471,23 @@ object TemplateFunctions {
       concat_ws(" ", transform(sorted,
         s => concat(s("k"), lit("="), cefEscape(s("v")))))
     }),
+    // --- value-pairs walks (modules/basicfuncs/vp-funcs.c): glob-selected
+    // names/values of the dynamic fields map as LIST values, key-sorted ---
+    "values" -> (a => {
+      val g = a(0).literal.getOrElse(sys.error("$(values) needs a static glob"))
+      val m = a.head.resolver("fields").getOrElse(sys.error("$(values) needs a fields map"))
+      concat_ws(",", transform(array_sort(transform(
+        filter(map_entries(m), e => e("key").rlike(globRegex(g))),
+        e => struct(e("key").as("k"), e("value").as("v")))), s => s("v")))
+    }),
+    "names" -> (a => {
+      val g = a(0).literal.getOrElse(sys.error("$(names) needs a static glob"))
+      val m = a.head.resolver("fields").getOrElse(sys.error("$(names) needs a fields map"))
+      concat_ws(",", array_sort(filter(map_keys(m), k => k.rlike(globRegex(g)))))
+    }),
+    // --- env (basicfuncs misc): plan-time environment snapshot — constant
+    // per compiled plan, so retries see one value (determinism rule) ------
+    "env" -> (a => lit(a(0).literal.flatMap(sys.env.get).getOrElse(""))),
     // --- stardate (modules/stardate/stardate.c:109-140): year + elapsed
     // fraction of the (leap-aware) year, truncated then fixed-printed ------
     "stardate" -> (a => {

@@ -203,4 +203,20 @@ class TemplatesSpec extends SparkSpec {
     assert(run("$(getent services 514)") === "syslog")
     assert(run("$(getent services nosuch)") === "")
   }
+
+  test("values/names value-pairs walks and env (vp-funcs.c, misc)") {
+    val d = Seq(("x", "y", "z")).toDF("a", "b", "c")
+      .withColumn("fields", map(
+        lit("app.one"), col("a"), lit("app.two"), col("b"), lit("other"), col("c")))
+    val r: Templates.Resolver = name =>
+      if (d.columns.contains(name)) Some(col(name)) else None
+    def run(t: String) = d.select(Templates.compile(t, r).as("v")).as[String].head()
+    assert(run("$(values app.*)") === "x,y")
+    assert(run("$(names app.*)") === "app.one,app.two")
+    assert(run("$(names *)") === "app.one,app.two,other")
+    // composes with list functions: LIST in, LIST ops over it
+    assert(run("$(list-count $(names app.*))") === "2")
+    assert(run("$(env PATH)").nonEmpty)
+    assert(run("$(env NO_SUCH_VAR_GRAFT)") === "")
+  }
 }
