@@ -329,12 +329,12 @@ object FilterX {
         Func(name, args.result())
       case TIdent(name) => FloatVar(name)
       case TOp("(")     => val e = parseExpr(); expectOp(")"); e
-      case TOp("{") =>
+      case TOp("{") => // trailing commas allowed (light-suite json literals)
         val entries = Seq.newBuilder[(Expr, Expr)]
         if (!eatOp("}")) {
           def entry(): Unit = { val k = parseExpr(); expectOp(":"); entries += k -> parseExpr() }
           entry()
-          while (eatOp(",")) entry()
+          while (eatOp(",") && !peek.contains(TOp("}"))) entry()
           expectOp("}")
         }
         DictGen(entries.result())
@@ -342,7 +342,7 @@ object FilterX {
         val items = Seq.newBuilder[Expr]
         if (!eatOp("]")) {
           items += parseExpr()
-          while (eatOp(",")) items += parseExpr()
+          while (eatOp(",") && !peek.contains(TOp("]"))) items += parseExpr()
           expectOp("]")
         }
         ListGen(items.result())
@@ -401,7 +401,25 @@ object FilterX {
     case FxScalar(_, FxNull)            => lit("null")
     case FxScalar(c, FxDatetime)        => date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
     case d: FxDict                      => jsonText(d)
-    case l: FxList                      => jsonText(l)
+    case l: FxList                      => listRepr(l)
+  }
+
+  /** Top-level lists marshal as syslog-ng LIST values — comma-separated
+    * with `"` quoting of elements containing a comma/quote/space (the
+    * reference's list-scanner str_repr; light-suite
+    * test_list_literal_becomes_syslogng_list_as_string) — while lists
+    * NESTED in a dict stay JSON arrays (treeCol path).
+    */
+  private def listRepr(l: FxList): Column = {
+    val parts = l.items.map { item =>
+      val v = strRepr(item)
+      when(v.rlike("[, \"]"),
+        concat(lit("\""),
+          regexp_replace(regexp_replace(v, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+          lit("\"")))
+        .otherwise(v)
+    }
+    concat_ws(",", parts: _*)
   }
 
   /** Truthiness (object-string.c:81 len>0, object-primitive.c:41 != 0,
@@ -483,7 +501,7 @@ object FilterX {
   private def materialize(v: FxVal): (Column, FxType) = v match {
     case FxScalar(c, t) => (c, t)
     case d: FxDict      => (jsonText(d), FxJson)
-    case l: FxList      => (jsonText(l), FxJson)
+    case l: FxList      => (listRepr(l), FxString) // LIST marshal (LM_VT_LIST)
   }
 
   /** Unify two scalars to a common type for when/otherwise blending. */
@@ -750,9 +768,23 @@ object FilterX {
     def evalFunc(name: String, args: Seq[Expr], guard: Option[Column]): FxVal = {
       def arg0 = evalExpr(args.head, guard)
       name match {
-        // filterx-globals.c:73-110 builtin registry
-        case "json"       => FxScalar(materialize(arg0)._1.cast(StringType), FxJson)
-        case "json_array" => FxScalar(materialize(arg0)._1.cast(StringType), FxJson)
+        // filterx-globals.c:73-110 builtin registry. json()/json_array()
+        // pass containers through (they're already typed), parse strings,
+        // and construct empty containers with no args.
+        case "json" =>
+          if (args.isEmpty) FxDict(ListMap.empty)
+          else arg0 match {
+            case d: FxDict      => d
+            case l: FxList      => l
+            case FxScalar(c, _) => FxScalar(c.cast(StringType), FxJson)
+          }
+        case "json_array" =>
+          if (args.isEmpty) FxList(Vector.empty)
+          else arg0 match {
+            case l: FxList      => l
+            case d: FxDict      => d
+            case FxScalar(c, _) => FxScalar(c.cast(StringType), FxJson)
+          }
         case "string"     => FxScalar(strRepr(arg0), FxString)
         case "int" =>
           val (c, t) = materialize(arg0)

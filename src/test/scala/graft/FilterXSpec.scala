@@ -182,7 +182,7 @@ class FilterXSpec extends SparkSpec {
         |$xs[0] = 9;""".stripMargin)
     val r = out.select("m", "xs").as[(String, String)].head()
     assert(r._1 == """{"a":1,"b":"two","c":false}""")
-    assert(r._2 == "[9,2,7]")
+    assert(r._2 == "9,2,7") // LIST marshal, not JSON
   }
 
   test("json() parses text; getattr/subscript navigate dynamically") {
@@ -274,7 +274,39 @@ class FilterXSpec extends SparkSpec {
         |$xs += [3, $i];
         |$n = len($xs);""".stripMargin)
     val r = out.select("xs", "n").as[(String, Long)].head()
-    assert(r == (("[1,2,3,7]", 4L)))
+    assert(r == (("1,2,3,7", 4L)))
+  }
+
+  test("light-suite list semantics: LIST marshal, json embedding, value-copy on assign") {
+    // test_list_literal_becomes_syslogng_list_as_string
+    val a = FilterX(one, "$out = json_array(['foo', 'bar', 'baz']);")
+      .select("out").as[String].head()
+    assert(a == "foo,bar,baz")
+    // test_list_literal_becomes_json_list_as_a_part_of_json (trailing comma!)
+    val b = FilterX(one,
+      """$list = json_array(['foo', 'bar', 'baz']);
+        |$out = json({
+        |  'key': 'value',
+        |  'list': $list,
+        |});""".stripMargin).select("out").as[String].head()
+    assert(b == """{"key":"value","list":["foo","bar","baz"]}""")
+    // test_list_is_cloned_upon_assignment — value semantics + quoting of
+    // elements containing a space
+    val c = FilterX(one,
+      """$list = json_array(['foo', 'bar', 'baz']);
+        |$out = $list;
+        |$list[0] = 'changed foo';
+        |$out[2] = 'changed baz';""".stripMargin)
+      .select("out", "list").as[(String, String)].head()
+    assert(c._1 == "foo,bar,\"changed baz\"")
+    assert(c._2 == "\"changed foo\",bar,baz")
+    // test_list_subscript_without_index_appends_an_element
+    val d = FilterX(one,
+      """$list = json_array();
+        |$list[] = 'foo';
+        |$list[] = 'bar';
+        |$out = $list;""".stripMargin).select("out").as[String].head()
+    assert(d == "foo,bar")
   }
 
   // ---- templates in double-quoted strings (construct_template_expr)
