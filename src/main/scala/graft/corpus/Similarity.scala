@@ -245,4 +245,135 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
   }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** Slice sub-vector j (1-based element positions) out of a D-dim vector
+    * split into m equal subspaces.
+    */
+  private def subVec(v: Column, j: Int, dSub: Int): Column =
+    slice(v, j * dSub + 1, dSub)
+
+  /** Plain-L2 product-quantizer training: one Lloyd iteration is a single
+    * scan (all m subspaces assigned at once via posexplode) + one
+    * (sub, cluster, dim) hash aggregate. Seeds = sub-vectors of the ks
+    * smallest-md5(id) rows — deterministic, seed-free. Driver memory is
+    * m×ks×(D/m) doubles (= D×ks), never data rows.
+    */
+  def pqTrain(corpus: DataFrame, id: Column, vec: Column,
+      m: Int, ks: Int, iters: Int = 5): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(vec)).head().getInt(0)
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val dSub = dim / m
+    val base = corpus.select(md5(id.cast("string")).as("seed"),
+      transform(vec, _.cast("double")).as("v"))
+    var cents: Array[Array[Array[Double]]] = {
+      val seeds = base.orderBy(col("seed")).limit(ks)
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      Array.tabulate(m)(j => Array.tabulate(ks)(c =>
+        seeds(c % seeds.length).slice(j * dSub, (j + 1) * dSub)))
+    }
+    def assignSub(j: Int): Column = { // argmin L2 == argmax (2·dot − ‖c‖²)
+      val lit2 = typedlit(cents(j).map(_.toSeq).toSeq)
+      val scores = transform(lit2, c =>
+        lit(2.0) * dot(subVec(col("v"), j, dSub), c) - dot(c, c))
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+    var it = 0
+    while (it < iters) {
+      val coded = base.select(col("v") +:
+        (0 until m).map(j => assignSub(j).as(s"c$j")): _*)
+      val sums = coded
+        .select(posexplode(col("v")).as(Seq("pos", "x")),
+          array((0 until m).map(j => col(s"c$j")): _*).as("cs"))
+        .withColumn("sub", (col("pos") / dSub).cast("int"))
+        .withColumn("cluster", element_at(col("cs"), col("sub") + 1))
+        .groupBy(col("sub"), col("cluster"), (col("pos") % dSub).as("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(m)(j => cents(j).map(_.clone())) // empty keeps seat
+      sums.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((j, c), rows) =>
+        val v = new Array[Double](dSub)
+        var n = 0L
+        rows.foreach { r => v(r.getInt(2)) = r.getDouble(3); n = r.getLong(4) }
+        if (n > 0) next(j)(c) = v.map(_ / n)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** PQ codes (array<int>, one per subspace) — argmin-L2 against broadcast
+    * codebook literals, pure codegen in the scan stage.
+    */
+  def pqEncode(vec: Column, cents: Array[Array[Array[Double]]]): Column = {
+    val m = cents.length
+    val dSub = cents(0)(0).length
+    array((0 until m).map { j =>
+      val lit2 = typedlit(cents(j).map(_.toSeq).toSeq)
+      val scores = transform(lit2, c =>
+        lit(2.0) * dot(subVec(vec, j, dSub), c) - dot(c, c))
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** Asymmetric-distance (ADC) dot-product approximation:
+    * dot(q, decode(codes)) = Σ_j dot(q_subj, codebook[j][code_j]).
+    */
+  def adcDot(qn: Column, codes: Column, cents: Array[Array[Array[Double]]]): Column = {
+    val dSub = cents(0)(0).length
+    cents.indices.map { j =>
+      val cvec = element_at(typedlit(cents(j).map(_.toSeq).toSeq),
+        element_at(codes, j + 1) + 1)
+      dot(subVec(qn, j, dSub), cvec)
+    }.reduce(_ + _)
+  }
+
+  /** IVF-PQ ANN: coarse spherical-kmeans lists + product-quantized
+    * RESIDUALS (v − coarse centroid), scanned with ADC and re-ranked
+    * exactly. 100 TB shape: the candidate scan reads (cluster, m small
+    * ints) per vector — with D=64 floats → m=8 codes that is ~30× less
+    * I/O than raw vectors — and only the top-`rerank` candidates per query
+    * join back to fetch true vectors for exact cosine. Score decomposition
+    * dot(q,v) = dot(q, c_coarse) + dot(q, residual) means one ADC table
+    * per (query, codebook) pair; everything below is codegen'd expressions
+    * + two broadcast hash joins, no UDFs, no driver data.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, kClusters: Int, nprobe: Int, m: Int, ks: Int,
+      rerank: Int, iters: Int = 5): DataFrame = {
+    val centroids = kmeans(corpus, corpusId, corpusVec, kClusters, iters)
+    val centLit = typedlit(centroids.map(_.toSeq).toSeq)
+    def residual(vn: Column, cluster: Column): Column =
+      zip_with(vn, element_at(centLit, cluster + 1), (a, b) => a - b)
+    val withRes = corpus
+      .select(corpusId.as("neighbor_id"), normalize(corpusVec).as("vn"))
+      .withColumn("cluster", assignCluster(col("vn"), centroids))
+      .withColumn("res", residual(col("vn"), col("cluster")))
+    val codebook = pqTrain(withRes, col("neighbor_id"), col("res"), m, ks, iters)
+    // the compressed index: this projection is ALL the candidate scan reads
+    val index = withRes.select(col("neighbor_id"), col("cluster"),
+      pqEncode(col("res"), codebook).as("codes"))
+    val q = queries.select(queryId.as("query_id"), normalize(queryVec).as("qn"),
+      explode(probeClusters(normalize(queryVec), centroids, nprobe)).as("cluster"))
+    val adc = index.join(broadcast(q), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_score",
+        dot(col("qn"), element_at(centLit, col("cluster") + 1)) +
+          adcDot(col("qn"), col("codes"), codebook))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    val candidates = adc.withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= rerank)
+      .select("query_id", "neighbor_id", "qn")
+    // exact re-rank: true vectors fetched ONLY for surviving candidates
+    val exact = candidates.join(
+      corpus.select(corpusId.as("neighbor_id"), normalize(corpusVec).as("vn2")),
+      Seq("neighbor_id"))
+      .withColumn("score", dot(col("qn"), col("vn2")))
+    topK(exact, k)
+  }
 }

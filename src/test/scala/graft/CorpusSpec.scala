@@ -177,4 +177,90 @@ class CorpusSpec extends SparkSpec {
     val v = f.select("features").as[Seq[Float]].head()
     assert(v.length === 8 && v.forall(x => x >= 0f && x < 1f))
   }
+
+  test("IVF-PQ: codes shape, determinism, and exact-rerank recall vs brute force") {
+    import graft.corpus.Similarity
+    val queries = embs.orderBy("vec_id").limit(5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+    // compressed index shape: m codes per vector, all < ks
+    val cb = Similarity.pqTrain(
+      embs.select(col("vec_id"), Similarity.normalize(col("embedding")).as("vn")),
+      col("vec_id"), col("vn"), m = 8, ks = 16, iters = 3)
+    assert(cb.length === 8 && cb(0).length === 16 && cb(0)(0).length === 8)
+    val codes = embs.select(Similarity.pqEncode(
+      Similarity.normalize(col("embedding")), cb).as("c"))
+    val stats = codes.select(size(col("c")).as("m"),
+      array_max(col("c")).as("mx"), array_min(col("c")).as("mn"))
+      .agg(max("m"), min("m"), max("mx"), min("mn")).head()
+    assert(stats.getInt(0) === 8 && stats.getInt(1) === 8)
+    assert(stats.getInt(2) < 16 && stats.getInt(3) >= 0)
+
+    val exact = Similarity.cosineTopK(
+      embs, col("vec_id"), col("embedding"),
+      queries, col("qid"), col("qv"), k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    def recallOf(np: Int, rr: Int): Double = {
+      val got = Similarity.ivfPqTopK(
+        embs, col("vec_id"), col("embedding"),
+        queries, col("qid"), col("qv"),
+        k = 5, kClusters = 8, nprobe = np, m = 8, ks = 16, rerank = rr)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+
+    // nprobe = all clusters + rerank = everything degenerates to exact
+    assert(recallOf(8, 500) === 1.0)
+
+    // this fixture is ISOTROPIC RANDOM (intra-label cosine == inter ==
+    // 0) — the worst case for ANN: coarse cells are arbitrary and ADC
+    // ordering is weak-signal. Everything is deterministic (md5 seeds,
+    // fixed data), so the measured recalls are constants; floors assert
+    // no regression, not quality on random noise.
+    assert(recallOf(3, 500) >= 0.50) // coarse loss only
+    assert(recallOf(8, 40) >= 0.44)  // ADC loss only
+
+    // deterministic: identical second run (stage-retry safety)
+    val a1 = Similarity.ivfPqTopK(
+      embs, col("vec_id"), col("embedding"),
+      queries, col("qid"), col("qv"),
+      k = 5, kClusters = 8, nprobe = 3, m = 8, ks = 16, rerank = 40)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val a2 = Similarity.ivfPqTopK(
+      embs, col("vec_id"), col("embedding"),
+      queries, col("qid"), col("qv"),
+      k = 5, kClusters = 8, nprobe = 3, m = 8, ks = 16, rerank = 40)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(a1 === a2)
+  }
+
+  test("IVF-PQ on clustered data: small nprobe + rerank reaches high recall") {
+    import graft.corpus.Similarity
+    // planted structure: 5 well-separated centers + deterministic noise
+    // (the regime ANN indexes are FOR — unlike the isotropic fixture)
+    val dim = 64
+    val rows = (0 until 200).map { i =>
+      val c = i % 5
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d >= c * 12 && d < c * 12 + 12) 1.0 else 0.0
+        center + 0.25 * math.sin(i * 997.0 + d * 31.0)
+      }
+      (i.toLong, v.toSeq)
+    }
+    val planted = rows.toDF("vec_id", "embedding")
+    val queries = planted.limit(5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.cosineTopK(
+      planted, col("vec_id"), col("embedding"),
+      queries, col("qid"), col("qv"), k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfPqTopK(
+      planted, col("vec_id"), col("embedding"),
+      queries, col("qid"), col("qv"),
+      k = 5, kClusters = 5, nprobe = 1, m = 8, ks = 16, rerank = 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"planted-cluster recall $recall")
+  }
 }
