@@ -160,7 +160,19 @@ object ConfigText {
   private def sourceDriver(c: Call): SparkSession => DataFrame = c.name match {
     case "transcripts" =>
       s => graft.transcripts.Transcripts.load(s, c.args.head)
-    case "parquet" | "file" =>
+    // file("path" format(text)) — raw log-text lines, the reference's
+    // affile source (glob paths supported like wildcard-file). Lines land
+    // in `text` with their origin in `src_file`; octet-counted streams
+    // use format(framed) over binaryFile blobs.
+    case "parquet" | "file" | "wildcard-file" if c.kwargs.get("format").contains("text") =>
+      s => s.read.textFile(c.args.head).toDF("text")
+        .withColumn("src_file", input_file_name())
+    case "file" | "wildcard-file" if c.kwargs.get("format").contains("framed") =>
+      s => graft.sources.Framing.octetCounted(
+        s.read.format("binaryFile").load(c.args.head), col("content"))
+        .select(col("record").as("text"), col("record_ok"),
+          col("path").as("src_file"))
+    case "parquet" | "file" | "wildcard-file" =>
       s => s.read.parquet(c.args.head)
     case other => sys.error(s"unknown source driver: $other")
   }

@@ -184,6 +184,31 @@ class ConfigTextSpec extends SparkSpec {
     assert(main.where(col("role") =!= "tool" && col("kind") === "T").count() === 0)
   }
 
+  test("file(format(text)) source: raw log lines parse and route end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-txt")
+    val lines = Seq(
+      "<13>Jan  1 00:00:01 host-1 prog-2[99]: action=read status=ok",
+      "<13>Jan  1 00:00:02 host-1 prog-2[99]: action=write status=error",
+      "not a syslog line at all")
+    java.nio.file.Files.write(dir.resolve("app.log"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val cfg = s"""
+      source s_txt { file("$dir/*.log" format(text)); };
+      parser p { db-parser(); };
+      filter f_err { match("^error$$" value("status")); };
+      destination d_err { file("errors"); };
+      destination d_rest { file("rest"); };
+      log { source(s_txt); parser(p); filter(f_err); destination(d_err); flags(final); };
+      log { source(s_txt); destination(d_rest); flags(fallback); };
+    """
+    val c = ConfigText.compile(spark, cfg)
+    assert(c.sink("errors").count() === 1)
+    assert(c.sink("rest").count() === 2) // ok line + unparsed garbage
+    val errRow = c.sink("errors").select("text", "src_file").head()
+    assert(errRow.getString(0).contains("status=error"))
+    assert(errRow.getString(1).endsWith("app.log"))
+  }
+
   test("block generators: parameterized config macros expand with defaults and overrides") {
     val cfg = s"""
       block filter status-is(val("ok")) {
