@@ -261,7 +261,10 @@ object Dedup {
 
   /** SimHash signature per document: one bit per md5 nibble-MSB of each
     * token, majority-voted over all tokens (bit = 1 when the +1/−1 vote sum
-    * is ≥ 0). `bits` ≤ 32 uses the first `bits` hex nibbles of md5(token).
+    * is ≥ 0). `bits` ≤ 32 uses the first `bits` hex nibbles of md5(token);
+    * 32 < `bits` ≤ 64 appends the nibbles of a second, salted md5 so wider
+    * signatures (needed for scale-safe banding, see [[simhashPairs]]) stay
+    * engine-portable (md5-only — repo hashing rule).
     * Near-dup search then bands the signature and compares Hamming distance
     * within buckets — same LSH shape as MinHash.
     *
@@ -269,8 +272,11 @@ object Dedup {
     * map-side combinable, single shuffle on doc_id.
     */
   def simhash(docs: DataFrame, id: Column, text: Column, bits: Int = 16): DataFrame = {
-    val toks = docs.select(id.as("doc_id"), explode(split(text, " ")).as("tok"))
-      .withColumn("h", md5(col("tok")))
+    require(bits >= 1 && bits <= 64, "simhash supports 1..64 bits (two md5s)")
+    val toks0 = docs.select(id.as("doc_id"), explode(split(text, " ")).as("tok"))
+    val toks =
+      if (bits <= 32) toks0.withColumn("h", md5(col("tok")))
+      else toks0.withColumn("h", concat(md5(col("tok")), md5(concat(col("tok"), lit("#1")))))
     val votes = (0 until bits).map { i =>
       // nibble MSB: hex digit ∈ [8,f] votes +1, else −1
       sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
@@ -293,12 +299,23 @@ object Dedup {
     * docs sharing any band substring are candidates; keep pairs with
     * Hamming distance ≤ maxHamming. (A pair within distance d must agree
     * exactly on at least one band when bands > d — pigeonhole recall.)
+    *
+    * '''Sizing for scale.''' Each band has 2^(bits/bands) buckets and the
+    * candidate join is quadratic in bucket population: expected candidate
+    * pairs ≈ bands · n² / 2^(bits/bands + 1) for n near-uniform docs. Keep
+    * bandLen = bits/bands ≥ log2(n) so the expected bucket holds ~1 doc —
+    * e.g. n = 10⁹ needs bandLen ≥ 30 (bits = 128, bands = 4), n = 10⁷ is
+    * fine at the 64/4 default (bandLen 16 → ~150 docs/bucket → ~10⁴ pair
+    * comparisons per bucket). The old 32/4 default (8-bit buckets) explodes
+    * past n ≈ 10⁵ and is kept only for pinned oracle queries. maxHamming
+    * constrains bands from below (pigeonhole needs bands > maxHamming), so
+    * widening buckets means widening `bits`, not shrinking `bands`.
     */
   def simhashPairs(
       docs: DataFrame,
       id: Column,
       text: Column,
-      bits: Int = 32,
+      bits: Int = 64,
       bands: Int = 4,
       maxHamming: Int = 3): DataFrame = {
     require(bands > maxHamming, "pigeonhole recall needs bands > maxHamming")

@@ -49,6 +49,27 @@ class CorpusSpec extends SparkSpec {
     assert(pairs.forall(_ <= 3))
   }
 
+  test("simhash 64-bit: signature length 64; banded pairs == brute-force hamming<=3 (pigeonhole)") {
+    val sig64 = Dedup.simhash(docs, col("doc_id"), col("text"), bits = 64)
+    assert(sig64.select(length(col("simhash"))).as[Int].collect().forall(_ === 64))
+    // 32-bit prefix of the 64-bit signature must equal the 32-bit signature
+    // (second md5 only appends bits, never perturbs the first 32)
+    val sig32 = Dedup.simhash(docs, col("doc_id"), col("text"), bits = 32)
+      .withColumnRenamed("simhash", "s32")
+    assert(sig64.join(sig32, "doc_id")
+      .filter(substring(col("simhash"), 1, 32) =!= col("s32")).count() === 0)
+    // pigeonhole: banded candidate pass loses nothing vs all-pairs at d<=3
+    val banded = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+      bits = 64, bands = 4, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val a = sig64.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val b = sig64.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .filter(Dedup.hamming(col("sa"), col("sb"), 64) <= 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute)
+  }
+
   test("cosine top-k: ranks are 1..k per query, best neighbor is a planted near-dup or self-cluster") {
     val got = Similarity.cosineTopK(
       embs, col("vec_id"), col("embedding"),
