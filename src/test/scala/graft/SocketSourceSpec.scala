@@ -1,0 +1,104 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.net.{DatagramPacket, DatagramSocket, InetAddress, Socket}
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.{Fd, SyslogSocket}
+
+/** Live socket sources (reference network()/syslog()/tcp()/udp()) and fd
+  * sources (stdin()/pipe()): framing fidelity over real sockets through the
+  * DataSource V2 micro-batch path. */
+class SocketSourceSpec extends SparkSpec {
+
+  private def startQuery(table: String, name: String, options: Map[String, String])
+      : (StreamingQuery, Int) = {
+    var reader = spark.readStream.format("syslog-socket")
+      .option("port", "0").option("name", name)
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load().writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    val deadline = System.currentTimeMillis() + 15000
+    var port: Option[Int] = None
+    while (port.isEmpty && System.currentTimeMillis() < deadline) {
+      port = SyslogSocket.boundPort(name)
+      if (port.isEmpty) Thread.sleep(50)
+    }
+    assert(port.isDefined, "listener did not bind")
+    (q, port.get)
+  }
+
+  private def awaitRows(q: StreamingQuery, table: String, n: Long): Unit = {
+    val deadline = System.currentTimeMillis() + 20000
+    while (spark.table(table).count() < n && System.currentTimeMillis() < deadline) {
+      q.processAllAvailable()
+      Thread.sleep(100)
+    }
+    assert(spark.table(table).count() >= n, s"expected $n rows in $table")
+  }
+
+  test("tcp octet-counted: RFC6587 frames become rows; malformed header flagged") {
+    val (q, port) = startQuery("sock_oc", "t_oc", Map("framing" -> "octet-counted"))
+    try {
+      val s = new Socket("127.0.0.1", port)
+      s.getOutputStream.write("5 hello6 world!".getBytes("UTF-8"))
+      s.getOutputStream.flush(); s.close()
+      // second connection: garbage header → ok=false, connection dropped
+      val s2 = new Socket("127.0.0.1", port)
+      s2.getOutputStream.write("xx nope".getBytes("UTF-8"))
+      s2.getOutputStream.flush(); s2.close()
+      awaitRows(q, "sock_oc", 3)
+      val rows = spark.table("sock_oc").select("record", "ok")
+        .collect().map(r => (r.getString(0), r.getBoolean(1))).toSet
+      assert(rows.contains(("hello", true)))
+      assert(rows.contains(("world!", true)))
+      assert(rows.exists { case (rec, ok) => !ok && rec.startsWith("x") })
+    } finally q.stop()
+  }
+
+  test("tcp auto framing: digit first byte = octet-counted, else newline records") {
+    val (q, port) = startQuery("sock_auto", "t_auto", Map.empty)
+    try {
+      val a = new Socket("127.0.0.1", port)
+      a.getOutputStream.write("<13>t1 host app: msg one\n<13>t2 host app: msg two\n".getBytes)
+      a.getOutputStream.flush(); a.close()
+      val b = new Socket("127.0.0.1", port)
+      b.getOutputStream.write("3 foo".getBytes)
+      b.getOutputStream.flush(); b.close()
+      awaitRows(q, "sock_auto", 3)
+      val recs = spark.table("sock_auto").select("record").collect().map(_.getString(0)).toSet
+      assert(recs === Set("<13>t1 host app: msg one", "<13>t2 host app: msg two", "foo"))
+      assert(spark.table("sock_auto").filter("NOT ok").count() === 0)
+    } finally q.stop()
+  }
+
+  test("udp: one datagram, one message (dgram framing)") {
+    val (q, port) = startQuery("sock_udp", "t_udp", Map("transport" -> "udp"))
+    try {
+      val sock = new DatagramSocket()
+      val addr = InetAddress.getByName("127.0.0.1")
+      Seq("alpha", "beta gamma").foreach { m =>
+        val b = m.getBytes("UTF-8")
+        sock.send(new DatagramPacket(b, b.length, addr, port))
+      }
+      sock.close()
+      awaitRows(q, "sock_udp", 2)
+      val recs = spark.table("sock_udp").select("record").collect().map(_.getString(0)).toSet
+      assert(recs === Set("alpha", "beta gamma"))
+    } finally q.stop()
+  }
+
+  test("fd source: newline and octet-counted framing from a byte stream") {
+    val nl = Fd.read(spark,
+      new ByteArrayInputStream("one\r\ntwo\n\nthree".getBytes("UTF-8")))
+    assert(nl.select("record").collect().map(_.getString(0)).toSet
+      === Set("one", "two", "three"))
+    val oc = Fd.read(spark,
+      new ByteArrayInputStream("3 abc4 defg".getBytes("UTF-8")),
+      framing = "octet-counted")
+    assert(oc.filter("record_ok").select("record").collect().map(_.getString(0)).toSet
+      === Set("abc", "defg"))
+    assert(nl.rdd.getNumPartitions === 4) // downstream stages parallelize
+  }
+}
