@@ -550,6 +550,20 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "evt", "tokens", "status", "big", "st2")
     }),
 
+    // FilterX module functions (modules/kvformat/filterx-func-parse-kv.c /
+    // -format-kv.c, object-datetime.c strptime): kv dict round-trip and a
+    // strptime re-parse of the event time, both oracle-recomputable.
+    "q_filterx_kv" -> ((s, dir) => {
+      graft.filterx.FilterX(transcripts(s, dir),
+        """$kvline = "role=$role, idx=$turn_idx";
+          |$d = parse_kv($kvline);
+          |$fmt = format_kv($d, ':', ';');
+          |$who = string($d.role);
+          |$rt = strptime(isodate($ts), '%Y-%m-%dT%H:%M:%S');
+          |$iso2 = isodate($rt);""".stripMargin)
+        .select("conv_id", "turn_idx", "fmt", "who", "iso2")
+    }),
+
     // ================= §2.4 stateful/correlation =================
     "q_grouping_by" -> ((s, dir) => {
       Correlation.groupingBy(
@@ -863,6 +877,13 @@ object SparkEntry {
                 THEN 1 ELSE 0 END AS bigint) AS big,
            regexp_extract(text, '"status":"(\w+)"', 1) AS st2
          FROM transcripts WHERE text LIKE '{%'"""),
+
+    "q_filterx_kv" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           concat('role:', role, ';idx:', turn_idx) AS fmt,
+           role AS who,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso2
+         FROM transcripts"""),
 
     "q_parse_kv" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx, 'tool_call' AS event,

@@ -78,6 +78,9 @@ object FilterX {
     final case class Regex(e: Expr, pattern: String) extends Expr
     final case class Ternary(cond: Expr, t: Option[Expr], f: Expr) extends Expr
     final case class Func(name: String, args: Seq[Expr]) extends Expr
+    /** `name=expr` inside a call's argument list (the reference's generic
+      * named function arguments, lib/filterx/expr-function.c arg kwargs). */
+    final case class NamedArg(name: String, value: Expr) extends Expr
     final case class IsSet(e: Expr) extends Expr
     final case class UnsetE(e: Expr) extends Expr
     final case class DictGen(entries: Seq[(Expr, Expr)]) extends Expr
@@ -178,6 +181,8 @@ object FilterX {
     import Ast._
     private var pos = 0
     private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private def peekAt(k: Int): Option[Tok] =
+      if (pos + k < toks.length) Some(toks(pos + k)) else None
     private def next(): Tok = { val t = toks(pos); pos += 1; t }
     private def eatOp(s: String): Boolean =
       peek.contains(TOp(s)) && { pos += 1; true }
@@ -321,9 +326,15 @@ object FilterX {
       case TIdent(name) if peek.contains(TOp("(")) =>
         next()
         val args = Seq.newBuilder[Expr]
+        def arg(): Unit = (peek, peekAt(1)) match {
+          // `ident = expr` named argument (unambiguous: comparison is `==`)
+          case (Some(TIdent(n)), Some(TOp("="))) =>
+            next(); next(); args += NamedArg(n, parseExpr())
+          case _ => args += parseExpr()
+        }
         if (!eatOp(")")) {
-          args += parseExpr()
-          while (eatOp(",")) args += parseExpr()
+          arg()
+          while (eatOp(",")) arg()
           expectOp(")")
         }
         Func(name, args.result())
@@ -495,6 +506,38 @@ object FilterX {
       } else i += 1
     }
     out.result()
+  }
+
+  /** JSON string-literal quoting for strings built inside scalar UDFs. */
+  private def jsonQuote(s: String): String = {
+    val sb = new java.lang.StringBuilder("\"")
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c    => sb.append(c)
+    }
+    sb.append("\"").toString
+  }
+
+  /** Driver-side JSON → FilterX literal tree (cache_json_file). */
+  private def jsonToFx(v: org.json4s.JValue): FxVal = {
+    import org.json4s._
+    v match {
+      case JObject(fields) =>
+        FxDict(ListMap(fields.map { case (k, fv) => k -> jsonToFx(fv) }: _*))
+      case JArray(items)   => FxList(items.map(jsonToFx).toVector)
+      case JString(s)      => FxScalar(lit(s), FxString)
+      case JInt(i)         => FxScalar(lit(i.toLong), FxInt)
+      case JLong(i)        => FxScalar(lit(i), FxInt)
+      case JDouble(d)      => FxScalar(lit(d), FxDouble)
+      case JDecimal(d)     => FxScalar(lit(d.toDouble), FxDouble)
+      case JBool(b)        => FxScalar(lit(b), FxBool)
+      case _               => FxScalar(lit(null).cast(StringType), FxNull)
+    }
   }
 
   /** Materialize any FxVal to a single (Column, FxType) pair. */
@@ -765,8 +808,15 @@ object FilterX {
       case _ => materialize(evalExpr(e, None))._1.isNotNull
     }
 
-    def evalFunc(name: String, args: Seq[Expr], guard: Option[Column]): FxVal = {
+    def evalFunc(name: String, allArgs: Seq[Expr], guard: Option[Column]): FxVal = {
+      val named: Map[String, Expr] =
+        allArgs.collect { case NamedArg(n, v) => n -> v }.toMap
+      val args: Seq[Expr] = allArgs.filterNot(_.isInstanceOf[NamedArg])
       def arg0 = evalExpr(args.head, guard)
+      def namedLit(n: String, dflt: String): String = named.get(n)
+        .map(e => literalStrOf(e).getOrElse(
+          sys.error(s"filterx: $name($n=...) must be a literal string")))
+        .getOrElse(dflt)
       name match {
         // filterx-globals.c:73-110 builtin registry. json()/json_array()
         // pass containers through (they're already typed), parse strings,
@@ -873,6 +923,105 @@ object FilterX {
             }
             FxScalar(when(matched, to_json(struct(fields: _*))).otherwise("{}"), FxJson)
           }
+        // strptime(time_str, fmt...) — object-datetime.c:237-307: try each
+        // strftime format in order, first successful parse wins; none → null.
+        case "strptime" =>
+          val subject = strRepr(arg0)
+          val fmts = args.tail.map(e => literalStrOf(e).getOrElse(
+            sys.error("filterx: strptime formats must be literal strings")))
+          require(fmts.nonEmpty, "filterx: strptime(time_str, format...)")
+          val cands = fmts.map(f =>
+            try_to_timestamp(subject, lit(graft.functions.TemplateFunctions.strftimeToJava(f))))
+          FxScalar(coalesce(cands: _*).cast(TimestampNTZType), FxDatetime)
+
+        // parse_kv (modules/kvformat/filterx-func-parse-kv.c:296-330): the
+        // kv-scanner FSM (quoted values, stray words) over one string →
+        // dict. Scalar function over the Scanners FSM — the same engine the
+        // kv-parser stage uses, so dialect semantics cannot drift.
+        case "parse_kv" =>
+          // optional args are positional-with-null-default OR named
+          // (filterx-func-parse-kv.c:296: subject, value_separator,
+          // pair_separator, stray_words_key)
+          def opt(i: Int, n: String): Option[String] = args.lift(i) match {
+            case None | Some(NullLit) => named.get(n).map(e =>
+              literalStrOf(e).getOrElse(
+                sys.error(s"filterx: parse_kv $n must be a literal string")))
+            case Some(e) => Some(literalStrOf(e).getOrElse(
+              sys.error(s"filterx: parse_kv $n must be a literal string")))
+          }
+          // only the FIRST character of the separator is used, and an empty
+          // string keeps the default (filterx-func-parse-kv.c:104-112)
+          val vs = opt(1, "value_separator").filter(_.nonEmpty)
+            .map(_.head).getOrElse('=')
+          val strayKey = opt(3, "stray_words_key")
+          val opts = graft.parsers.Scanners.KvOptions(
+            vs, opt(2, "pair_separator").getOrElse(", "), strayKey.isDefined)
+          val fn = udf { (s: String) =>
+            if (s == null) null
+            else {
+              val (pairs, stray) = graft.parsers.Scanners.scanKv(s, opts)
+              val last = scala.collection.mutable.LinkedHashMap.empty[String, String]
+              pairs.foreach { case (k, v) => last += k -> v }
+              strayKey.foreach(k => if (stray.nonEmpty) last += k -> stray)
+              last.map { case (k, v) => jsonQuote(k) + ":" + jsonQuote(v) }
+                .mkString("{", ",", "}")
+            }
+          }
+          FxScalar(fn(strRepr(arg0)), FxJson)
+
+        // format_kv(kvs_dict, value_sep?, pair_sep?) (filterx-func-format-kv
+        // .c:226-260): dict → "k=v, k2=v2". Compile-time dicts render as a
+        // concat of literal keys + value reprs; runtime json dicts via
+        // map_entries (from_json keeps key order, like the reference's
+        // iteration order).
+        case "format_kv" =>
+          def optSep(i: Int, dflt: String): String = args.lift(i) match {
+            case None | Some(NullLit) => dflt
+            case Some(e) => literalStrOf(e).getOrElse(
+              sys.error("filterx: format_kv separators must be literal strings"))
+          }
+          // like parse_kv: first char of the separator, empty = default
+          val vs = optSep(1, "=").headOption.getOrElse('=').toString
+          val ps = optSep(2, ", ")
+          // a value containing a space is double-quoted with `"`/`\`
+          // escaped (format-kv.c:70-82 append_unsafe_utf8_as_escaped_binary)
+          def kvQuote(v: Column): Column =
+            when(v.contains(" "),
+              concat(lit("\""),
+                regexp_replace(regexp_replace(v, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+                lit("\"")))
+              .otherwise(v)
+          arg0 match {
+            case FxDict(m) =>
+              // nested dict/list values are skipped (format-kv.c:50-56)
+              val parts = m.toSeq.collect {
+                case (k, v @ FxScalar(_, _)) => concat(lit(k + vs), kvQuote(strRepr(v)))
+              }
+              FxScalar(concat_ws(ps, parts: _*), FxString)
+            case FxScalar(c, FxJson | FxString) =>
+              // runtime path: flat string-valued dicts (the reference's
+              // nested-skip applies to compile-time trees above)
+              val entries = map_entries(from_json(c, MapType(StringType, StringType)))
+              FxScalar(array_join(
+                transform(entries, e =>
+                  concat(e.getField("key"), lit(vs), kvQuote(e.getField("value")))), ps),
+                FxString)
+            case other => sys.error(s"filterx: format_kv needs a dict, got $other")
+          }
+
+        // cache_json_file("path") (modules/json/filterx-cache-json-file.c):
+        // a config-time lookup table. Loaded ONCE on the driver and folded
+        // into the plan as a literal dict/list tree — lookups against it
+        // compile to constants (Catalyst constant-folds the getattr chain),
+        // never per-row file I/O. The reference likewise keeps the parsed
+        // tree resident and shares it across workers (frozen objects).
+        case "cache_json_file" =>
+          val path = literalStrOf(args.head).getOrElse(
+            sys.error("filterx: cache_json_file needs a literal path"))
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+          jsonToFx(org.json4s.jackson.JsonMethods.parse(txt))
+
         case other => sys.error(s"filterx: unknown function $other()")
       }
     }

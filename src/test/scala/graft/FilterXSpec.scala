@@ -329,6 +329,75 @@ class FilterXSpec extends SparkSpec {
     assert(out.as[String].head() == "yes")
   }
 
+  // ---- module function library: parse_kv / format_kv / strptime /
+  // cache_json_file (modules/kvformat/filterx-func-*.c,
+  // lib/filterx/object-datetime.c:237, modules/json/filterx-cache-json-file.c)
+
+  private def fx1(program: String): String =
+    FilterX(one, program).select("r").as[String].head()
+
+  test("parse_kv: defaults, first-char/empty separators, pair separator, stray words") {
+    // test_filterx_func_parse_kv.c:49-71 (defaults)
+    assert(fx1("$r = parse_kv('foo=bar, bar=baz');")
+      === """{"foo":"bar","bar":"baz"}""")
+    // :77-104 only the first character of the value separator is used
+    assert(fx1("$r = parse_kv('foo@bar, bar@baz', '@#$');")
+      === """{"foo":"bar","bar":"baz"}""")
+    // :106-110 empty separator keeps the default
+    assert(fx1("$r = parse_kv('foo=bar, bar=baz', '');")
+      === """{"foo":"bar","bar":"baz"}""")
+    // :124-144 null positional + custom pair separator
+    assert(fx1("$r = parse_kv('foo=bar-=|=-bar=baz', null, '-=|=-');")
+      === """{"foo":"bar","bar":"baz"}""")
+    // :146-176 stray words captured under the given key
+    assert(fx1("$r = parse_kv('foo=bar, lookslikenonKV bar=baz', null, null, 'straywords');")
+      === """{"foo":"bar","bar":"baz","straywords":"lookslikenonKV"}""")
+    // named-argument spelling of the same options
+    assert(fx1("$r = parse_kv('foo@bar, bar@baz', value_separator='@');")
+      === """{"foo":"bar","bar":"baz"}""")
+  }
+
+  test("format_kv: defaults, null separators, custom separators, nested skip, space quoting") {
+    // test_filterx_func_format_kv.c:138-158
+    assert(fx1("$r = format_kv({'foo': 'bar', 'bar': 'baz'});") === "foo=bar, bar=baz")
+    assert(fx1("$r = format_kv({'foo': 'bar', 'bar': 'baz'}, null, null);") === "foo=bar, bar=baz")
+    // :161-170 custom separators
+    assert(fx1("$r = format_kv({'foo': 'bar', 'bar': 'baz'}, '@', ' | ');") === "foo@bar | bar@baz")
+    // :172-180 inner dict/list entries are skipped
+    assert(fx1("$r = format_kv({'foo': 'bar', 'x': {}, 'y': [], 'bar': 'baz'});")
+      === "foo=bar, bar=baz")
+    // :182-190 a value containing a space is double-quoted, `"` escaped
+    assert(fx1("""$r = format_kv({'foo': 'bar', 'bar': 'almafa korte"fa'});""")
+      === "foo=bar, bar=\"almafa korte\\\"fa\"")
+    // runtime json dict path
+    assert(fx1("""$j = json('{"a":"1","b":"2"}'); $r = format_kv($j);""") === "a=1, b=2")
+  }
+
+  test("strptime: ordered format list, first parse wins, no match is unset") {
+    val out = FilterX(one,
+      """$t = strptime('2024-01-02 03:04:05', '%Y-%m-%dT%H:%M:%S', '%Y-%m-%d %H:%M:%S');
+        |$iso = isodate($t);
+        |$bad = strptime('nonsense', '%Y-%m-%d');
+        |$ok = isset($bad) ? 1 : 0;""".stripMargin)
+    val r = out.select("iso", "ok").as[(String, Long)].head()
+    assert(r === (("2024-01-02T03:04:05", 0L)))
+  }
+
+  test("cache_json_file: config-time lookup tree folded into the plan as literals") {
+    val p = java.nio.file.Files.createTempFile("fxcache", ".json")
+    java.nio.file.Files.write(p,
+      """{"threat": {"1.2.3.4": "bad", "level": 3}, "ids": [10, 20]}""".getBytes("UTF-8"))
+    try {
+      val out = FilterX(one,
+        s"""$$tbl = cache_json_file('$p');
+           |$$lvl = $$tbl.threat.level;
+           |$$who = $$tbl.threat['1.2.3.4'];
+           |$$first = $$tbl.ids[0];""".stripMargin)
+      val r = out.select("lvl", "who", "first").as[(Long, String, Long)].head()
+      assert(r === ((3L, "bad", 10L)))
+    } finally java.nio.file.Files.delete(p)
+  }
+
   test("drop-rate program over the transcripts fixture") {
     val df = graft.transcripts.Transcripts.load(spark, sfUnit)
     val total = df.count()
