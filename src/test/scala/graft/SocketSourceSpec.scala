@@ -89,6 +89,34 @@ class SocketSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end: live syslog over tcp through the grok parse stage") {
+    val parsed = graft.parsers.GrokStage(
+      spark.readStream.format("syslog-socket")
+        .option("port", "0").option("name", "t_e2e").load(),
+      "record", graft.parsers.GrokStage.transcriptRules)
+    val q = parsed.writeStream.format("memory")
+      .queryName("sock_parsed").outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (graft.sources.SyslogSocket.boundPort("t_e2e").isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val p2 = graft.sources.SyslogSocket.boundPort("t_e2e").get
+      val s = new Socket("127.0.0.1", p2)
+      s.getOutputStream.write(
+        ("<13>Jan  2 03:04:05 web01 sshd[42]: action=login status=ok\n" +
+          "event=call tool=grep duration_ms=12 ok=true\n" +
+          "not a recognized line\n").getBytes("UTF-8"))
+      s.getOutputStream.flush(); s.close()
+      awaitRows(q, "sock_parsed", 3)
+      val rows = spark.table("sock_parsed")
+        .selectExpr("rule_id", "try_element_at(fields, 'host')",
+          "try_element_at(fields, 'tool')").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(rows === Set(
+        ("syslog", "web01", null), ("kv", null, "grep"), (null, null, null)))
+    } finally q.stop()
+  }
+
   test("fd source: newline and octet-counted framing from a byte stream") {
     val nl = Fd.read(spark,
       new ByteArrayInputStream("one\r\ntwo\n\nthree".getBytes("UTF-8")))
