@@ -269,6 +269,33 @@ object Templates {
       "PROTO" -> lit("0"),
       "RAWMSG_SIZE" -> length(col("text")).cast("string"),
       "SEQNUM" -> seqNum.map(_.cast("string")).getOrElse(lit("")),
+      // per-run / per-message ids (macros.c RUNID/RCPTID/UNIQID): the
+      // reference's values are process-lifetime counters; the deterministic
+      // stand-ins derive from stable inputs (repo determinism rule), so
+      // re-running the batch re-produces identical output.
+      "RUNID" -> substring(md5(lit(loghost + ":run")), 1, 8),
+      "RCPTID" -> (if (columns.contains("conv_id") && columns.contains("turn_idx"))
+        substring(md5(concat_ws(":", col("conv_id"), col("turn_idx"))), 1, 16)
+      else lit("")),
+      "UNIQID" -> (if (columns.contains("conv_id") && columns.contains("turn_idx"))
+        concat(substring(md5(lit(loghost)), 1, 8), lit("@"),
+          substring(md5(concat_ws(":", col("conv_id"), col("turn_idx"))), 1, 16))
+      else lit("")),
+      // $SDATA — the rfc5424 structured-data rendered back to
+      // [id key="val" ...] blocks (macros.c log_macro_expand SDATA via
+      // value-pairs walk); present only on rfc5424-parsed frames
+      "SDATA" -> (if (columns.contains("sdata") && columns.contains("sdata_ids"))
+        when(col("sdata_ids").isNull, lit(""))
+          .otherwise(concat_ws("", transform(col("sdata_ids"), id =>
+            concat(lit("["), id,
+              concat_ws("", transform(
+                filter(map_entries(col("sdata")),
+                  e => e.getField("key").startsWith(concat(id, lit(".")))),
+                e => concat(lit(" "),
+                  e.getField("key").substr(length(id) + 2, length(e.getField("key"))),
+                  lit("=\""), e.getField("value"), lit("\"")))),
+              lit("]")))))
+      else lit("")),
       "SYSUPTIME" -> lit("0"))
     (name: String) =>
       fixed.get(name)

@@ -105,6 +105,26 @@ class TemplatesSpec extends SparkSpec {
     assert(ev("$(tags-head)") === "t1")
   }
 
+  test("id macros (RUNID/RCPTID/UNIQID) are deterministic; $SDATA renders rfc5424 blocks") {
+    val line = """<165>1 2026-03-05T06:07:08.000+00:00 h1 app 42 mid """ +
+      """[ex@1 k="v" n="2"][origin ip="10.0.0.1"] payload"""
+    val parsed = Seq(("conv-1", 3, line)).toDF("conv_id", "turn_idx", "text")
+      .withColumn("p", graft.parsers.FieldParsers.rfc5424Parser(col("text")))
+      .select(col("conv_id"), col("turn_idx"),
+        col("p.pri").as("pri"), col("p.ts").as("ts"),
+        col("p.sdata").as("sdata"), col("p.sdata_ids").as("sdata_ids"))
+      .withColumn("fields", map(lit("host"), lit("h1")))
+    val r = Templates.standardResolver(parsed.columns.toSet, col("ts"), col("pri"), col("fields"))
+    def ev(t: String): String =
+      parsed.select(Templates.compile(t, r).as("v")).as[String].head()
+    assert(ev("$SDATA") === """[ex@1 k="v" n="2"][origin ip="10.0.0.1"]""")
+    // ids derive from stable inputs — same value across evaluations
+    assert(ev("$RCPTID") === ev("$RCPTID"))
+    assert(ev("$RCPTID").length === 16)
+    assert(ev("$UNIQID") === ev("$HOSTID") + "@" + ev("$RCPTID"))
+    assert(ev("$RUNID").length === 8)
+  }
+
   test("$(/) truncates toward zero for ints, divides doubles as doubles") {
     val df = Seq(1).toDF("x")
     val r: graft.functions.Templates.Resolver = _ => None
