@@ -812,11 +812,15 @@ object FilterX {
       val named: Map[String, Expr] =
         allArgs.collect { case NamedArg(n, v) => n -> v }.toMap
       val args: Seq[Expr] = allArgs.filterNot(_.isInstanceOf[NamedArg])
+      // an unconsumed named argument must ERROR, not silently no-op
+      // (expr-function.c rejects unknown kwargs at compile time)
+      val allowedNamed: Set[String] = name match {
+        case "parse_kv" => Set("value_separator", "pair_separator", "stray_words_key")
+        case _          => Set.empty
+      }
+      named.keys.find(!allowedNamed.contains(_)).foreach(n =>
+        sys.error(s"filterx: $name() does not accept named argument '$n'"))
       def arg0 = evalExpr(args.head, guard)
-      def namedLit(n: String, dflt: String): String = named.get(n)
-        .map(e => literalStrOf(e).getOrElse(
-          sys.error(s"filterx: $name($n=...) must be a literal string")))
-        .getOrElse(dflt)
       name match {
         // filterx-globals.c:73-110 builtin registry. json()/json_array()
         // pass containers through (they're already typed), parse strings,

@@ -293,7 +293,10 @@ object Templates {
                   e => e.getField("key").startsWith(concat(id, lit(".")))),
                 e => concat(lit(" "),
                   e.getField("key").substr(length(id) + 2, length(e.getField("key"))),
-                  lit("=\""), e.getField("value"), lit("\"")))),
+                  lit("=\""),
+                  // RFC5424 6.3.3 PARAM-VALUE escaping: \ " ]
+                  regexp_replace(e.getField("value"), "([\\\\\"\\]])", "\\\\$1"),
+                  lit("\"")))),
               lit("]")))))
       else lit("")),
       "SYSUPTIME" -> lit("0"))

@@ -46,13 +46,18 @@ object Http {
     val spark = df.sparkSession
     val delivered: LongAccumulator = spark.sparkContext.longAccumulator("http_delivered")
     val dropped: LongAccumulator = spark.sparkContext.longAccumulator("http_dropped")
-    val rendered = df.select(body.cast("string").as("body")).na.drop()
+    val rendered = df.select(body.cast("string").as("body"))
 
     rendered.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
         val client = HttpClient.newBuilder()
           .connectTimeout(Duration.ofMillis(timeoutMs)).build()
-        rows.map(_.getString(0)).grouped(batchLines).foreach { batch =>
+        // a null-rendered body is an undeliverable message: counted dropped,
+        // never silently vanished (delivered + dropped covers every row)
+        val bodies = rows.map(_.getString(0)).filter { b =>
+          if (b == null) { dropped.add(1); false } else true
+        }
+        bodies.grouped(batchLines).foreach { batch =>
           val payload = batch.mkString(delimiter)
           var attempt = 0
           var done = false
@@ -70,8 +75,9 @@ object Http {
             status match {
               case Right(s) if s >= 200 && s < 300 =>
                 delivered.add(batch.size); done = true
-              case Right(s) if s >= 400 && s < 500 =>
-                // not retryable (reference: disconnect & drop)
+              case Right(s) if s < 500 =>
+                // 1xx/3xx/4xx: not retryable — drop and continue, like the
+                // reference's default response action for non-2xx/non-5xx
                 dropped.add(batch.size); done = true
               case other => // 5xx or transport error: retry with backoff
                 attempt += 1

@@ -38,7 +38,9 @@ object Fd {
       case "octet-counted" => Framing.octetCountedFrames(bytes, maxMsgSize)
       case _ =>
         new String(bytes, "UTF-8").split("[\n\u0000]").toSeq
-          .filter(_.nonEmpty).map(r => (r.stripSuffix("\r"), true))
+          .filter(_.nonEmpty)
+          .map(_.stripSuffix("\r"))
+          .map(r => (r, r.length <= maxMsgSize)) // oversize flagged, like the socket path
     }
     import spark.implicits._
     framed.toDF("record", "record_ok").repartition(partitions)

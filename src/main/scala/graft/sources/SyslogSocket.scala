@@ -122,9 +122,22 @@ private final class SyslogSocketStream(
   private val buffer = new ArrayBuffer[(String, String, Boolean, Long)]()
   private var trimmed = 0L // rows removed from the head of buffer
   private val running = new AtomicBoolean(true)
-  private val threads = new ArrayBuffer[Thread]()
   private var server: ServerSocket = _
   private var dgram: DatagramSocket = _
+
+  /** Restart rebase: a checkpointed offset from a previous run can exceed
+    * anything this fresh stream has seen (socket bytes are not
+    * replayable; the prior run's rows died with its process). Jump the
+    * base forward, KEEPING the buffer: everything in it arrived after this
+    * restart, so renumbering it past the checkpoint (a) serves the
+    * re-executed restart batch as empty instead of MISLABELING fresh rows
+    * under old offsets, and (b) preserves every fresh row instead of
+    * letting the checkpoint's commit trim it. Pre-restart rows are lost —
+    * the documented at-most-once contract of tcp() without disk-buffer.
+    */
+  private def rebaseTo(n: Long): Unit = buffer.synchronized {
+    if (n > trimmed + buffer.size) trimmed = n // buffer rows → offsets [n, n+size)
+  }
 
   locally {
     transport match {
@@ -158,8 +171,7 @@ private final class SyslogSocketStream(
 
   private def spawn(tname: String)(body: => Unit): Unit = {
     val t = new Thread(() => body, tname)
-    t.setDaemon(true)
-    threads.synchronized(threads += t)
+    t.setDaemon(true) // lifecycle rides the sockets + `running`, no joins
     t.start()
   }
 
@@ -224,19 +236,24 @@ private final class SyslogSocketStream(
 
   /** Non-transparent: newline- or NUL-terminated records; empty records
     * are skipped, a final unterminated record is still delivered
-    * (logproto-text-server flushes partial on EOF). */
+    * (logproto-text-server flushes partial on EOF). Only a \r directly
+    * before the terminator is stripped — embedded CRs are message bytes. */
   private def readDelimited(in: InputStream, peer: String): Unit = {
     val cur = new java.lang.StringBuilder
+    def flush(ok: Boolean): Unit = {
+      if (cur.length > 0 && cur.charAt(cur.length - 1) == '\r')
+        cur.setLength(cur.length - 1)
+      if (cur.length > 0) append(cur.toString, peer, ok)
+      cur.setLength(0)
+    }
     var c = in.read()
     while (c >= 0) {
-      if (c == '\n' || c == 0) {
-        if (cur.length > 0) append(cur.toString, peer, ok = true)
-        cur.setLength(0)
-      } else if (c != '\r') cur.append(c.toChar)
+      if (c == '\n' || c == 0) flush(ok = true)
+      else cur.append(c.toChar)
       c = in.read()
-      if (cur.length() > maxMsgSize) { append(cur.toString, peer, ok = false); return }
+      if (cur.length() > maxMsgSize) { flush(ok = false); return }
     }
-    if (cur.length > 0) append(cur.toString, peer, ok = true)
+    flush(ok = true)
   }
 
   // ---- MicroBatchStream ----
@@ -244,12 +261,17 @@ private final class SyslogSocketStream(
   override def initialOffset(): Offset = SocketOffset(0L)
   override def latestOffset(): Offset =
     buffer.synchronized(SocketOffset(trimmed + buffer.size))
-  override def deserializeOffset(json: String): Offset = SocketOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    rebaseTo(n) // checkpoint offsets arrive here first on restart
+    SocketOffset(n)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[SocketOffset].n, end.asInstanceOf[SocketOffset].n)
+    rebaseTo(e)
     val rows = buffer.synchronized {
-      buffer.slice((s - trimmed).toInt, (e - trimmed).toInt).toArray
+      buffer.slice(math.max(0, s - trimmed).toInt, math.max(0, e - trimmed).toInt).toArray
     }
     if (rows.isEmpty) Array.empty
     else {
@@ -279,8 +301,9 @@ private final class SyslogSocketStream(
 
   override def commit(end: Offset): Unit = buffer.synchronized {
     val e = end.asInstanceOf[SocketOffset].n
-    val drop = (e - trimmed).toInt
-    if (drop > 0) { buffer.dropInPlace(drop); trimmed = e }
+    val drop = math.min(math.max(0, e - trimmed), buffer.size.toLong).toInt
+    if (drop > 0) buffer.dropInPlace(drop)
+    trimmed = math.max(trimmed, e)
   }
 
   override def stop(): Unit = {

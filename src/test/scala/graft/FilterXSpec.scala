@@ -357,6 +357,15 @@ class FilterXSpec extends SparkSpec {
       === """{"foo":"bar","bar":"baz"}""")
   }
 
+  test("an unconsumed named argument errors instead of silently defaulting") {
+    intercept[RuntimeException] {
+      fx1("$r = format_kv({'a': 'b'}, value_separator=':');")
+    }
+    intercept[RuntimeException] {
+      fx1("$r = parse_kv('a=b', sep='@');") // unknown option name
+    }
+  }
+
   test("format_kv: defaults, null separators, custom separators, nested skip, space quoting") {
     // test_filterx_func_format_kv.c:138-158
     assert(fx1("$r = format_kv({'foo': 'bar', 'bar': 'baz'});") === "foo=bar, bar=baz")

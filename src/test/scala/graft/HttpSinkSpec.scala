@@ -62,6 +62,19 @@ class HttpSinkSpec extends SparkSpec {
     }
   }
 
+  test("3xx drops like 4xx (non-retryable), and null bodies count as dropped") {
+    withServer { (server, port) =>
+      server.createContext("/moved", (ex: HttpExchange) => {
+        body(ex); ex.sendResponseHeaders(301, -1); ex.close()
+      })
+      val df = spark.range(4)
+        .selectExpr("CASE WHEN id < 2 THEN concat('m', id) END AS msg").coalesce(1)
+      // 2 null bodies dropped up front; 2 rendered rows dropped by the 301
+      val (d, drop) = Http.write(df, s"http://127.0.0.1:$port/moved", col("msg"))
+      assert(d === 0 && drop === 4)
+    }
+  }
+
   test("persistent 5xx fails the write after bounded retries") {
     withServer { (server, port) =>
       server.createContext("/down", (ex: HttpExchange) => {

@@ -128,5 +128,62 @@ class SocketSourceSpec extends SparkSpec {
     assert(oc.filter("record_ok").select("record").collect().map(_.getString(0)).toSet
       === Set("abc", "defg"))
     assert(nl.rdd.getNumPartitions === 4) // downstream stages parallelize
+    // oversize record flagged, like the socket path
+    val big = Fd.read(spark,
+      new ByteArrayInputStream("ok\nxxxxxxxxxx\n".getBytes("UTF-8")), maxMsgSize = 5)
+    assert(big.collect().map(r => (r.getString(0), r.getBoolean(1))).toSet
+      === Set(("ok", true), ("xxxxxxxxxx", false)))
+  }
+
+  test("embedded CR is message content; only CR before the terminator is stripped") {
+    val (q, port) = startQuery("sock_cr", "t_cr", Map("framing" -> "non-transparent"))
+    try {
+      val s = new Socket("127.0.0.1", port)
+      s.getOutputStream.write("abc\rdef\r\nplain\n".getBytes("UTF-8"))
+      s.getOutputStream.flush(); s.close()
+      awaitRows(q, "sock_cr", 2)
+      assert(spark.table("sock_cr").select("record").collect().map(_.getString(0)).toSet
+        === Set("abc\rdef", "plain"))
+    } finally q.stop()
+  }
+
+  test("restart from a checkpoint: fresh rows survive under rebased offsets") {
+    val ckpt = java.nio.file.Files.createTempDirectory("sockckpt").toString
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def start() = spark.readStream.format("syslog-socket")
+      .option("port", "0").option("name", "t_restart").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("record").collect().foreach(r => received.add(r.getString(0))); ()
+      }.start()
+    def port(): Int = {
+      val deadline = System.currentTimeMillis() + 15000
+      while (SyslogSocket.boundPort("t_restart").isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      SyslogSocket.boundPort("t_restart").get
+    }
+    def send(p: Int, s: String): Unit = {
+      val sock = new Socket("127.0.0.1", p)
+      sock.getOutputStream.write(s.getBytes("UTF-8"))
+      sock.getOutputStream.flush(); sock.close()
+    }
+    def awaitReceived(q: org.apache.spark.sql.streaming.StreamingQuery, n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 20000
+      while (received.size < n && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+    }
+    val q1 = start()
+    send(port(), "one\ntwo\n")
+    awaitReceived(q1, 2)
+    q1.stop()
+    // restart: checkpointed offsets exceed the fresh stream's buffer; the
+    // rebase must not discard or mislabel the post-restart rows
+    val q2 = start()
+    send(port(), "three\n")
+    awaitReceived(q2, 3)
+    q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(received.asScala.toSet === Set("one", "two", "three"))
   }
 }

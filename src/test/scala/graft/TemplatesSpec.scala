@@ -118,6 +118,15 @@ class TemplatesSpec extends SparkSpec {
     def ev(t: String): String =
       parsed.select(Templates.compile(t, r).as("v")).as[String].head()
     assert(ev("$SDATA") === """[ex@1 k="v" n="2"][origin ip="10.0.0.1"]""")
+    // RFC5424 6.3.3: \ " ] escaped in rendered PARAM-VALUEs
+    val esc = Seq(1).toDF("x")
+      .withColumn("pri", lit(13)).withColumn("ts", current_timestamp())
+      .withColumn("sdata_ids", array(lit("m")))
+      .withColumn("sdata", map(lit("m.q"), lit("""say "hi" \ [ok]""")))
+      .withColumn("fields", map(lit("host"), lit("h")))
+    val r2 = Templates.standardResolver(esc.columns.toSet, col("ts"), col("pri"), col("fields"))
+    val got = esc.select(Templates.compile("$SDATA", r2).as("v")).as[String].head()
+    assert(got === """[m q="say \"hi\" \\ [ok\]"]""")
     // ids derive from stable inputs — same value across evaluations
     assert(ev("$RCPTID") === ev("$RCPTID"))
     assert(ev("$RCPTID").length === 16)
