@@ -83,7 +83,8 @@ private final class SyslogSocketTable(options: CaseInsensitiveStringMap)
             framing = options.getOrDefault("framing", "auto"),
             maxMsgSize = options.getInt("max-msg-size", 8 * 1024 * 1024),
             name = Option(options.get("name")),
-            parallelism = options.getInt("partitions", 4))
+            parallelism = options.getInt("partitions", 4),
+            path = Option(options.get("path")))
       }
     }
 }
@@ -116,7 +117,8 @@ private final class SyslogSocketStream(
     framing: String,
     maxMsgSize: Int,
     name: Option[String],
-    parallelism: Int) extends MicroBatchStream {
+    parallelism: Int,
+    path: Option[String] = None) extends MicroBatchStream {
 
   // (record, peer, ok, recvMicros)
   private val buffer = new ArrayBuffer[(String, String, Boolean, Long)]()
@@ -124,6 +126,7 @@ private final class SyslogSocketStream(
   private val running = new AtomicBoolean(true)
   private var server: ServerSocket = _
   private var dgram: DatagramSocket = _
+  private var unixServer: java.nio.channels.ServerSocketChannel = _
 
   /** Restart rebase: a checkpointed offset from a previous run can exceed
     * anything this fresh stream has seen (socket bytes are not
@@ -153,6 +156,29 @@ private final class SyslogSocketStream(
               val rec = new String(pkt.getData, pkt.getOffset, pkt.getLength, "UTF-8")
               append(rec, pkt.getAddress.getHostAddress, ok = true)
             } catch { case _: java.net.SocketException => () } // closed
+          }
+        }
+      case "unix-stream" =>
+        // reference afunix-source.c unix-stream(): AF_UNIX stream server
+        // (JDK 17 JEP 380; unix-dgram has no JDK datagram support)
+        val p = path.getOrElse(sys.error("syslog-socket: unix-stream needs option(\"path\")"))
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+        unixServer = java.nio.channels.ServerSocketChannel
+          .open(java.net.StandardProtocolFamily.UNIX)
+        unixServer.bind(java.net.UnixDomainSocketAddress.of(p))
+        name.foreach(n => SyslogSocket.bound.put(n, 0)) // readiness signal
+        spawn("graft-unix-accept") {
+          while (running.get()) {
+            try {
+              val ch = unixServer.accept()
+              spawn("graft-unix-conn") {
+                val in = new BufferedInputStream(
+                  java.nio.channels.Channels.newInputStream(ch))
+                try readStream(in, "unix")
+                catch { case _: java.io.IOException => () }
+                finally ch.close()
+              }
+            } catch { case _: java.nio.channels.ClosedChannelException => () }
           }
         }
       case _ =>
@@ -185,21 +211,25 @@ private final class SyslogSocketStream(
   private def readConnection(sock: Socket): Unit = {
     val peer = sock.getInetAddress.getHostAddress
     val in = new BufferedInputStream(sock.getInputStream)
-    try {
-      val mode = framing match {
-        case "auto" =>
-          in.mark(1)
-          val first = in.read()
-          if (first < 0) return
-          in.reset()
-          if (first >= '0' && first <= '9') "octet-counted" else "non-transparent"
-        case m => m
-      }
-      if (mode == "octet-counted") readOctetCounted(in, peer)
-      else readDelimited(in, peer)
-    } catch {
+    try readStream(in, peer)
+    catch {
       case _: java.io.IOException => () // peer went away; keep what we framed
     } finally sock.close()
+  }
+
+  /** Shared framing entry for stream transports (tcp, unix-stream). */
+  private def readStream(in: BufferedInputStream, peer: String): Unit = {
+    val mode = framing match {
+      case "auto" =>
+        in.mark(1)
+        val first = in.read()
+        if (first < 0) return
+        in.reset()
+        if (first >= '0' && first <= '9') "octet-counted" else "non-transparent"
+      case m => m
+    }
+    if (mode == "octet-counted") readOctetCounted(in, peer)
+    else readDelimited(in, peer)
   }
 
   /** RFC6587: `<len> SP <len bytes>` repeated. Malformed header ⇒ one
@@ -310,6 +340,10 @@ private final class SyslogSocketStream(
     running.set(false)
     if (server != null) server.close()
     if (dgram != null) dgram.close()
+    if (unixServer != null) {
+      unixServer.close()
+      path.foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    }
     name.foreach(SyslogSocket.bound.remove(_))
   }
 }

@@ -147,6 +147,34 @@ class SocketSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("unix-stream: AF_UNIX stream socket with auto framing") {
+    val sockPath = java.nio.file.Files.createTempDirectory("graftunix")
+      .resolve("s.sock").toString
+    var reader = spark.readStream.format("syslog-socket")
+      .option("transport", "unix-stream").option("path", sockPath)
+      .option("name", "t_unix")
+    val q = reader.load().writeStream.format("memory")
+      .queryName("sock_unix").outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (SyslogSocket.boundPort("t_unix").isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(SyslogSocket.boundPort("t_unix").isDefined, "unix listener did not bind")
+      val ch = java.nio.channels.SocketChannel.open(
+        java.net.UnixDomainSocketAddress.of(sockPath))
+      ch.write(java.nio.ByteBuffer.wrap(
+        "<13>t1 host app: via unix\n6 framed".getBytes("UTF-8")))
+      ch.close()
+      awaitRows(q, "sock_unix", 2)
+      val rows = spark.table("sock_unix").select("record", "peer")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      // one connection picks ONE framing mode (auto on first byte): the
+      // newline record arrives first so the rest rides non-transparent
+      assert(rows === Set(
+        ("<13>t1 host app: via unix", "unix"), ("6 framed", "unix")))
+    } finally q.stop()
+  }
+
   test("restart from a checkpoint: fresh rows survive under rebased offsets") {
     val ckpt = java.nio.file.Files.createTempDirectory("sockckpt").toString
     val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
