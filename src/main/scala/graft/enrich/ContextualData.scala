@@ -45,18 +45,27 @@ object ContextualData {
   /** Enrich `df` by `selector`: left broadcast join, misses filled from the
     * `default` selector row (add-contextual-data.c default-selector
     * semantics). Enrichment columns = every lookup column except `selector`.
+    *
+    * The default row is resolved at plan-build time (one tiny driver read of
+    * the dimension — which is broadcast whole anyway) and inlined as
+    * literals: filling misses with a 1-row cross join would put a
+    * BroadcastNestedLoopJoin stage in the fact table's hot path and break
+    * whole-stage codegen; literals keep the enrichment a single
+    * BroadcastHashJoin + codegen'd projection.
     */
   def enrich(df: DataFrame, lookup: DataFrame, selector: Column): DataFrame = {
     val enrichCols = lookup.columns.filterNot(_ == "selector")
-    val defaults = lookup.filter(col("selector") === "default")
-      .select(enrichCols.map(c => col(c).as(s"__default_$c")): _*)
+    val defaultRow = lookup.filter(col("selector") === "default")
+      .select(enrichCols.map(col): _*).collect().headOption
     val hits = lookup.filter(col("selector") =!= "default")
       .select(col("selector").as("__selector") +: enrichCols.map(c => col(c).as(s"__hit_$c")): _*)
-    val joined = df
-      .join(broadcast(hits), selector === col("__selector"), "left")
-      .join(broadcast(defaults)) // 1-row cross join, broadcast
-    enrichCols.foldLeft(joined) { (acc, c) =>
-      acc.withColumn(c, coalesce(col(s"__hit_$c"), col(s"__default_$c")))
-    }.drop("__selector").drop(enrichCols.flatMap(c => Seq(s"__hit_$c", s"__default_$c")): _*)
+    val joined = df.join(broadcast(hits), selector === col("__selector"), "left")
+    val filled = enrichCols.map { c =>
+      val i = enrichCols.indexOf(c)
+      val d = defaultRow.map(r => lit(r.get(i))).getOrElse(lit(null))
+      coalesce(col(s"__hit_$c"), d)
+    }
+    joined.withColumns(enrichCols.zip(filled).toMap)
+      .drop("__selector").drop(enrichCols.map(c => s"__hit_$c"): _*)
   }
 }

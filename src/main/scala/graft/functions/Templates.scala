@@ -455,6 +455,7 @@ object TemplateFunctions {
     "sha256" -> (a => truncHash(sha2(a(0).col, 256), a)),
     "sha1" -> (a => truncHash(sha1(a(0).col), a)),
     "md5" -> (a => truncHash(md5(a(0).col), a)),
+    "sha512" -> (a => truncHash(sha2(a(0).col, 512), a)),
     "hash" -> (a => truncHash(sha2(a(0).col, 256), a)),
     // --- format (modules/json/format-json.c, kvformat/format-welf.c) ------
     "format-json" -> (a => to_json(struct(kvArgs(a).map {

@@ -1,0 +1,83 @@
+package graft
+
+/** Scale-shape regression gate: the physical plan of every oracle-checked
+  * query must stay the plan we'd want on a 1000-executor cluster. These
+  * assertions catch a silent drift back to an n² join or a lost broadcast
+  * long before a benchmark would.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfUnit).queryExecution.executedPlan.toString()
+
+  /** Queries whose plan legitimately contains a broadcast nested-loop or
+    * cartesian stage, with the reason it is scale-safe. */
+  private val nestedLoopAllowed: Map[String, String] = Map(
+    "q_embed_topk" -> "brute-force top-k: query set is tiny and broadcast; corpus side streams")
+
+  test("no unbounded join: every query plans without cartesian/nested-loop (except declared)") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      if (nestedLoopAllowed.contains(name)) None
+      else {
+        val p = planOf(name)
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"queries with an unbounded join in the physical plan: ${offenders.mkString(", ")}")
+  }
+
+  test("enrichment joins broadcast (no shuffle of the fact side for small dims)") {
+    val p = planOf("q_enrich")
+    assert(p.contains("BroadcastHashJoin"), "q_enrich should broadcast the lookup dim")
+    assert(!p.contains("SortMergeJoin"), "q_enrich must not sort-merge a tiny dim")
+  }
+
+  test("text-stats scan prunes to the columns it needs") {
+    val p = planOf("q_text_stats")
+    // ReadSchema on the documents scan must not drag the wide text-adjacent
+    // columns we never touch (payload etc. if present) — cheap proxy: the
+    // scan line lists a bounded column set.
+    val scanLine = p.linesIterator.find(_.contains("Scan parquet")).getOrElse("")
+    assert(scanLine.nonEmpty, "expected a parquet scan")
+    assert(!scanLine.contains("embedding"), "documents scan must not read embedding columns")
+  }
+
+  test("exact dedup is a single map-side-combinable aggregation") {
+    val p = planOf("q_dedup_exact")
+    val exchangeCount = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchangeCount <= 1,
+      s"q_dedup_exact should shuffle at most once, saw $exchangeCount:\n$p")
+    assert(p.contains("HashAggregate"), "expected partial+final hash aggregate")
+  }
+
+  test("minhash LSH plan shuffles ids, not shingle arrays, into the band join") {
+    val p = planOf("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the candidate join must be a hash join on the band bucket
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected an equi-join on band buckets")
+  }
+
+  test("post-parse filter/projection stays inside whole-stage codegen") {
+    // the grok output is an ExistingRDD scan; everything above it must fuse
+    // into one codegen stage (the `*(n)` markers in simpleString)
+    val p = planOf("q_parse_syslog")
+    assert(p.contains("*("), s"parse pipeline should codegen:\n$p")
+  }
+
+  test("query-side filter pushes down into the parquet scan") {
+    // q_embed_topk's query set is `vec_id < 5` — that predicate must reach
+    // the embeddings scan as a pushed filter, not run post-scan only.
+    // (Other suites may have cached the raw embeddings scan, which would
+    // legitimately substitute an InMemoryRelation; drop caches so this
+    // asserts the cold-plan shape.)
+    spark.sharedState.cacheManager.clearCache()
+    val p = SparkEntry.queries("q_embed_topk")(spark, sfUnit)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("LessThan(vec_id"), // the PushedFilters rendering
+      s"expected vec_id<5 pushed to the parquet scan:\n$p")
+  }
+}

@@ -77,6 +77,7 @@ class TemplatesSpec extends SparkSpec {
     assert(eval("$(ipv4-to-int $ip)") === "167838211")
     assert(eval("$(sha256 x 8)") === "2d711642") // sha256("x") prefix
     assert(eval("$(md5 x 8)") === "9dd4e461")
+    assert(eval("$(sha512 x 8)") === "a4abd444")
   }
 
   test("format functions") {
