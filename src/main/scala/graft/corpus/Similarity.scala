@@ -30,15 +30,14 @@ private[corpus] object DetRandom {
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision: `zip_with` then
-    * `aggregate` — deterministic left-to-right summation (stable across
-    * engines and runs, unlike a shuffled SUM).
+  /** Sequential dot product in double precision — deterministic
+    * left-to-right summation (stable across engines and runs, unlike a
+    * shuffled SUM). A native codegen expression ([[graft.functions.VecDot]]):
+    * the equivalent `zip_with` + `aggregate` pair is interpreted and boxes
+    * every element, which dominates candidate-verification volume.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.GraftFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -147,12 +146,24 @@ object Similarity {
         Seq("band", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
-      .dropDuplicates("vec_a", "vec_b")
+    // Verify FIRST, dedupe the (few) survivors after: a pair colliding in
+    // k bands is verified k times (k ≤ numBands, and the codegen'd dot
+    // makes each check ~free), which beats shuffling the full raw candidate
+    // stream through a dropDuplicates exchange before verification — the
+    // raw stream is the biggest intermediate in the whole operator.
+    // norms are per-vector, so compute them once on the (tiny) vector side
+    // of the join instead of per candidate pair; cos = dot/(na*nb) is then
+    // one dot per pair — the same arithmetic as cosine() (identical doubles,
+    // the norm is the same sqrt(dot(v,v)) either way)
+    val withNorm = base.withColumn("nrm", norm(col("v")))
     cand
-      .join(base.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
-      .join(base.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .join(withNorm.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(withNorm.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
+      .dropDuplicates("vec_a", "vec_b")
       .select("vec_a", "vec_b", "cos")
   }
 

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.util.regex.Pattern
@@ -63,6 +64,81 @@ case class RegexpReplaceFirst(subject: Expression, regexp: Expression, rep: Expr
     copy(subject = newFirst, regexp = newSecond, rep = newThird)
 }
 
+/** Left-to-right dot product of two numeric arrays in double precision —
+  * the hot inner loop of every embedding operator (cosine verify, top-k,
+  * k-means assignment, hyperplane signatures).
+  *
+  * A native codegen expression instead of `zip_with` + `aggregate`: the
+  * higher-order-function pair allocates an intermediate array and boxes
+  * every element per evaluation; at LSH candidate-verification volume
+  * (millions of pairs × vector dim) that interpretation dominates the
+  * query. This is a primitive loop — no allocation, no boxing — with
+  * IDENTICAL semantics: null if either array is null, if lengths differ
+  * (zip_with pads with null, poisoning the fold), or if any element is
+  * null; summation strictly left-to-right in double (the determinism
+  * contract shared with the DuckDB oracle's `list_sum`).
+  */
+@ExpressionDescription(
+  usage = "vec_dot(a, b) - Double-precision sequential dot product of two numeric arrays.")
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val (tx, ty) = (elemType(left), elemType(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += numAt(x, i, tx) * numAt(y, i, ty)
+      i += 1
+    }
+    acc
+  }
+
+  private def numAt(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case other => sys.error(s"vec_dot: unsupported element type $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val getA = CodeGenerator.getValue(a, elemType(left), i)
+      val getB = CodeGenerator.getValue(b, elemType(right), i)
+      s"""
+      int $n = $a.numElements();
+      if ($n != $b.numElements()) { ${ev.isNull} = true; }
+      else {
+        double $acc = 0.0; boolean $bad = false;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+          $acc += ((double)($getA)) * ((double)($getB));
+        }
+        if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+      }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the engine's custom Catalyst expressions. */
 object GraftFunctions {
 
@@ -71,4 +147,7 @@ object GraftFunctions {
       Bridge.expression(str),
       Bridge.expression(org.apache.spark.sql.functions.lit(regexp)),
       Bridge.expression(org.apache.spark.sql.functions.lit(rep))))
+
+  def vec_dot(a: Column, b: Column): Column =
+    Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -160,6 +160,29 @@ class CorpusSpec extends SparkSpec {
     assert(got.forall(_._2 === 1L)) // one component, labeled by min id
   }
 
+  test("vec_dot: sequential fold semantics in both codegen and interpreted eval") {
+    val df = Seq(
+      (1, Seq(1.0f, 2.0f, 3.0f), Seq(4.0, 5.0, 6.0)),   // 32.0
+      (2, Seq(1.0f, 2.0f), Seq(1.0, 2.0, 3.0)),          // length mismatch -> null
+      (3, null, Seq(1.0, 2.0, 3.0))                      // null array -> null
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      graft.functions.GraftFunctions.vec_dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got === Map(1 -> 32.0, 2 -> null, 3 -> null))
+    // null ELEMENT poisons the fold, like zip_with+aggregate would
+    val withNullElem = Seq((1, Seq[java.lang.Double](1.0, null, 3.0), Seq(1.0, 1.0, 1.0)))
+      .toDF("id", "a", "b")
+      .select(graft.functions.GraftFunctions.vec_dot(col("a"), col("b")).as("d"))
+    assert(withNullElem.collect()(0).isNullAt(0))
+    // identical doubles to the HOF formulation (same fold order)
+    val hof = embs.select(
+      aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x).as("h"),
+      graft.functions.GraftFunctions.vec_dot(col("embedding"), col("embedding")).as("v"))
+    assert(hof.filter(col("h") =!= col("v")).count() === 0)
+  }
+
   test("text stats: ranges and determinism") {
     val got = docs.select(col("doc_id"),
       TextStats.wsTokenCount(col("text")).as("n"),
