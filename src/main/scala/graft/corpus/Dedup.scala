@@ -49,17 +49,13 @@ object Dedup {
     * essential: without it g_j is monotone in j and one shingle's (h1,h2)
     * dominates every minimum, collapsing the 16 signatures to ~2 effective
     * hashes. j*h2 < 2^56, so the pre-mod sum never overflows a long.
+    *
+    * All numHashes minima come from ONE pass over the shingle array
+    * ([[graft.functions.MinhashSig]]) — the composed-builtins formulation
+    * (numHashes × `array_min(transform(…))`) re-traverses the array per
+    * hash with per-element boxing and computes every shingle's md5 twice.
     */
   private val MinhashPrime = 1000000007L // small enough that the sum wraps
-
-  private def shingleHashes(sh: Column): Column =
-    transform(sh, s => struct(
-      conv(substring(md5(s), 1, 15), 16, 10).cast("long").as("h1"),
-      conv(substring(md5(s), 17, 13), 16, 10).cast("long").as("h2")))
-
-  private def minhash(hs: Column, j: Int): Column =
-    array_min(transform(hs, p =>
-      pmod(p("h1") + lit(j.toLong) * p("h2"), lit(MinhashPrime))))
 
   /** MinHash + LSH banding near-duplicate pairs.
     *
@@ -85,10 +81,8 @@ object Dedup {
     val sh = docs
       .filter(size(split(text, " ")) >= shingleK)
       .select(id.as("doc_id"), shingles(text, shingleK).as("sh"))
-    val hashed = sh.withColumn("hs", shingleHashes(col("sh")))
-    val sig = hashed.select(
-      Seq(col("doc_id"), col("sh")) ++
-        (0 until numHashes).map(j => minhash(col("hs"), j).as(s"h$j")): _*)
+    val sig = sh.select(col("doc_id"), col("sh"),
+      graft.functions.GraftFunctions.minhash_sig(col("sh"), numHashes, MinhashPrime).as("sigs"))
     // band hash = md5 over the band's signature slice. Only (doc_id, band,
     // bucket) is shuffled — never the shingle arrays: at corpus scale the
     // payload dominates, so candidates are generated over ids and the
@@ -97,7 +91,8 @@ object Dedup {
       explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|",
-            (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*))
+            (0 until rowsPerBand).map(r =>
+              element_at(col("sigs"), b * rowsPerBand + r + 1).cast("string")): _*))
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -139,6 +139,75 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** All `numHashes` MinHash minima of a shingle-string array in ONE pass —
+  * the affine 2-hash family `(h1 + j·h2) mod p` where h1/h2 are the
+  * 60-bit/52-bit halves of each shingle's md5 (hex chars 1-15 and 17-29,
+  * matching `conv(substring(md5(s),…),16,10)` exactly, so the signature
+  * values — and therefore every LSH band bucket — are bit-identical to the
+  * composed-builtins formulation).
+  *
+  * Replaces numHashes separate `array_min(transform(…))` evaluations (each
+  * an interpreted traversal with per-element boxing) and the double
+  * `md5(s)` per shingle: one digest and one running-minima update per
+  * shingle. Returns null for a null array or when no shingle contributes
+  * (unreachable behind the word-count pre-filter).
+  */
+@ExpressionDescription(
+  usage = "minhash_sig(shingles, numHashes, prime) - All MinHash minima in one pass.")
+case class MinhashSig(child: Expression, numHashes: Int, prime: Long)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val minima = Array.fill(numHashes)(Long.MaxValue)
+    var contributed = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        contributed = true
+        val md = digest.get()
+        md.reset()
+        val bytes = md.digest(arr.getUTF8String(i).getBytes)
+        // hex chars 1-15 (60 bits) and 17-29 (52 bits), 1-indexed
+        var h1 = 0L
+        var k = 0
+        while (k < 15) { h1 = (h1 << 4) | hexVal(bytes, k); k += 1 }
+        var h2 = 0L
+        k = 16
+        while (k < 29) { h2 = (h2 << 4) | hexVal(bytes, k); k += 1 }
+        var j = 0
+        while (j < numHashes) {
+          val v = (h1 + j * h2) % prime // operands positive: pmod == %
+          if (v < minima(j)) minima(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!contributed) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(minima)
+  }
+
+  /** Value of the `k`-th hex character of the digest (2 chars per byte). */
+  private def hexVal(bytes: Array[Byte], k: Int): Long = {
+    val b = bytes(k >> 1) & 0xff
+    (if ((k & 1) == 0) b >> 4 else b & 0xf).toLong
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API for the engine's custom Catalyst expressions. */
 object GraftFunctions {
 
@@ -150,4 +219,7 @@ object GraftFunctions {
 
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  def minhash_sig(shingles: Column, numHashes: Int, prime: Long): Column =
+    Bridge.column(MinhashSig(Bridge.expression(shingles), numHashes, prime))
 }
