@@ -192,17 +192,21 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("lab")).as("nlab"))
-      val hopped = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+      // carry the previous label as `old` so convergence is a scan of the
+      // checkpointed round output, not another join against the old frame
+      val hopped = labels.select(col("id"), col("lab").as("old"))
+        .join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nlab"), col("old"))).as("lab"))
       // pointer jump: lab := label(lab) — halves chain lengths, so rounds
       // are O(log diameter) instead of O(diameter)
       val next = hopped
         .join(hopped.select(col("id").as("lab"), col("lab").as("lab2")), Seq("lab"), "left")
-        .select(col("id"), least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"))
+        .select(col("id"), col("old"),
+          least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("lab", "old"), Seq("id"))
-        .filter(col("lab") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("lab") =!= col("old")).count()
+      labels = next.select(col("id"), col("lab"))
       it += 1
       converged = changed == 0
     }
