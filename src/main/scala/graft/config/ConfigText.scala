@@ -236,9 +236,28 @@ object ConfigText {
       c.kwargs.getOrElse(k, sys.error(s"${c.name}: missing $k()"))
   }
 
-  private def rewriteDriver(c: Call): DataFrame => DataFrame = c.name match {
+  /** A rewrite/destination option value evaluated as a template (the
+    * reference compiles every such value through log_template_compile):
+    * `$name` resolves to a top-level column, else to the parsed `fields`
+    * map; `$(NAME)` may call a config-defined `template NAME {…}` user
+    * function. Values without `$` stay plain literals.
+    */
+  private def templateValue(df: DataFrame, text: String,
+      user: Map[String, String]): Column =
+    if (!text.contains("$")) lit(text)
+    else {
+      val cols = df.columns.toSet
+      val resolver: graft.functions.Templates.Resolver = n =>
+        if (cols.contains(n)) Some(col(n))
+        else if (cols.contains("fields")) Some(try_element_at(col("fields"), lit(n)))
+        else None
+      graft.functions.Templates.compile(text, resolver, user)
+    }
+
+  private def rewriteDriver(c: Call,
+      user: () => Map[String, String] = () => Map.empty): DataFrame => DataFrame = c.name match {
     case "set" =>
-      df => Rewrites.set(df, c.kwargsOrFail("value"), lit(c.args.head))
+      df => Rewrites.set(df, c.kwargsOrFail("value"), templateValue(df, c.args.head, user()))
     case "subst" =>
       df => Rewrites.subst(df, c.kwargsOrFail("value"), c.args(0), c.args(1),
         global = c.args.contains("global"))
@@ -492,6 +511,7 @@ object ConfigText {
     val parsers = scala.collection.mutable.Map[String, DataFrame => DataFrame]()
     val rewrites = scala.collection.mutable.Map[String, DataFrame => DataFrame]()
     val dests = scala.collection.mutable.Map[String, String]()
+    val userTemplates = scala.collection.mutable.Map[String, String]()
     val paths = Seq.newBuilder[Dsl.LogPath]
 
     def parseLogElements(): Seq[Dsl.Element] = {
@@ -558,9 +578,23 @@ object ConfigText {
         case "rewrite" =>
           val name = p.ident(); p.expect("{")
           var f: DataFrame => DataFrame = identity
-          while (!p.isPunct("}")) { val c = parseCall(p); p.eat(";"); val g = f; val d = rewriteDriver(c); f = df => d(g(df)) }
+          while (!p.isPunct("}")) { val c = parseCall(p); p.eat(";"); val g = f; val d = rewriteDriver(c, () => userTemplates.toMap); f = df => d(g(df)) }
           p.expect("}")
           rewrites(name) = f
+        case "template" =>
+          // template NAME { template("fmt"); [template-escape(no);] };
+          // registered as a named template AND a $(NAME) user function
+          // (reference lib/template/user-function.c)
+          val name = p.ident(); p.expect("{")
+          while (!p.isPunct("}")) {
+            val c = parseCall(p); p.eat(";")
+            c.name match {
+              case "template" => userTemplates(name) = c.args.head
+              case "template-escape" => () // no-op: we never shell-escape
+              case other => sys.error(s"unexpected template option: $other")
+            }
+          }
+          p.expect("}")
         case "destination" =>
           val name = p.ident(); p.expect("{")
           val call = parseCall(p); p.eat(";"); p.expect("}")

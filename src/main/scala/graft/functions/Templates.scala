@@ -122,8 +122,9 @@ object Templates {
   /** One compiled function argument: its Column, plus the literal text if
     * the arg is static (functions like substr/padding need plan-time ints).
     */
-  final case class Arg(elems: Seq[Elem], resolver: Resolver) {
-    lazy val col: Column = compileElems(elems, resolver)
+  final case class Arg(elems: Seq[Elem], resolver: Resolver,
+      user: Map[String, String] = Map.empty) {
+    lazy val col: Column = compileElems(elems, resolver, user)
     def literal: Option[String] = elems match {
       case Seq(Lit(s)) => Some(s)
       case Seq()       => Some("")
@@ -133,20 +134,36 @@ object Templates {
       .getOrElse(sys.error("static integer arg required")).trim.toInt
   }
 
-  def compile(tmpl: String, resolver: Resolver): Column =
-    compileElems(parse(tmpl), resolver)
+  /** Compile a template to one Column. `user` is the config's named
+    * `template NAME {…}` registry — each name is callable as `$(NAME)`
+    * (the reference's user template functions, lib/template/user-function.c:
+    * a user function takes NO arguments and expands its template against
+    * the same message). Builtins shadow user names.
+    */
+  def compile(tmpl: String, resolver: Resolver,
+      user: Map[String, String] = Map.empty): Column =
+    compileElems(parse(tmpl), resolver, user)
 
-  private[functions] def compileElems(elems: Seq[Elem], resolver: Resolver): Column = {
+  private[functions] def compileElems(elems: Seq[Elem], resolver: Resolver,
+      user: Map[String, String] = Map.empty,
+      inProgress: Set[String] = Set.empty): Column = {
     val cols = elems.map {
       case Lit(s) => lit(s)
       case Ref(name, dflt) =>
         val base = resolver(name).map(_.cast("string"))
-        val fallback = dflt.map(d => compileElems(d, resolver)).getOrElse(lit(""))
+        val fallback = dflt.map(d => compileElems(d, resolver, user)).getOrElse(lit(""))
         base.map(c => coalesce(c, fallback)).getOrElse(fallback)
       case Call(fn, args) =>
-        val f = TemplateFunctions.registry.getOrElse(
-          fn, sys.error(s"unknown template function: $$($fn)"))
-        coalesce(f(args.map(Arg(_, resolver))).cast("string"), lit(""))
+        TemplateFunctions.registry.get(fn) match {
+          case Some(f) =>
+            coalesce(f(args.map(Arg(_, resolver, user))).cast("string"), lit(""))
+          case None if user.contains(fn) =>
+            require(args.isEmpty,
+              s"user defined template function $$($fn) cannot have arguments")
+            require(!inProgress(fn), s"recursive user template: $$($fn)")
+            compileElems(parse(user(fn)), resolver, user, inProgress + fn)
+          case None => sys.error(s"unknown template function: $$($fn)")
+        }
     }
     cols match {
       case Seq()  => lit("")
@@ -380,7 +397,7 @@ object TemplateFunctions {
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(v,
       "\\\\", "\\\\\\\\"), "=", "\\\\="), "\n", "\\\\n"), "\r", "\\\\r")
 
-  val registry: Map[String, TFunc] = Map(
+  private val registryBase: Map[String, TFunc] = Map(
     // --- cond (basic-funcs.c) -------------------------------------------
     "if" -> (a => when(truthy(a(0).col), a(1).col).otherwise(a(2).col)),
     "or" -> (a => coalesce(a.map(x => nullif(x.col, lit(""))): _*)),
@@ -457,6 +474,14 @@ object TemplateFunctions {
     "md5" -> (a => truncHash(md5(a(0).col), a)),
     "sha512" -> (a => truncHash(sha2(a(0).col, 512), a)),
     "hash" -> (a => truncHash(sha2(a(0).col, 256), a)),
+    // $(binary n n ...) — static dec/0x-hex/0-octal octets rendered as a
+    // string (str-funcs.c tf_binary; bytes ≥ 0x80 via ISO-8859-1 chars)
+    "binary" -> (a => lit(new String(a.map { x =>
+      val n = java.lang.Long.decode(x.literal.getOrElse(
+        sys.error("$(binary) requires static numeric args")).trim)
+      require(n >= 0 && n <= 255, s"$$(binary): octet out of range: $n")
+      n.toByte
+    }.toArray, java.nio.charset.StandardCharsets.ISO_8859_1))),
     // --- format (modules/json/format-json.c, kvformat/format-welf.c) ------
     "format-json" -> (a => to_json(struct(kvArgs(a).map {
       case (k, v) => v.as(k) }: _*))),
@@ -608,6 +633,15 @@ object TemplateFunctions {
     "grep" -> (a => concat_ws(",",
       graft.operators.Correlation.Context.grep(truthy(a(0).col), a(1).col, a(2).col)))
   )
+
+  /** The callable surface: the base table plus the underscore plugin
+    * aliases (the C plugin names are underscored even though the
+    * documented call form is dashed — both resolve upstream).
+    */
+  val registry: Map[String, TFunc] = registryBase ++ Map(
+    "format_json" -> registryBase("format-json"),
+    "format_flat_json" -> registryBase("format-flat-json"),
+    "graphite_output" -> registryBase("graphite-output"))
 
   /** Compile a template argument as a lambda body: `$_` resolves to the
     * current list element, everything else to the enclosing row scope.

@@ -230,4 +230,28 @@ class ConfigTextSpec extends SparkSpec {
       .filter(col("variant").isin(0, 2) && col("status").isin("error", "fail")).count()
     assert(c.sink("errs").count() === truth)
   }
+
+  test("template blocks: named user templates callable as $(NAME); set() values are templates") {
+    val cfg = s"""
+      source s_app { transcripts("$sfUnit"); };
+      template t_who { template("$${role}#$${conv_id}"); template-escape(no); };
+      rewrite r_lbl { set("$$(t_who)/$$(uppercase $${role})" value("label")); };
+      destination d_all { file("labeled"); };
+      log { source(s_app); rewrite(r_lbl); destination(d_all); };
+    """
+    val c = ConfigText.compile(spark, cfg)
+    val got = c.sink("labeled").select("conv_id", "role", "label")
+    assert(got.filter(col("label") =!=
+      concat(col("role"), lit("#"), col("conv_id"), lit("/"), upper(col("role"))))
+      .count() === 0)
+    // plain literals stay literal
+    val cfg2 = s"""
+      source s_app { transcripts("$sfUnit"); };
+      rewrite r_k { set("const" value("k")); };
+      destination d { file("out"); };
+      log { source(s_app); rewrite(r_k); destination(d); };
+    """
+    val c2 = ConfigText.compile(spark, cfg2)
+    assert(c2.sink("out").filter(col("k") =!= "const").count() === 0)
+  }
 }

@@ -78,6 +78,22 @@ class TemplatesSpec extends SparkSpec {
     assert(eval("$(sha256 x 8)") === "2d711642") // sha256("x") prefix
     assert(eval("$(md5 x 8)") === "9dd4e461")
     assert(eval("$(sha512 x 8)") === "a4abd444")
+    // $(binary): static dec/hex/oct octets (str-funcs.c tf_binary)
+    assert(eval("$(binary 0x41 66 0103)") === "ABC")
+    // underscore plugin aliases
+    assert(eval("$(format_json role=$role)") === """{"role":"assistant"}""")
+  }
+
+  test("user template functions: $(NAME) expands a named template (user-function.c)") {
+    val user = Map("t_who" -> "$role@$conv_id", "t_wrap" -> "[$(t_who)]",
+      "t_loop" -> "$(t_loop)")
+    def evalU(t: String): String =
+      df.select(Templates.compile(t, resolver, user).as("v")).as[String].head()
+    assert(evalU("$(t_who)") === "assistant@conv-1")
+    assert(evalU("x $(t_wrap) y") === "x [assistant@conv-1] y") // nested user call
+    // builtins shadow user names; args and recursion are compile errors
+    intercept[IllegalArgumentException](evalU("$(t_who arg)"))
+    intercept[IllegalArgumentException](evalU("$(t_loop)"))
   }
 
   test("format functions") {
