@@ -84,6 +84,26 @@ class TemplatesSpec extends SparkSpec {
     assert(eval("$(format_json role=$role)") === """{"role":"assistant"}""")
   }
 
+  test("reference template-engine edge cases (lib/template/tests/test_template.c)") {
+    // $$ escapes compose with refs: "$$$1$$" -> "$" + $1 + "$"
+    assert(eval("$$${role}$$") === "$assistant$")
+    // unbalanced closers are literal; a lone $ before a non-name char too
+    assert(eval("$unbalanced_brace}") === "}")
+    assert(eval("$}") === "$}")
+    assert(eval("$unbalanced_paren)") === ")")
+    // unterminated opens are compile errors
+    intercept[IllegalArgumentException](eval("${unbalanced_brace"))
+    intercept[IllegalArgumentException](eval("$(echo $role"))
+    // arg lexing: newlines separate, empty quoted args are kept, both quote
+    // styles expand nested templates (test_template.c:387-392, 453-456)
+    assert(eval("$(echo\n$role\n$turn_idx)") === "assistant 3")
+    assert(eval("$(echo foo '' bar)") === "foo  bar")
+    assert(eval("$(echo \"$(echo $role)\" $turn_idx)") === "assistant 3")
+    assert(eval("$(echo \"$(echo '$(echo $role)')\" $turn_idx)") === "assistant 3")
+    assert(eval("$(echo '\"$(echo $(echo $role))\"' $turn_idx)") === "\"assistant\" 3")
+    assert(eval("dani $(echo $role $(echo huha)) balint") === "dani assistant huha balint")
+  }
+
   test("user template functions: $(NAME) expands a named template (user-function.c)") {
     val user = Map("t_who" -> "$role@$conv_id", "t_wrap" -> "[$(t_who)]",
       "t_loop" -> "$(t_loop)")
