@@ -89,8 +89,20 @@ object ConfigText {
         if (p.eat(",")) ()
         else p.next() match {
           case Ident(s) if p.isPunct("(") =>
-            p.expect("("); val v = p.ident(); p.expect(")")
-            kwargs += s -> v
+            // option(value [, value…]) — multi-value options (flags lists)
+            // join with commas, e.g. flags(global, store-matches)
+            p.expect("(")
+            val vals = Seq.newBuilder[String]
+            while (!p.isPunct(")")) {
+              if (p.eat(",")) ()
+              else p.next() match {
+                case Ident(v) => vals += v
+                case Str(v)   => vals += v
+                case other    => sys.error(s"unexpected $other in $s(...)")
+              }
+            }
+            p.expect(")")
+            kwargs += s -> vals.result().mkString(",")
           case Ident(s) if p.isPunct("..") =>
             p.next(); val hi = p.ident(); args += s"$s..$hi"
           case Ident(s) => args += s
@@ -236,6 +248,11 @@ object ConfigText {
       c.kwargs.getOrElse(k, sys.error(s"${c.name}: missing $k()"))
   }
 
+  /** value(MESSAGE) / value(MSG) in reference configs address the message
+    * text; our transcript frames carry it as `text`. */
+  private def valueName(n: String): String =
+    if (n == "MESSAGE" || n == "MSG") "text" else n
+
   /** A rewrite/destination option value evaluated as a template (the
     * reference compiles every such value through log_template_compile):
     * `$name` resolves to a top-level column, else to the parsed `fields`
@@ -259,8 +276,17 @@ object ConfigText {
     case "set" =>
       df => Rewrites.set(df, c.kwargsOrFail("value"), templateValue(df, c.args.head, user()))
     case "subst" =>
-      df => Rewrites.subst(df, c.kwargsOrFail("value"), c.args(0), c.args(1),
-        global = c.args.contains("global"))
+      val flags = c.kwargs.get("flags")
+        .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+      val global = flags("global") || c.args.contains("global")
+      val target = valueName(c.kwargsOrFail("value"))
+      // a function-bearing replacement is a per-match template
+      // (store-matches binds $0..$n); plain strings go through the
+      // codegen'd first/global regexp replace
+      if (c.args(1).contains("$("))
+        df => Rewrites.substTemplate(df, target, c.args(0), c.args(1), global)
+      else
+        df => Rewrites.subst(df, target, c.args(0), c.args(1), global)
     case "set-tag" =>
       df => if (df.columns.contains("tags")) Rewrites.setTag(df, "tags", lit(c.args.head))
         else Rewrites.setTag(df.withColumn("tags", array().cast("array<string>")), "tags", lit(c.args.head))

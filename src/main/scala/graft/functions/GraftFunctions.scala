@@ -208,6 +208,43 @@ case class MinhashSig(child: Expression, numHashes: Int, prime: Long)
     copy(child = newChild)
 }
 
+/** Regex substitution whose replacement is a TEMPLATE evaluated per match
+  * with `$0`..`$n` bound to the capture groups — the reference's subst()
+  * with flags(store-matches) and a function-bearing replacement (the
+  * cc-mask SCL's `$(substr $0 0 6)******$(substr $0 -4 4)`). Built-in
+  * `regexp_replace` replacement syntax can only splice groups; it cannot
+  * apply functions to them.
+  */
+case class RegexpSubstTemplate(child: Expression, regex: String, tmpl: String,
+    global: Boolean)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  @transient private lazy val pattern = Pattern.compile(regex)
+  @transient private lazy val render = MatchTemplates.compile(tmpl)
+
+  override def nullSafeEval(s: Any): Any = {
+    val str = s.asInstanceOf[UTF8String].toString
+    val m = pattern.matcher(str)
+    if (!m.find()) return s
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    var more = true
+    while (more) {
+      sb.append(str, last, m.start())
+      sb.append(render(i => if (i <= m.groupCount) Option(m.group(i)) else None))
+      last = m.end()
+      more = global && m.find()
+    }
+    sb.append(str, last, str.length)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API for the engine's custom Catalyst expressions. */
 object GraftFunctions {
 
@@ -222,4 +259,8 @@ object GraftFunctions {
 
   def minhash_sig(shingles: Column, numHashes: Int, prime: Long): Column =
     Bridge.column(MinhashSig(Bridge.expression(shingles), numHashes, prime))
+
+  def regexp_subst_template(str: Column, regex: String, tmpl: String,
+      global: Boolean): Column =
+    Bridge.column(RegexpSubstTemplate(Bridge.expression(str), regex, tmpl, global))
 }

@@ -698,3 +698,83 @@ object TemplateFunctions {
   private def truncHash(h: Column, a: Seq[Arg]): Column =
     if (a.length > 1) substring(h, 1, a.last.int) else h
 }
+
+/** Per-MATCH template rendering for `subst()` replacement templates — the
+  * reference evaluates a subst() replacement as a LogTemplate against the
+  * message with `$0`..`$n` bound to the current match's capture groups when
+  * `flags(store-matches)` is set (reference lib/rewrite/rewrite-subst.c +
+  * scl/rewrite/cc-mask.conf, whose replacement is
+  * `$(substr $0 0 6)******$(substr $0 -4 4)`).
+  *
+  * Column-tree templates cannot express "per occurrence of a regex inside
+  * one value", so this renderer evaluates the (static) template in Scala
+  * per match inside [[GraftFunctions.regexp_subst_template]]'s expression.
+  * The supported surface is the subset meaningful per-match: `$0..$n` group
+  * refs, literals, `${n:-default}`, and the pure string/crypto functions.
+  */
+object MatchTemplates {
+
+  /** groups(i) = capture group i of the current match (0 = whole match). */
+  def compile(tmpl: String): (Int => Option[String]) => String = {
+    val elems = Templates.parse(tmpl)
+    gs => render(elems, gs)
+  }
+
+  private def render(elems: Seq[Templates.Elem], gs: Int => Option[String]): String =
+    elems.iterator.map {
+      case Templates.Lit(s) => s
+      case Templates.Ref(name, dflt) =>
+        name.toIntOption.flatMap(gs)
+          .orElse(dflt.map(render(_, gs)))
+          .getOrElse("")
+      case Templates.Call(fn, args) => call(fn, args.map(render(_, gs)))
+    }.mkString
+
+  private def call(fn: String, args: Seq[String]): String = fn match {
+    case "substr" => refSubstr(args(0), args(1).trim.toLong,
+      args.lift(2).map(_.trim.toLong))
+    case "uppercase" => args.head.toUpperCase
+    case "lowercase" => args.head.toLowerCase
+    case "echo" => args.mkString(" ")
+    case "length" => args.head.length.toString
+    case "sha1" | "sha256" | "sha512" | "md5" | "hash" =>
+      val (value, len) = hashArgs(args)
+      val algo = fn match {
+        case "sha1" => "SHA-1"
+        case "md5" => "MD5"
+        case "sha512" => "SHA-512"
+        case _ => "SHA-256"
+      }
+      val hex = java.security.MessageDigest.getInstance(algo)
+        .digest(value.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      len.fold(hex)(n => hex.take(n))
+    case other =>
+      sys.error(s"$$($other) is not supported in a subst() replacement template")
+  }
+
+  /** `$(hash --length N v)` or `$(hash v N)` (tf_hash option parsing). */
+  private def hashArgs(args: Seq[String]): (String, Option[Int]) =
+    if (args.headOption.contains("--length")) (args(2), Some(args(1).trim.toInt))
+    else (args(0), args.lift(1).map(_.trim.toInt))
+
+  /** $(substr str start [len]) with the reference's negative-offset/-length
+    * rules (modules/basicfuncs/str-funcs.c tf_substr): negative start counts
+    * from the end; negative len leaves -len chars unconsumed at the end;
+    * out-of-range combinations render the empty string.
+    */
+  private[functions] def refSubstr(s: String, start0: Long, len0: Option[Long]): String = {
+    val n = s.length.toLong
+    var start = start0
+    var len = len0.getOrElse(n)
+    if (len < 0 && -len > n) return ""
+    if (len > n) len = n
+    if (start >= n) return ""
+    if (start < 0 && -start > n) return ""
+    if (len < 0 && ((start < 0 && start > len) || (start >= 0 && len + n - start < 0)))
+      return ""
+    if (start < 0) start = math.max(0, start + n)
+    if (len < 0) { len = n - start + len; if (len < 0) return "" }
+    if (start + len > n) len = n - start
+    s.substring(start.toInt, (start + len).toInt)
+  }
+}

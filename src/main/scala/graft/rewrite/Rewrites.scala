@@ -46,6 +46,18 @@ object Rewrites {
     guarded(df, name, replaced, condition)
   }
 
+  /** subst() with a TEMPLATE replacement — `$0..$n` are the match's capture
+    * groups (flags(store-matches)) and functions apply per match, e.g. the
+    * cc-mask SCL's `$(substr $0 0 6)******$(substr $0 -4 4)` (reference
+    * scl/rewrite/cc-mask.conf, rewrite-subst.c). Plain group splices stay on
+    * the codegen'd [[subst]]; this path is for function-bearing templates.
+    */
+  def substTemplate(df: DataFrame, name: String, re: String, replacementTmpl: String,
+      global: Boolean = false, condition: Option[Column] = None): DataFrame =
+    guarded(df, name,
+      GraftFunctions.regexp_subst_template(col(name), re, replacementTmpl, global),
+      condition)
+
   /** groupset(value, globs) — set every column whose name matches one of the
     * glob patterns (reference lib/rewrite/rewrite-groupset.c:72). The glob is
     * resolved against the schema at plan time (the schema is the NVTable

@@ -254,4 +254,42 @@ class ConfigTextSpec extends SparkSpec {
     val c2 = ConfigText.compile(spark, cfg2)
     assert(c2.sink("out").filter(col("k") =!= "const").count() === 0)
   }
+
+  test("cc-mask SCL: block chain + store-matches subst template masks card numbers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc")
+    java.nio.file.Files.write(dir.resolve("pay.log"), Seq(
+      "visa charge 4111111111111111 approved",
+      "amex charge 378282246310005 approved",
+      "no card in this line").mkString("\n").getBytes("UTF-8"))
+    // the reference's scl/rewrite/cc-mask.conf block chain, visa+amex arms
+    val cfg = s"""
+      block rewrite credit-card-internal(regex() value() template()) {
+        subst("`regex`" "`template`" value(`value`)
+              flags(global, store-matches) type(pcre));
+      };
+      block rewrite credit-card-visa(value() template()) {
+        credit-card-internal(regex("(?:4[0-9]{12}(?:[0-9]{3})?)")
+                             value(`value`) template(`template`));
+      };
+      block rewrite credit-card-american_express(value() template()) {
+        credit-card-internal(regex("(3[47][0-9]{13})")
+                             value(`value`) template(`template`));
+      };
+      block rewrite credit-card-mask(value("MESSAGE")
+          template("$$(substr $$0 0 6)******$$(substr $$0 -4 4)")) {
+        credit-card-visa(value(`value`) template("`template`"));
+        credit-card-american_express(value(`value`) template("`template`"));
+      };
+      source s { file("$dir/*.log" format(text)); };
+      rewrite r_mask { credit-card-mask(); };
+      destination d { file("masked"); };
+      log { source(s); rewrite(r_mask); destination(d); };
+    """
+    val got = ConfigText.compile(spark, cfg).sink("masked")
+      .orderBy("text").select("text").as[String].collect().toSeq
+    assert(got == Seq(
+      "amex charge 378282******0005 approved",
+      "no card in this line",
+      "visa charge 411111******1111 approved"))
+  }
 }

@@ -131,6 +131,42 @@ class RewritesSpec extends SparkSpec {
     assert(un === Seq.empty)
   }
 
+  test("substTemplate: per-match function template (cc-mask) masks every card") {
+    val df = Seq(
+      "pay 4111111111111111 now and 4222222222222 later",
+      "no cards").toDF("text")
+    val got = Rewrites.substTemplate(df, "text",
+      "(?:4[0-9]{12}(?:[0-9]{3})?)",
+      "$(substr $0 0 6)******$(substr $0 -4 4)", global = true)
+      .select("text").as[String].collect().toSeq
+    assert(got == Seq(
+      "pay 411111******1111 now and 422222******2222 later", "no cards"))
+  }
+
+  test("substTemplate: cc-hash sha1 --length; first-match only without global") {
+    val card = "4111111111111111"
+    val h = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(card.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val df = Seq(s"a $card b $card").toDF("text")
+    val first = Rewrites.substTemplate(df, "text",
+      "4[0-9]{15}", "$(sha1 --length 16 $0)")
+      .select("text").as[String].head()
+    assert(first == s"a $h b $card")
+  }
+
+  test("MatchTemplates substr follows reference tf_substr offset rules") {
+    def sub(t: String) =
+      graft.functions.MatchTemplates.compile(t)(i => if (i == 0) Some("bzorp") else None)
+    assert(sub("$(substr $0 1 3)") == "zor")   // test_basicfuncs.c:196
+    assert(sub("$(substr $0 1)") == "zorp")
+    assert(sub("$(substr $0 -1)") == "p")
+    assert(sub("$(substr $0 -2 1)") == "r")
+    assert(sub("$(substr $0 0 -1)") == "bzor") // negative len: leave 1 at end
+    assert(sub("$(substr $0 2 1400)") == "orp") // len clipped to string end
+    assert(sub("$(substr $0 9)") == "")        // start past end
+    assert(sub("${1:-fallback}") == "fallback") // unbound group -> default
+  }
+
   test("valuePairsWithFields: parsed field colliding with a schema column — schema wins") {
     val df = Seq(("schema-host", Map("host" -> "parsed-host", "extra" -> "e")))
       .toDF("host", "fields")
