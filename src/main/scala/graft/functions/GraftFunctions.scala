@@ -245,8 +245,44 @@ case class RegexpSubstTemplate(child: Expression, regex: String, tmpl: String,
     copy(child = newChild)
 }
 
+/** C-style `%.Nf` rendering of a double. glibc printf prints the EXACT
+  * binary expansion of the double rounded half-even at the Nth decimal
+  * (0.34000000000000030198), while `java.util.Formatter` pads the shortest
+  * decimal representation with zeros (0.34000000000000030000) — so
+  * `format_string` cannot reproduce the reference's number rendering
+  * (numeric-funcs.c format_number prints doubles with precision 20).
+  */
+case class FormatFixed(child: Expression, precision: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(d: Any): Any =
+    UTF8String.fromString(FormatFixed.render(d.asInstanceOf[Double], precision))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d =>
+      s"${ev.value} = UTF8String.fromString(" +
+        s"graft.functions.FormatFixed.render($d, $precision));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FormatFixed {
+  def render(d: Double, precision: Int): String =
+    if (d.isNaN) "NaN"
+    else if (d.isPosInfinity) "inf"
+    else if (d.isNegInfinity) "-inf"
+    else new java.math.BigDecimal(d)
+      .setScale(precision, java.math.RoundingMode.HALF_EVEN).toPlainString
+}
+
 /** Column-level API for the engine's custom Catalyst expressions. */
 object GraftFunctions {
+
+  def format_fixed(d: Column, precision: Int): Column =
+    Bridge.column(FormatFixed(Bridge.expression(d), precision))
 
   def regexp_replace_first(str: Column, regexp: String, rep: String): Column =
     Bridge.column(RegexpReplaceFirst(

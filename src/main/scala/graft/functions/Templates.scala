@@ -334,14 +334,73 @@ object TemplateFunctions {
 
   type TFunc = Seq[Arg] => Column
 
-  /** Numbers render like the reference's int64-first GenericNumber: integral
-    * results print without a decimal point.
+  /** Numbers follow the reference's GenericNumber (lib/parse-number.c +
+    * numeric-funcs.c format_number): a whole-string base-10 integer parse
+    * makes an int64 operand; otherwise a strtod parse makes a double;
+    * otherwise the operand is invalid and the function renders "NaN".
+    * int64 results print as plain decimal; double results print "%.20f"
+    * (gn_set_double defaults the print precision to 20).
     */
   private def num(c: Column): Column = c.cast("double")
-  private def renderNum(d: Column): Column =
-    when(d === floor(d), d.cast("long").cast("string")).otherwise(d.cast("string"))
-  private def fold(args: Seq[Arg], f: (Column, Column) => Column): Column =
-    renderNum(args.map(a => num(a.col)).reduce(f))
+  private def longOperand(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    // the rlike gate keeps ANSI casts from throwing; int64-overflow strings
+    // pass the gate but try_cast nulls them, falling back to the double path
+    when(s.rlike("^[+-]?[0-9]+$"), s.try_cast("long"))
+  }
+  private def dblOperand(c: Column): Column =
+    trim(c.cast("string")).try_cast("double")
+  private val nanS = "NaN"
+  private def fmt20(d: Column): Column = GraftFunctions.format_fixed(d, 20)
+  /** Exact int64 division with C truncation toward zero. */
+  private def ldiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** Binary numeric op (numeric-funcs.c tf_num_plus/minus/multi/div/mod):
+    * int64 op when BOTH operands are integer-formed, double op otherwise;
+    * "NaN" for a non-2 argc, a parse failure, a zero right operand of / and
+    * %, or int64 overflow (where C wraps, we refuse — ANSI casts may not
+    * throw in a data pipeline).
+    */
+  private def numBin(args: Seq[Arg],
+      fL: (Column, Column) => Column, fD: (Column, Column) => Column,
+      zeroNaN: Boolean = false): Column = {
+    if (args.length != 2) return lit(nanS)
+    val (al, bl) = (longOperand(args(0).col), longOperand(args(1).col))
+    val (ad, bd) = (dblOperand(args(0).col), dblOperand(args(1).col))
+    val invalid = ad.isNull || bd.isNull ||
+      (if (zeroNaN) bd === lit(0.0) else lit(false))
+    when(invalid, lit(nanS))
+      .when(al.isNotNull && bl.isNotNull,
+        coalesce(fL(al, bl).cast("string"), lit(nanS)))
+      .otherwise(fmt20(fD(ad, bd)))
+  }
+
+  /** $(sum)/$(min)/$(max)/$(average): int64-only values, invalid ones are
+    * skipped, all-invalid renders the empty string (numeric-funcs.c
+    * _tf_num_aggregation + parse_int64). The reference folds one template
+    * over the correlation context; here the fold is over the argument list
+    * (context folds live in Correlation's aggregate builders).
+    */
+  private def numAgg(args: Seq[Arg], f: Column => Column): Column = {
+    val valid = filter(array(args.map(x => longOperand(x.col)): _*), _.isNotNull)
+    when(size(valid) === 0, lit(""))
+      .otherwise(coalesce(f(valid).cast("string"), lit(nanS)))
+  }
+  private def sumL(v: Column): Column =
+    aggregate(v, lit(0L), (acc, x) => try_add(acc, x))
+  /** ceil/floor: int64 result, "NaN" on parse failure or a double too large
+    * for int64 (tf_num_ceil/tf_num_floor cast through gint64).
+    */
+  private def numUnaryInt(args: Seq[Arg], f: Column => Column): Column = {
+    if (args.length != 1) return lit(nanS)
+    val x = dblOperand(args.head.col)
+    when(x.isNull || abs(x) > lit(9.0e18), lit(nanS))
+      .otherwise(f(x).cast("long").cast("string"))
+  }
 
   /** k=v argument pair of $(format-json)/$(format-welf): the key is the
     * static text before '=', the value the template after it.
@@ -428,28 +487,42 @@ object TemplateFunctions {
     "url-encode" -> (a => url_encode(a(0).col)),
     "url-decode" -> (a => url_decode(a(0).col)),
     "base64-encode" -> (a => base64(to_binary(a(0).col, lit("utf-8")))),
-    // --- numeric (numeric-funcs.c) — int64-first rendering ---------------
-    "+" -> (fold(_, _ + _)),
-    "-" -> (fold(_, _ - _)),
-    "*" -> (fold(_, _ * _)),
-    // int64-first like the reference (numeric-funcs.c): integer-formed
-    // operands divide as int64 (C truncation toward zero, NOT floor —
-    // -7/2 = -3), anything with a '.'/'e' divides as double
-    "/" -> (a => {
-      val intForm = (c: Column) => c.cast("string").rlike("^-?\\d+$")
-      val q = num(a(0).col) / num(a(1).col)
-      renderNum(when(intForm(a(0).col) && intForm(a(1).col),
-        q.cast("long").cast("double")).otherwise(q))
+    // --- numeric (numeric-funcs.c) — int64-first, reference-exact --------
+    "+" -> (numBin(_, (l, r) => try_add(l, r), _ + _)),
+    "-" -> (numBin(_, (l, r) => try_subtract(l, r), _ - _)),
+    "*" -> (numBin(_, (l, r) => try_multiply(l, r), _ * _)),
+    // integer-formed operands divide as int64 (C truncation toward zero,
+    // NOT floor — -7/2 = -3); anything '.'/'e'-formed divides as double;
+    // zero denominator renders "NaN" (tf_num_div gn_is_zero guard)
+    "/" -> (numBin(_,
+      (l, r) => when(l === Long.MinValue && r === -1L, lit(null).cast("long"))
+        .otherwise(ldiv(l, r)),
+      _ / _, zeroNaN = true)),
+    // C %: remainder keeps the DIVIDEND's sign (-7 % 2 = -1, not pmod's 1);
+    // double operands use fmod, same sign rule
+    "%" -> (numBin(_, _ % _, _ % _, zeroNaN = true)),
+    "sum" -> (numAgg(_, sumL)),
+    "min" -> (numAgg(_, array_min)),
+    "max" -> (numAgg(_, array_max)),
+    "average" -> (numAgg(_, v => ldiv(sumL(v), size(v).cast("long")))),
+    // $(round x [prec]): prec 0..20 else NaN; halves round away from zero
+    // on the 10^prec-scaled value like C round() (tf_num_round)
+    "round" -> (a => {
+      val pOpt =
+        if (a.isEmpty || a.length > 2) None
+        else if (a.length == 1) Some(0)
+        else a(1).literal.flatMap(_.trim.toIntOption).filter(p => p >= 0 && p <= 20)
+      pOpt match {
+        case None => lit(nanS)
+        case Some(p) =>
+          val x = dblOperand(a(0).col)
+          val mult = math.pow(10, p)
+          when(x.isNull, lit(nanS))
+            .otherwise(GraftFunctions.format_fixed(round(x * mult) / mult, p))
+      }
     }),
-    "%" -> (a => renderNum(pmod(num(a(0).col), num(a(1).col)))),
-    "sum" -> (fold(_, _ + _)),
-    "min" -> (a => renderNum(least(a.map(x => num(x.col)): _*))),
-    "max" -> (a => renderNum(greatest(a.map(x => num(x.col)): _*))),
-    "average" -> (a => renderNum(a.map(x => num(x.col)).reduce(_ + _) / a.length)),
-    "round" -> (a => renderNum(round(num(a(0).col),
-      a.lift(1).map(_.int).getOrElse(0)))),
-    "ceil" -> (a => renderNum(ceil(num(a(0).col)))),
-    "floor" -> (a => renderNum(floor(num(a(0).col)))),
+    "ceil" -> (numUnaryInt(_, ceil(_))),
+    "floor" -> (numUnaryInt(_, floor(_))),
     // implode/explode (str-funcs): join a LIST with a delimiter / split a
     // string into a LIST
     "implode" -> (a => concat_ws(a(0).literal.getOrElse(" "), asList(a(1)))),

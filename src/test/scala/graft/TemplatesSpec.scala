@@ -58,8 +58,47 @@ class TemplatesSpec extends SparkSpec {
     assert(eval("$(max $n1 $n2)") === "34")
     assert(eval("$(average 2 4)") === "3")
     assert(eval("$(round 3.7)") === "4")
-    assert(eval("$(+ 1.5 1)") === "2.5")
+    assert(eval("$(+ 1.5 1)") === "2.50000000000000000000") // double path: %.20f
     assert(eval("$(+ 1 $(* 2 3))") === "7") // nested call
+  }
+
+  test("numeric functions: reference test_numeric_funcs expectations (test_basicfuncs.c:264)") {
+    assert(eval("$(+ -1 -1)") === "-2")
+    assert(eval("$(/ 19 0)") === "NaN")
+    assert(eval("$(% 19 0)") === "NaN")
+    assert(eval("$(+ foo bar)") === "NaN")
+    assert(eval("$(/ 2147483648 1)") === "2147483648")
+    assert(eval("$(+ 5000000000 5000000000)") === "10000000000")
+    assert(eval("$(% 10000000000 5000000001)") === "4999999999")
+    assert(eval("$(* 5000000000 2)") === "10000000000")
+    assert(eval("$(- 10000000000 5000000000)") === "5000000000")
+    assert(eval("$(+ 1.5 .25)") === "1.75000000000000000000")
+    assert(eval("$(- -1.5 .25)") === "-1.75000000000000000000")
+    assert(eval("$(/ 3 2)") === "1")
+    assert(eval("$(/ 3.0 2)") === "1.50000000000000000000")
+    assert(eval("$(/ 3 2.0)") === "1.50000000000000000000")
+    assert(eval("$(* 1.5 2.0)") === "3.00000000000000000000")
+    assert(eval("$(% 3.14 0.7)") === "0.34000000000000030198")
+    assert(eval("$(+ 5e-1 0)") === "0.50000000000000000000")
+    assert(eval("$(% -7 2)") === "-1") // C %: sign of the dividend, not pmod
+    assert(eval("$(round 2.0)") === "2")
+    assert(eval("$(round 2.123456 3)") === "2.123")
+    assert(eval("$(round 2.123456 4)") === "2.1235")
+    assert(eval("$(round 0.5)") === "1")
+    assert(eval("$(round 2 -1)") === "NaN")
+    assert(eval("$(round 2 21)") === "NaN")
+    assert(eval("$(round 2 0)") === "2")
+    assert(eval("$(round 2 20)") === "2.00000000000000000000")
+    assert(eval("$(floor 0.7)") === "0")
+    assert(eval("$(ceil 0.2)") === "1")
+    // aggregates skip int64-invalid values; all-invalid renders empty
+    // (test_numeric_aggregate_invalid_values / _full_invalid_values)
+    assert(eval("$(sum abc 1 c 2 '')") === "3")
+    assert(eval("$(min abc 1 c 2 '')") === "1")
+    assert(eval("$(max abc 1 c 2 '')") === "2")
+    assert(eval("$(average abc 1 c 2 '')") === "1")
+    assert(eval("$(sum abc 184467440737095516160 c '')") === "")
+    assert(eval("$(average 1 -1 3)") === "1")
   }
 
   test("cond + list + crypto functions") {
@@ -178,7 +217,7 @@ class TemplatesSpec extends SparkSpec {
       df.select(graft.functions.Templates.compile(t, r).as("v")).as[String].head()
     assert(eval("$(/ -7 2)") === "-3")  // C int64 truncation, not floor(-3.5) = -4
     assert(eval("$(/ 7 2)") === "3")
-    assert(eval("$(/ 7.0 2)") === "3.5") // double-formed operand → double division
+    assert(eval("$(/ 7.0 2)") === "3.50000000000000000000") // double-formed → double division, %.20f
   }
 
   test("format-cef-extension: subkeys walk, sort, key validation, escaping (test-format-cef-extension.c)") {
