@@ -140,7 +140,45 @@ object ConfigText {
       case Some(Punct("(")) => p.next(); val e = or(); p.expect(")"); e
       case _ => simple()
     }
-    def simple(): DataFrame => Column = {
+    // comparison operator: eq/ne/lt/le/gt/ge idents (string compare) or the
+    // punct forms == != < <= > >= === !== (the lexer emits single-char
+    // puncts, so multi-char operators are greedy '=' runs)
+    def cmpOp(): String = p.next() match {
+      case Ident(s) if Set("eq", "ne", "lt", "le", "gt", "ge")(s) => s
+      case Punct(c0) if "<>=!".contains(c0) =>
+        val sb = new StringBuilder(c0)
+        while (p.isPunct("=")) { p.next(); sb += '=' }
+        val s = sb.toString
+        require(Set("==", "===", "!=", "!==", "<", "<=", ">", ">=")(s),
+          s"unknown comparison operator: $s")
+        s
+      case other => sys.error(s"expected comparison operator, got $other")
+    }
+    def simple(): DataFrame => Column = p.peek match {
+      case Some(Str(l)) =>
+        // "template" OP "template" — both sides are templates over the
+        // message (reference lib/filter/filter-cmp.c; eq… compare strings,
+        // == … compare type-aware numeric-first)
+        p.next()
+        val op = cmpOp()
+        val r = p.next() match {
+          case Str(s)   => s
+          case Ident(s) => s
+          case other    => sys.error(s"comparison needs a right operand, got $other")
+        }
+        df => {
+          val lc = templateValue(df, l, Map.empty)
+          val rc = templateValue(df, r, Map.empty)
+          op match {
+            case "eq" | "ne" | "lt" | "le" | "gt" | "ge" => Filters.cmpString(lc, rc, op)
+            case "==="  => Filters.cmpTypedEq(lc, rc)
+            case "!=="  => !Filters.cmpTypedEq(lc, rc)
+            case sym    => Filters.cmpTypeAware(lc, rc, sym)
+          }
+        }
+      case _ => simpleCall()
+    }
+    def simpleCall(): DataFrame => Column = {
       val c = parseCall(p)
       c.name match {
         case "match" =>

@@ -22,7 +22,11 @@ object Templates {
   sealed trait Elem
   final case class Lit(s: String) extends Elem
   final case class Ref(name: String, default: Option[Seq[Elem]]) extends Elem
-  final case class Call(fn: String, args: Seq[Seq[Elem]]) extends Elem
+  /** `raw` keeps each argument's source text (quotes stripped) — condition
+    * arguments of $(if)/$(grep)/$(filter) re-parse it with the filter
+    * expression grammar instead of the template grammar.
+    */
+  final case class Call(fn: String, args: Seq[Seq[Elem]], raw: Seq[String] = Nil) extends Elem
 
   /** Value/macro resolution: given a name, a Column or None (unset). */
   type Resolver = String => Option[Column]
@@ -85,8 +89,10 @@ object Templates {
   }
 
   /** Parse `name arg arg ...)` starting after `$(`. Args are whitespace-
-    * separated; quoted args keep spaces; args are themselves templates;
-    * nested `$(...)` calls are supported.
+    * separated; quoted args keep spaces; an arg opening with `(` runs to
+    * its matching close paren (the reference's function-call tokenizer
+    * groups balanced parens — `$(grep ('$F' eq 'x') $PID)`); args are
+    * themselves templates; nested `$(...)` calls are supported.
     */
   private def parseCall(s: String, start: Int): (Call, Int) = {
     var i = start
@@ -95,35 +101,74 @@ object Templates {
     if (i == start) while (i < s.length && !s(i).isWhitespace && s(i) != ')') i += 1
     val fn = s.substring(start, i)
     val args = Seq.newBuilder[Seq[Elem]]
+    val raws = Seq.newBuilder[String]
     while (i < s.length && s(i) != ')') {
       if (s(i).isWhitespace) i += 1
       else if (s(i) == '"' || s(i) == '\'') {
         val q = s(i)
         val close = s.indexOf(q, i + 1)
         require(close > 0, s"unterminated quote in: $s")
-        args += parse(s.substring(i + 1, close))
+        val r = s.substring(i + 1, close)
+        args += parse(r); raws += r
         i = close + 1
+      } else if (s(i) == '(') {
+        // balanced-paren group as ONE argument (quote-aware depth scan)
+        var depth = 0
+        var j = i
+        while (j < s.length && (depth > 0 || j == i)) {
+          s(j) match {
+            case '"' | '\'' =>
+              val close = s.indexOf(s(j), j + 1)
+              require(close > 0, s"unterminated quote in: $s")
+              j = close
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          j += 1
+        }
+        require(depth == 0, s"unbalanced parens in: $s")
+        val r = s.substring(i, j)
+        args += parse(r); raws += r
+        i = j
       } else if (s(i) == '$' && i + 1 < s.length && s(i + 1) == '(') {
         val (call, next) = parseCall(s, i + 2)
-        args += Seq(call)
+        args += Seq(call); raws += s.substring(i, next)
         i = next
       } else {
+        // bare token: runs to whitespace or ')' at paren depth 0, so call
+        // forms like `program("x" type(pcre))` stay ONE argument
         val j0 = i
-        while (i < s.length && !s(i).isWhitespace && s(i) != ')') i += 1
-        args += parse(s.substring(j0, i))
+        var depth = 0
+        while (i < s.length && !(depth == 0 && (s(i).isWhitespace || s(i) == ')'))) {
+          s(i) match {
+            case '"' | '\'' =>
+              val close = s.indexOf(s(i), i + 1)
+              require(close > 0, s"unterminated quote in: $s")
+              i = close
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        val r = s.substring(j0, i)
+        args += parse(r); raws += r
       }
     }
     require(i < s.length, s"unterminated $$( in: $s")
-    (Call(fn, args.result()), i + 1)
+    (Call(fn, args.result(), raws.result()), i + 1)
   }
 
   // ---------------------------------------------------------------- compile
 
   /** One compiled function argument: its Column, plus the literal text if
-    * the arg is static (functions like substr/padding need plan-time ints).
+    * the arg is static (functions like substr/padding need plan-time ints)
+    * and the raw source text (condition args re-parse it as a filter
+    * expression).
     */
   final case class Arg(elems: Seq[Elem], resolver: Resolver,
-      user: Map[String, String] = Map.empty) {
+      user: Map[String, String] = Map.empty, raw: String = "") {
     lazy val col: Column = compileElems(elems, resolver, user)
     def literal: Option[String] = elems match {
       case Seq(Lit(s)) => Some(s)
@@ -153,10 +198,14 @@ object Templates {
         val base = resolver(name).map(_.cast("string"))
         val fallback = dflt.map(d => compileElems(d, resolver, user)).getOrElse(lit(""))
         base.map(c => coalesce(c, fallback)).getOrElse(fallback)
-      case Call(fn, args) =>
+      case Call("template", args, raw) if args.nonEmpty =>
+        compileTfTemplate(args.zip(raw.padTo(args.length, ""))
+          .map { case (a, r) => Arg(a, resolver, user, r) }, resolver, user, inProgress)
+      case Call(fn, args, raw) =>
         TemplateFunctions.registry.get(fn) match {
           case Some(f) =>
-            coalesce(f(args.map(Arg(_, resolver, user))).cast("string"), lit(""))
+            coalesce(f(args.zip(raw.padTo(args.length, ""))
+              .map { case (a, r) => Arg(a, resolver, user, r) }).cast("string"), lit(""))
           case None if user.contains(fn) =>
             require(args.isEmpty,
               s"user defined template function $$($fn) cannot have arguments")
@@ -169,6 +218,36 @@ object Templates {
       case Seq()  => lit("")
       case Seq(c) => c
       case many   => concat(many: _*)
+    }
+  }
+
+  /** `$(template NAME …)` (modules/basicfuncs/tf-template.c): static binding
+    * when NAME is a plain literal — compile-time lookup in the config's
+    * template registry, unknown name is an error; dynamic binding when NAME
+    * contains a '$' — the rendered name dispatches per row over the
+    * registered templates, and the remaining arguments space-joined are the
+    * lookup-miss fallback.
+    */
+  private def compileTfTemplate(args: Seq[Arg], resolver: Resolver,
+      user: Map[String, String], inProgress: Set[String]): Column = {
+    val name = args.head
+    name.literal match {
+      case Some(n) =>
+        require(user.contains(n),
+          s"$$(template) Unknown template function or template \"$n\"")
+        require(!inProgress(n), s"recursive user template: $$($n)")
+        compileElems(parse(user(n)), resolver, user, inProgress + n)
+      case None =>
+        val nameCol = name.col
+        val fallback =
+          if (args.length < 2) lit("")
+          else concat_ws(" ", args.tail.map(_.col): _*)
+        user.foldLeft(fallback) {
+          case (acc, (n, _)) if inProgress(n) => acc
+          case (acc, (n, t)) =>
+            when(nameCol === lit(n),
+              compileElems(parse(t), resolver, user, inProgress + n)).otherwise(acc)
+        }
     }
   }
 
@@ -417,8 +496,12 @@ object TemplateFunctions {
   }
 
   // list values are comma-separated strings (reference LM_VT_LIST,
-  // lib/scanner/list-scanner) — split/join on ','
-  private def asList(a: Arg): Column = split(a.col, ",")
+  // lib/scanner/list-scanner) — split/join on ','; the empty string is the
+  // EMPTY list (list-scanner yields no elements), not a 1-element list
+  private def asList(a: Arg): Column = {
+    val c = a.col
+    when(c.isNull || c === "", array().cast("array<string>")).otherwise(split(c, ","))
+  }
   private def render(l: Column): Column = concat_ws(",", l)
 
   /** Built-in protocol/service tables for $(getent) — both directions
@@ -456,10 +539,27 @@ object TemplateFunctions {
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(v,
       "\\\\", "\\\\\\\\"), "=", "\\\\="), "\n", "\\\\n"), "\r", "\\\\r")
 
+  /** Condition argument: the reference parses it with the filter-expression
+    * grammar (cond-funcs.c tf_cond); non-condition-shaped args keep the
+    * curated value-truthiness fallback (`$(if $tool a b)`).
+    */
+  private def cond(a: Arg): Column =
+    Conditions.tryCompile(a.raw, a.resolver, a.user).getOrElse(truthy(a.col))
+
+  /** Condition over a list element: `$_` resolves to the element. */
+  private def condLambda(body: Arg, elem: Column): Column = {
+    val r: Templates.Resolver =
+      n => if (n == "_") Some(elem) else body.resolver(n)
+    Conditions.tryCompile(body.raw, r, body.user)
+      .getOrElse(truthy(lambda(body, elem)))
+  }
+
   private val registryBase: Map[String, TFunc] = Map(
     // --- cond (basic-funcs.c) -------------------------------------------
-    "if" -> (a => when(truthy(a(0).col), a(1).col).otherwise(a(2).col)),
-    "or" -> (a => coalesce(a.map(x => nullif(x.col, lit(""))): _*)),
+    "if" -> (a => when(cond(a(0)), a(1).col).otherwise(a(2).col)),
+    "or" -> (a =>
+      if (a.isEmpty) lit("")
+      else coalesce(a.map(x => nullif(x.col, lit(""))) :+ lit(""): _*)),
     // --- strings --------------------------------------------------------
     "echo" -> (a => concat_ws(" ", a.map(_.col): _*)),
     "length" -> (a => length(a(0).col).cast("string")),
@@ -681,7 +781,7 @@ object TemplateFunctions {
     // --- iteration (tf-map.c, tf-filter.c): first arg is a template over
     //     `$_` (the current element), second the comma-separated list ------
     "map" -> (a => render(transform(asList(a(1)), x => lambda(a(0), x)))),
-    "filter" -> (a => render(filter(asList(a(1)), x => truthy(lambda(a(0), x))))),
+    "filter" -> (a => render(filter(asList(a(1)), x => condLambda(a(0), x)))),
     // --- format-date (modules/timestamp/tf-format-date.c): strftime ------
     "format-date" -> (a => {
       val fmt = strftimeToJava(a(0).literal.getOrElse(sys.error("static strftime format required")))
@@ -702,9 +802,9 @@ object TemplateFunctions {
     // $(context-lookup cond $x $order) / $(grep cond $x $order): the order
     // ref keeps multi-match output deterministic across retries
     "context-lookup" -> (a => concat_ws(",",
-      graft.operators.Correlation.Context.lookup(truthy(a(0).col), a(1).col, a(2).col))),
+      graft.operators.Correlation.Context.lookup(cond(a(0)), a(1).col, a(2).col))),
     "grep" -> (a => concat_ws(",",
-      graft.operators.Correlation.Context.grep(truthy(a(0).col), a(1).col, a(2).col)))
+      graft.operators.Correlation.Context.grep(cond(a(0)), a(1).col, a(2).col)))
   )
 
   /** The callable surface: the base table plus the underscore plugin
@@ -800,7 +900,7 @@ object MatchTemplates {
         name.toIntOption.flatMap(gs)
           .orElse(dflt.map(render(_, gs)))
           .getOrElse("")
-      case Templates.Call(fn, args) => call(fn, args.map(render(_, gs)))
+      case Templates.Call(fn, args, _) => call(fn, args.map(render(_, gs)))
     }.mkString
 
   private def call(fn: String, args: Seq[String]): String = fn match {

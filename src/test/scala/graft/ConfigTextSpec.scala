@@ -255,6 +255,31 @@ class ConfigTextSpec extends SparkSpec {
     assert(c2.sink("out").filter(col("k") =!= "const").count() === 0)
   }
 
+  test("filter comparisons: template OP template with eq/numeric ops (filter-cmp.c)") {
+    val cfg = s"""
+      source s { transcripts("$sfUnit"); };
+      filter f { "$${turn_idx}" >= "3" and not ("$${role}" eq "system") };
+      destination d { file("hits"); };
+      log { source(s); filter(f); destination(d); };
+    """
+    val c = ConfigText.compile(spark, cfg)
+    val t = graft.transcripts.Transcripts.loadFull(spark, sfUnit)
+    val want = t.filter(col("turn_idx") >= 3 && col("role") =!= "system").count()
+    assert(want > 0 && c.sink("hits").count() === want)
+    // string compare: "10" lt "9" lexicographically true, numerically false
+    val cfg2 = s"""
+      source s { transcripts("$sfUnit"); };
+      filter f_str { "10" lt "9" };
+      filter f_num { "10" < "9" };
+      destination d1 { file("str"); };
+      destination d2 { file("num"); };
+      log { source(s); filter(f_str); destination(d1); };
+      log { source(s); filter(f_num); destination(d2); };
+    """
+    val c2 = ConfigText.compile(spark, cfg2)
+    assert(c2.sink("str").count() === t.count() && c2.sink("num").count() === 0)
+  }
+
   test("cc-mask SCL: block chain + store-matches subst template masks card numbers") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc")
     java.nio.file.Files.write(dir.resolve("pay.log"), Seq(

@@ -62,6 +62,89 @@ class TemplatesSpec extends SparkSpec {
     assert(eval("$(+ 1 $(* 2 3))") === "7") // nested call
   }
 
+  test("condition arguments: filter-expression grammar in $(if) (test_basicfuncs.c test_cond_funcs)") {
+    // resolver exposing the reference fixture's fields: pri 166 = local4.info?
+    // no — local3.err: fac 19 (local3), sev 3; FACILITY/PID resolve as macros
+    val d2 = Seq((19 * 8 + 3, "23323", "syslog-ng", "árvíztűrőtükörfúrógép msg"))
+      .toDF("pri", "pid", "prog", "text")
+    val fac = graft.model.SyslogNames.facilityName(col("pri"))
+    val r: Templates.Resolver = {
+      case "FACILITY" => Some(fac)
+      case "FACILITY_NUM" => Some((col("pri") / 8).cast("int"))
+      case "PID" => Some(col("pid"))
+      case n if d2.columns.contains(n) => Some(col(n))
+      case _ => None
+    }
+    def ev(t: String): String =
+      d2.select(Templates.compile(t, r).as("v")).as[String].head()
+    assert(ev("$(if 'facility(local4)' alma korte)") === "korte")
+    assert(ev("$(if 'facility(local3)' alma korte)") === "alma")
+    assert(ev("""$(if '"$FACILITY" lt "local3"' alma korte)""") === "korte")
+    assert(ev("""$(if '"$FACILITY" le "local3"' alma korte)""") === "alma")
+    assert(ev("""$(if '"$FACILITY" eq "local3"' alma korte)""") === "alma")
+    assert(ev("""$(if '"$FACILITY" ne "local3"' alma korte)""") === "korte")
+    assert(ev("""$(if '"$FACILITY" gt "local3"' alma korte)""") === "korte")
+    assert(ev("""$(if '"$FACILITY" ge "local3"' alma korte)""") === "alma")
+    assert(ev("""$(if '"$FACILITY_NUM" < "19"' alma korte)""") === "korte")
+    assert(ev("""$(if '"$FACILITY_NUM" <= "19"' alma korte)""") === "alma")
+    assert(ev("""$(if '"$FACILITY_NUM" == "19"' alma korte)""") === "alma")
+    assert(ev("""$(if '"$FACILITY_NUM" != "19"' alma korte)""") === "korte")
+    assert(ev("""$(if '"$FACILITY_NUM" > "19"' alma korte)""") === "korte")
+    assert(ev("""$(if '"$FACILITY_NUM" >= "19"' alma korte)""") === "alma")
+    assert(ev("""$(if '"$FACILITY_NUM" >= "19" and "kicsi" eq "nagy"' alma korte)""") === "korte")
+    assert(ev("""$(if '"$FACILITY_NUM" >= "19" or "kicsi" eq "nagy"' alma korte)""") === "alma")
+    assert(ev("""$(if program("slog-ng" type(pcre)) alma korte)""") === "alma")
+    // numeric-first type-aware compare: "9" < "10" numerically
+    assert(ev("""$(if '"9" < "10"' alma korte)""") === "alma")
+    assert(ev("""$(if '"9" lt "10"' alma korte)""") === "korte") // string compare
+    // value-truthiness fallback (curated surface, not a filter expression)
+    assert(ev("$(if $pid yes no)") === "yes")
+    // variadic $(or)
+    assert(ev("""$(or 1 "" 2)""") === "1")
+    assert(ev("""$(or "" 2)""") === "2")
+    assert(ev("""$(or "" "")""") === "")
+    assert(ev("$(or)") === "")
+  }
+
+  test("$(filter)/$(map) with filter-expression conditions over $_ (test_filter/test_map)") {
+    val d2 = Seq(("árvíztűrőtükörfúrógép msg")).toDF("text")
+    val r: Templates.Resolver = n => if (n == "text") Some(col(n)) else None
+    def ev(t: String): String =
+      d2.select(Templates.compile(t, r).as("v")).as[String].head()
+    assert(ev("Some prefix $(filter ('1' == '1') 0,1,2)") === "Some prefix 0,1,2")
+    assert(ev("$(filter ('$_' le '1') 0,1,2)") === "0,1")
+    assert(ev("$(filter ('$(% $_ 2)' eq '0') 0,1,2,3)") === "0,2")
+    assert(ev("Something $(filter ('$_' eq '0') '')") === "Something ")
+    assert(ev("$(filter ('1' eq '0') '')") === "")
+    assert(ev("$(filter message('árvíz') 'doesnotchange')") === "doesnotchange")
+    assert(ev("$(filter (message('donotmatch') or ('1' eq '1')) 'x')") === "x")
+    assert(ev("""Some prefix $(map "$(+ 1 $_)" 0,1,2)""") === "Some prefix 1,2,3")
+    assert(ev("""Some prefix $(map "$(+ 1 $_)" $(+ 1 1))""") === "Some prefix 3")
+    assert(ev("""Some prefix $(map "$(+ 1 $_)" '')""") === "Some prefix ")
+    assert(ev("""Some prefix $(map $(+ 1 $_) $(map $(+ 1 $_) 0,1,2))""") === "Some prefix 2,3,4")
+    assert(ev("""Some prefix $(map "$(if ('$_' eq '1') 'same' 'different')" 0,1,2)""")
+      === "Some prefix different,same,different")
+    assert(ev("""Some prefix $(map "$(if ('$_' le '1') 'smaller' 'larger')" 0,1,2)""")
+      === "Some prefix smaller,smaller,larger")
+    assert(ev("""$(map "$(if ('$(echo $_)' eq '1') 'same' 'different')" 0,1,2)""")
+      === "different,same,different")
+  }
+
+  test("$(template): static + dynamic binding with fallback (tf-template.c, test_tf_template)") {
+    val d2 = Seq(("bzorp", "dummy")).toDF("HOST", "template_name")
+    val r: Templates.Resolver = n => if (d2.columns.contains(n)) Some(col(n)) else None
+    val user = Map("dummy" -> "dummy template expanded $HOST")
+    def ev(t: String): String =
+      d2.select(Templates.compile(t, r, user).as("v")).as[String].head()
+    assert(ev("foo $(template dummy) bar") === "foo dummy template expanded bzorp bar")
+    assertThrows[IllegalArgumentException](ev("foo $(template unknown) bar"))
+    assert(ev("foo $(template ${template_name}) bar") === "foo dummy template expanded bzorp bar")
+    assert(ev("foo $(template '${unknown:-unknown}' fallback) bar") === "foo fallback bar")
+    assert(ev("foo $(template '${unknown:-unknown}' fallback more args $HOST) bar")
+      === "foo fallback more args bzorp bar")
+    assert(ev("foo $(template '${unknown:-unknown}') bar") === "foo  bar")
+  }
+
   test("numeric functions: reference test_numeric_funcs expectations (test_basicfuncs.c:264)") {
     assert(eval("$(+ -1 -1)") === "-2")
     assert(eval("$(/ 19 0)") === "NaN")
