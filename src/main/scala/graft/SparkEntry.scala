@@ -93,6 +93,23 @@ object SparkEntry {
           f("action").as("action"), f("status").as("status"))
     }),
 
+    "q_parse_syslog_hdr" -> ((s, dir) => {
+      // full RFC3164 classifier (SyslogFormat, modules/syslogformat port)
+      // roundtrip over the BSD-formatted transcript lines: the parse must
+      // invert the generator's formatting, including the year-guess (the
+      // deterministic receive clock is the msgparse fixture's 2019-02-08,
+      // recv zone UTC so the oracle needs no DST table)
+      val t = transcripts(s, dir).filter(col("text").startsWith("<"))
+      val o = graft.parsers.SyslogFormat.Options(
+        flags = Set(graft.parsers.SyslogFormat.Flags.ExpectHostname),
+        nowEpochUsec = 1549615069123000L)
+      graft.parsers.SyslogFormat.stage(t, "text", o)
+        .select(col("conv_id"), col("turn_idx"),
+          col("sl_pri").as("pri"), col("sl_host").as("host"),
+          col("sl_prog").as("prog"), col("sl_pid").as("pid"),
+          col("sl_msg").as("msg"), col("sl_ts").as("ts_parsed"))
+    }),
+
     "q_parse_errors" -> ((s, dir) => {
       grokked(s, dir).filter(array_contains(col("tags"), GrokStage.ParseErrorTag))
         .select(col("conv_id"), col("turn_idx"), col("text"))
@@ -827,6 +844,15 @@ object SparkEntry {
 
     "q_parse_errors" -> Transcripts.oracle(
       "SELECT conv_id, turn_idx, text FROM transcripts_full WHERE variant = 4"),
+
+    "q_parse_syslog_hdr" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx, pri,
+           concat('host-', cast(hostnum AS varchar)) AS host,
+           concat('prog-', cast(prognum AS varchar)) AS prog,
+           cast(pid AS varchar) AS pid,
+           concat('action=', action, ' status=', status) AS msg,
+           make_timestamp(2019, mon_num, dd, hh, mi, cast(ss AS double)) AS ts_parsed
+         FROM transcripts_full WHERE variant = 0"""),
 
     "q_template_cef" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx,

@@ -252,6 +252,24 @@ object ConfigText {
       else
         df => df.withColumn(c.kwargs.getOrElse("prefix", "kv"),
           FieldParsers.kvParser(col(c.kwargs.getOrElse("value", "text"))))
+    case "syslog-parser" =>
+      // full RFC3164/RFC5424 classification (modules/syslogformat) —
+      // flags(...) select the LP_* behaviors; recv-time()/time-zone() pin
+      // the deterministic receive clock used for year guessing and
+      // missing timestamps
+      val flags = c.kwargs.get("flags")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty) ++ c.args
+      val o = graft.parsers.SyslogFormat.Options(
+        flags = flags,
+        defaultPri = c.kwargs.get("default-pri").map(_.toInt).getOrElse(-1),
+        recvZone = c.kwargs.get("time-zone")
+          .map(java.time.ZoneId.of).getOrElse(java.time.ZoneOffset.UTC),
+        nowEpochUsec = c.kwargs.get("recv-time").map(_.toLong).getOrElse(0L),
+        badHostname = c.kwargs.get("bad-hostname"))
+      df => graft.parsers.SyslogFormat.stage(
+        df, c.kwargs.getOrElse("value", "text"), o,
+        prefix = c.kwargs.getOrElse("prefix", "sl_"))
     case "json-parser" =>
       df => df.withColumn(c.kwargsOrFail("prefix"),
         FieldParsers.jsonParser(col(c.kwargs.getOrElse("value", "text")),

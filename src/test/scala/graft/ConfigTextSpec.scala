@@ -255,6 +255,36 @@ class ConfigTextSpec extends SparkSpec {
     assert(c2.sink("out").filter(col("k") =!= "const").count() === 0)
   }
 
+  test("syslog-parser(): full RFC3164 classification driver with flags") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sl")
+    java.nio.file.Files.write(dir.resolve("mixed.log"), Seq(
+      "<15>Jan  1 01:00:00 bzorp openvpn[2499]: PTHREAD support initialized",
+      "<190>Apr 15 2007 21:28:13: %PIX-6-302014: Teardown TCP connection",
+      "no pri at all here").mkString("\n").getBytes("UTF-8"))
+    val cfg = s"""
+      source s { file("$dir/*.log" format(text)); };
+      parser p { syslog-parser(flags(expect-hostname) time-zone("CET")
+                               recv-time(1549615069123000)); };
+      filter f { "$${sl_prog}" eq "openvpn" };
+      destination d_vpn { file("vpn"); };
+      destination d_rest { file("rest"); };
+      log { source(s); parser(p); filter(f); destination(d_vpn); flags(final); };
+      log { source(s); parser(p); destination(d_rest); flags(fallback); };
+    """
+    val c = ConfigText.compile(spark, cfg)
+    val vpn = c.sink("vpn")
+    assert(vpn.count() === 1)
+    val row = vpn.select("sl_host", "sl_pid", "sl_pri", "sl_msg").head()
+    assert(row.getString(0) === "bzorp" && row.getString(1) === "2499")
+    assert(row.getInt(2) === 15 && row.getString(3) === "PTHREAD support initialized")
+    val rest = c.sink("rest")
+    assert(rest.count() === 2)
+    assert(rest.where(col("sl_prog") === "%PIX-6-302014").count() === 1)
+    // missing-PRI line got the default pri + tag
+    val noPri = rest.where(array_contains(col("sl_tags"), "syslog.missing_pri"))
+    assert(noPri.count() === 1 && noPri.select("sl_pri").head().getInt(0) === 13)
+  }
+
   test("filter comparisons: template OP template with eq/numeric ops (filter-cmp.c)") {
     val cfg = s"""
       source s { transcripts("$sfUnit"); };
