@@ -180,14 +180,18 @@ object ConfigText {
     }
     def simpleCall(): DataFrame => Column = {
       val c = parseCall(p)
+      // type(pcre|string|glob) + flags(prefix substring ignore-case) select
+      // the matcher backend on the re-style filters (lib/filter/filter-re.c)
+      def m = Filters.matcher(c.args.head,
+        c.kwargs.getOrElse("type", "pcre"),
+        c.kwargs.get("flags").map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty))
       c.name match {
         case "match" =>
-          val re = c.args.head
           val target = c.kwargs.get("value")
-          df => Filters.matchRe(target.map(field(df, _)).getOrElse(col("text")), re)
-        case "host"     => df => Filters.matchRe(field(df, "host"), c.args.head)
-        case "program"  => df => Filters.matchRe(field(df, "prog"), c.args.head)
-        case "message"  => df => Filters.matchRe(col("text"), c.args.head)
+          df => m(target.map(field(df, _)).getOrElse(col("text")))
+        case "host"     => df => m(field(df, "host"))
+        case "program"  => df => m(field(df, "prog"))
+        case "message"  => df => m(col("text"))
         case "facility" => df => Filters.facility(field(df, "pri").cast("int"), c.args: _*)
         case "severity" | "level" =>
           val Array(lo, hi) = c.args.head.split("\\.\\.")

@@ -58,6 +58,29 @@ object Filters {
     value.like(escaped)
   }
 
+  /** One matcher predicate from `type()` + `flags()` (reference
+    * lib/logmatcher.c log_matcher_new + lib/filter/filter-re.c): `pcre`
+    * is an unanchored find, `string` compares the whole value unless
+    * `prefix`/`substring` flags narrow it, `glob` full-matches with `*`/`?`.
+    * `ignore-case` folds case on the pcre/string backends (the reference's
+    * glob backend has no case option either).
+    */
+  def matcher(pattern: String, tpe: String = "pcre",
+      flags: Set[String] = Set.empty): Column => Column = {
+    val ic = flags("ignore-case")
+    tpe match {
+      case "string" =>
+        if (flags("prefix"))
+          v => (if (ic) lower(v) else v).startsWith(if (ic) pattern.toLowerCase else pattern)
+        else if (flags("substring"))
+          v => (if (ic) lower(v) else v).contains(if (ic) pattern.toLowerCase else pattern)
+        else v => matchLiteral(v, pattern, ic)
+      case "glob" => v => matchGlob(v, pattern)
+      case "pcre" | "" => v => if (ic) matchReIgnoreCase(v, pattern) else matchRe(v, pattern)
+      case other => sys.error(s"unknown matcher type: $other")
+    }
+  }
+
   // --- in-list() (reference lib/filter/filter-in-list.c) ------------------
 
   /** field ∈ fixed set; Catalyst turns large sets into a hash-set lookup

@@ -114,6 +114,9 @@ object Conditions {
     case Some(W(w)) =>
       p.next()
       p.peek match {
+        // a name containing '$' before '(' is a TEMPLATE call ($(fn …)),
+        // not a filter call — the arg is not condition-shaped
+        case Some(LP) if w.contains("$") => None
         case Some(LP) => parseCallArgs(p, w) // name(…) filter call
         case _        => parseCmpRest(p, w)  // bareword comparison operand
       }
@@ -142,14 +145,18 @@ object Conditions {
     while (!p.peek.contains(RP)) {
       p.next() match {
         case W(k) if p.peek.contains(LP) =>
+          // kwarg; multi-value lists (flags(prefix, ignore-case)) join on ','
           p.next()
-          val v = p.next() match {
-            case S(t) => t
-            case W(t) => t
-            case _    => return None
+          val vals = Seq.newBuilder[String]
+          while (!p.peek.contains(RP)) {
+            p.next() match {
+              case S(t) => vals += t
+              case W(t) => vals += t.stripSuffix(",")
+              case _    => return None
+            }
           }
           if (!p.eat(RP)) return None
-          kwargs += k -> v
+          kwargs += k -> vals.result().mkString(",")
         case S(t) => args += t
         case W(t) => args += t.stripSuffix(",") // tolerate comma separators
         case _    => return None
@@ -191,12 +198,13 @@ object Conditions {
     case ACall(fn, args, kwargs) =>
       def field(name: String): Column =
         res(name).getOrElse(sys.error(s"condition references unknown field: $name"))
+      def m = Filters.matcher(args.head, kwargs.getOrElse("type", "pcre"),
+        kwargs.get("flags").map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty))
       fn match {
-        case "match" =>
-          Filters.matchRe(field(kwargs.getOrElse("value", "text")), args.head)
-        case "host"     => Filters.matchRe(field("host"), args.head)
-        case "program"  => Filters.matchRe(field("prog"), args.head)
-        case "message"  => Filters.matchRe(field("text"), args.head)
+        case "match"    => m(field(kwargs.getOrElse("value", "text")))
+        case "host"     => m(field("host"))
+        case "program"  => m(field("prog"))
+        case "message"  => m(field("text"))
         case "facility" => Filters.facility(field("pri").cast("int"), args: _*)
         case "severity" | "level" =>
           val Array(lo, hi) = (if (args.head.contains("..")) args.head

@@ -36,7 +36,12 @@ object Rewrites {
 
   /** subst(re, replacement, NAME) — reference lib/rewrite/rewrite-subst.c:50.
     * Default = first match only; `global = true` replaces all (reference
-    * subst flags(global)).
+    * subst flags(global)). Global empty matches advance like PCRE
+    * (`c*`→`#a#a#`), with ONE declared divergence: after an empty match
+    * PCRE retries the same offset with NOTEMPTY_ATSTART (so `b*|aa` can
+    * still consume `aa` there) while java.util.regex moves one char
+    * forward — test_matcher.c's `b*|aa` global case renders `@a@a@`, not
+    * the reference's `@@@`.
     */
   def subst(df: DataFrame, name: String, re: String, replacement: String,
       global: Boolean = false, condition: Option[Column] = None): DataFrame = {

@@ -38,6 +38,27 @@ class FiltersSpec extends SparkSpec {
     assert(got("::/0") === ips.as[String].collect().toSet)
   }
 
+  test("matcher backends: type(pcre|string|glob) + flags (logmatcher.c, test_matcher.c)") {
+    val df = Seq("árvíztűrőtükörfúrógép", "PTHREAD support initialized", "wiki").toDF("v")
+    def got(tpe: String, pat: String, flags: String*): Set[String] =
+      df.filter(Filters.matcher(pat, tpe, flags.toSet)(col("v"))).as[String].collect().toSet
+    // pcre: unanchored find (test_matcher.c pcre_regexp)
+    assert(got("pcre", "árvíz") === Set("árvíztűrőtükörfúrógép"))
+    assert(got("pcre", "^tűrő") === Set.empty)
+    assert(got("pcre", "pthread", "ignore-case") === Set("PTHREAD support initialized"))
+    assert(got("pcre", "pthread") === Set.empty)
+    // string: whole-value unless prefix/substring
+    assert(got("string", "wiki") === Set("wiki"))
+    assert(got("string", "wik") === Set.empty)
+    assert(got("string", "wik", "prefix") === Set("wiki"))
+    assert(got("string", "support", "substring") === Set("PTHREAD support initialized"))
+    assert(got("string", "SUPPORT", "substring", "ignore-case") === Set("PTHREAD support initialized"))
+    // glob: * ? full match
+    assert(got("glob", "*support*") === Set("PTHREAD support initialized"))
+    assert(got("glob", "wik?") === Set("wiki"))
+    assert(got("glob", "wik") === Set.empty)
+  }
+
   test("in-list(file): values load at plan time, InSet match") {
     val f = java.nio.file.Files.createTempFile("graft-inlist", ".txt")
     java.nio.file.Files.write(f, "login\nlogout\n\n  exec  \n".getBytes)

@@ -131,6 +131,26 @@ class RewritesSpec extends SparkSpec {
     assert(un === Seq.empty)
   }
 
+  test("subst empty-match global semantics match PCRE (test_matcher.c empty_global)") {
+    def rep(s: String, re: String, to: String, global: Boolean = true): String = {
+      val df = Seq(s).toDF("t")
+      Rewrites.subst(df, "t", re, to, global = global).select("t").as[String].head()
+    }
+    assert(rep("árvíztűrőtükörfúrógép", "árvíz", "favíz", global = false) === "favíztűrőtükörfúrógép")
+    assert(rep("árvíztűrőtükörfúrógép", "^tűrő", "faró", global = false) === "árvíztűrőtükörfúrógép")
+    assert(rep("árvíztűrőtükörfúrógép", "tűrő", "", global = false) === "árvíztükörfúrógép")
+    assert(rep("wikiwiki", "wi", "") === "kiki")
+    assert(rep("wikiwiki", "wi", "kuku") === "kukukikukuki")
+    assert(rep("aa bb", "c*", "#") === "#a#a# #b#b#")
+    assert(rep("aa bb", "a*", "#") === "## #b#b#")
+    assert(rep("aa", "aa|b*", "@") === "@@")
+    assert(rep("aa", "aa|b*", "@", global = false) === "@")
+    assert(rep("aa", "b*|aa", "@", global = false) === "@aa")
+    // declared divergence: PCRE's NOTEMPTY_ATSTART retry makes global
+    // "b*|aa" on "aa" give "@@@"; java.util.regex advances instead: "@a@a@"
+    assert(rep("aa", "b*|aa", "@") === "@a@a@")
+  }
+
   test("substTemplate: per-match function template (cc-mask) masks every card") {
     val df = Seq(
       "pay 4111111111111111 now and 4222222222222 later",
