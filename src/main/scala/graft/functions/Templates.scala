@@ -74,6 +74,8 @@ object Templates {
             val (call, next) = parseCall(s, i + 2)
             out += call
             i = next
+          case '*' => // $* — the match list as a LIST value (macros.c M__ASTERISK)
+            flush(); out += Ref("*", None); i += 2
           case c2 if nameChar(c2) =>
             flush()
             var j = i + 1
@@ -356,6 +358,10 @@ object Templates {
       "SEVERITY_NUM" -> graft.model.SyslogNames.severityNum(pri).cast("string"),
       "LEVEL_NUM" -> graft.model.SyslogNames.severityNum(pri).cast("string"),
       "TAGS" -> concat_ws(",", col("tags")),
+      // $* — the store-matches list rendered as a LIST value
+      // (macros.c M__ASTERISK; matches live in the `matches` column)
+      "*" -> (if (columns.contains("matches")) concat_ws(",", col("matches"))
+        else lit("")),
       // socket-address family: a table source has no peer socket; the
       // reference renders loopback/zero for local sources (macros.c:591-658)
       "SOURCEIP" -> lit("127.0.0.1"),

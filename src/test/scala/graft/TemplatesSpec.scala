@@ -264,6 +264,30 @@ class TemplatesSpec extends SparkSpec {
     assert(ev("$(tags-head)") === "t1")
   }
 
+  test("WEEK/ISOWEEK boundaries, facility names, $* match list (test_macro.c)") {
+    val df = Seq(
+      "2015-01-01 11:20:50", "2015-12-31 11:20:50",
+      "2016-01-01 11:20:50", "2015-01-05 11:20:50")
+      .toDF("tss").withColumn("ts", col("tss").cast("timestamp"))
+    val r = Templates.standardResolver(df.columns.toSet + "ts", col("ts"), lit(13),
+      map().cast("map<string,string>"))
+    val got = df.orderBy("tss")
+      .select(Templates.compile("$WEEK/$ISOWEEK", r).as("v")).as[String].collect().toSeq
+    // order: 2015-01-01, 2015-01-05, 2015-12-31, 2016-01-01
+    assert(got === Seq("00/01", "01/02", "52/53", "00/53"))
+    // facility name: lpr = code 6 (test_macro.c test_facility)
+    val lpr = Seq(6 * 8).toDF("pri")
+    val rp = Templates.standardResolver(Set("pri"), lit(null).cast("timestamp"),
+      col("pri"), map().cast("map<string,string>"))
+    assert(lpr.select(Templates.compile("$FACILITY", rp).as("v")).as[String].head() === "lpr")
+    // $* renders the matches column as a LIST (test__asterisk...)
+    val dm = Seq(1).toDF("x").withColumn("matches", array(lit("foo"), lit("bar")))
+    val rm = Templates.standardResolver(dm.columns.toSet, lit(null).cast("timestamp"),
+      lit(13), map().cast("map<string,string>"))
+    assert(dm.select(Templates.compile("$*", rm).as("v")).as[String].head() === "foo,bar")
+    assert(dm.select(Templates.compile("$(list-head $*)", rm).as("v")).as[String].head() === "foo")
+  }
+
   test("id macros (RUNID/RCPTID/UNIQID) are deterministic; $SDATA renders rfc5424 blocks") {
     val line = """<165>1 2026-03-05T06:07:08.000+00:00 h1 app 42 mid """ +
       """[ex@1 k="v" n="2"][origin ip="10.0.0.1"] payload"""
