@@ -88,6 +88,12 @@ object ConfigText {
       while (!p.isPunct(")")) {
         if (p.eat(",")) ()
         else p.next() match {
+          case Ident("condition") if p.isPunct("(") =>
+            // condition(<filter expr>) — keep the RAW expression text; the
+            // rewrite driver re-parses it with the filter grammar
+            // (reference lib/rewrite/rewrite-expr.c:36-48)
+            p.expect("(")
+            kwargs += "condition" -> rawUntilClose(p)
           case Ident(s) if p.isPunct("(") =>
             // option(value [, value…]) — multi-value options (flags lists)
             // join with commas, e.g. flags(global, store-matches)
@@ -113,6 +119,43 @@ object ConfigText {
       p.expect(")")
     }
     Call(name, args.result(), kwargs.result().toMap)
+  }
+
+  /** Reconstruct the raw text of a parenthesized token run (up to the
+    * matching close paren): strings re-quote, '='-family punct runs glue
+    * back into `==`/`!=`/`<=`/`>=`.
+    */
+  private def rawUntilClose(p: P): String = {
+    val sb = new StringBuilder
+    var depth = 0
+    var glue = false
+    def sp(): Unit = if (sb.nonEmpty && sb.last != '(') sb += ' '
+    while (!(depth == 0 && p.isPunct(")"))) {
+      p.next() match {
+        case Ident(s)   => sp(); sb ++= s; glue = false
+        case Str(s)     => sp(); sb += '"'; sb ++= s; sb += '"'; glue = false
+        case Punct("(") => depth += 1; sp(); sb += '('; glue = false
+        case Punct(")") => depth -= 1; sb += ')'; glue = false
+        case Punct(c) if "=!<>".contains(c.head) =>
+          if (glue) sb ++= c else { sp(); sb ++= c }
+          glue = true
+        case Punct(c) => sp(); sb ++= c; glue = false
+      }
+    }
+    p.expect(")")
+    sb.toString
+  }
+
+  /** condition(<filter expr>) guard of a rewrite rule. */
+  private def conditionPred(df: DataFrame, text: String,
+      user: Map[String, String]): Column = {
+    val cols = df.columns.toSet
+    val resolver: graft.functions.Templates.Resolver = n =>
+      if (cols.contains(n)) Some(col(n))
+      else if (cols.contains("fields")) Some(try_element_at(col("fields"), lit(n)))
+      else None
+    graft.functions.Conditions.tryCompile(text, resolver, user)
+      .getOrElse(sys.error(s"condition() does not parse as a filter expression: $text"))
   }
 
   // --------------------------------------------- filter expression → Column
@@ -334,7 +377,8 @@ object ConfigText {
   private def rewriteDriver(c: Call,
       user: () => Map[String, String] = () => Map.empty): DataFrame => DataFrame = c.name match {
     case "set" =>
-      df => Rewrites.set(df, c.kwargsOrFail("value"), templateValue(df, c.args.head, user()))
+      df => Rewrites.set(df, c.kwargsOrFail("value"), templateValue(df, c.args.head, user()),
+        c.kwargs.get("condition").map(conditionPred(df, _, user())))
     case "subst" =>
       val flags = c.kwargs.get("flags")
         .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
@@ -344,12 +388,18 @@ object ConfigText {
       // (store-matches binds $0..$n); plain strings go through the
       // codegen'd first/global regexp replace
       if (c.args(1).contains("$("))
-        df => Rewrites.substTemplate(df, target, c.args(0), c.args(1), global)
+        df => Rewrites.substTemplate(df, target, c.args(0), c.args(1), global,
+          c.kwargs.get("condition").map(conditionPred(df, _, user())))
       else
-        df => Rewrites.subst(df, target, c.args(0), c.args(1), global)
+        df => Rewrites.subst(df, target, c.args(0), c.args(1), global,
+          c.kwargs.get("condition").map(conditionPred(df, _, user())))
     case "set-tag" =>
-      df => if (df.columns.contains("tags")) Rewrites.setTag(df, "tags", lit(c.args.head))
-        else Rewrites.setTag(df.withColumn("tags", array().cast("array<string>")), "tags", lit(c.args.head))
+      df => {
+        val base = if (df.columns.contains("tags")) df
+          else df.withColumn("tags", array().cast("array<string>"))
+        Rewrites.setTag(base, "tags", lit(c.args.head),
+          c.kwargs.get("condition").map(conditionPred(base, _, user())))
+      }
     case "unset" => df => Rewrites.unset(df, c.kwargsOrFail("value"))
     case "rename" => df => Rewrites.rename(df, c.args(0), c.args(1))
     case other => sys.error(s"unknown rewrite driver: $other")

@@ -310,6 +310,26 @@ class ConfigTextSpec extends SparkSpec {
     assert(c2.sink("str").count() === t.count() && c2.sink("num").count() === 0)
   }
 
+  test("condition() guards on rewrite rules (rewrite-expr.c): only matching rows change") {
+    val cfg = s"""
+      source s { transcripts("$sfUnit"); };
+      rewrite r {
+        set("T" value("mark") condition(match("^tool$$" value("role"))));
+        set-tag("long" condition("$${turn_idx}" >= "5"));
+      };
+      destination d { file("out"); };
+      log { source(s); rewrite(r); destination(d); };
+    """
+    val c = ConfigText.compile(spark, cfg)
+    val out = c.sink("out")
+    val t = graft.transcripts.Transcripts.loadFull(spark, sfUnit)
+    assert(out.where(col("mark") === "T").count() ===
+      t.where(col("role") === "tool").count())
+    assert(out.where(col("mark").isNotNull && col("role") =!= "tool").count() === 0)
+    assert(out.where(array_contains(col("tags"), "long")).count() ===
+      t.where(col("turn_idx") >= 5).count())
+  }
+
   test("cc-mask SCL: block chain + store-matches subst template masks card numbers") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc")
     java.nio.file.Files.write(dir.resolve("pay.log"), Seq(
