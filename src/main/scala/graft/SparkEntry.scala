@@ -110,6 +110,31 @@ object SparkEntry {
           col("sl_msg").as("msg"), col("sl_ts").as("ts_parsed"))
     }),
 
+    "q_parse_cisco" -> ((s, dir) => {
+      // cisco-parser() roundtrip: IOS-shaped lines (seq, origin, '*' sync
+      // marker, BSD ts with msec, %FAC-SEV-MNEMONIC triplet) built from
+      // generator ground truth, then classified back
+      val t = Transcripts.loadFull(s, dir)
+      val line = concat(
+        lit("<"), col("pri"), lit(">"),
+        col("turn_idx").cast("string"), lit(": host-"), col("hostnum"), lit(": *"),
+        col("mon"), lit(" "), lpad(col("dd").cast("string"), 2, " "), lit(" "),
+        lpad(col("hh").cast("string"), 2, "0"), lit(":"),
+        lpad(col("mi").cast("string"), 2, "0"), lit(":"),
+        lpad(col("ss").cast("string"), 2, "0"), lit("."),
+        format_string("%03d", pmod(col("duration_ms"), lit(1000))),
+        lit(": %F"), col("prognum"), lit("-"), col("sev"), lit("-"),
+        upper(col("action")), lit(": status "), col("status"))
+      graft.parsers.CiscoParser.stage(
+        t.select(col("conv_id"), col("turn_idx"), line.as("text")), "text",
+        graft.parsers.SyslogFormat.Options(nowEpochUsec = 1549615069123000L))
+        .select(col("conv_id"), col("turn_idx"),
+          col("cisco_pri").as("pri"), col("cisco_host").as("host"),
+          col("cisco_seqid").as("seqid"), col("cisco_facility").as("fac"),
+          col("cisco_severity").as("sevp"), col("cisco_mnemonic").as("mnem"),
+          col("cisco_ts").as("ts_parsed"), col("cisco_msg").as("msg"))
+    }),
+
     "q_parse_errors" -> ((s, dir) => {
       grokked(s, dir).filter(array_contains(col("tags"), GrokStage.ParseErrorTag))
         .select(col("conv_id"), col("turn_idx"), col("text"))
@@ -844,6 +869,19 @@ object SparkEntry {
 
     "q_parse_errors" -> Transcripts.oracle(
       "SELECT conv_id, turn_idx, text FROM transcripts_full WHERE variant = 4"),
+
+    "q_parse_cisco" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx, pri,
+           concat('host-', cast(hostnum AS varchar)) AS host,
+           cast(turn_idx AS varchar) AS seqid,
+           concat('F', cast(prognum AS varchar)) AS fac,
+           cast(sev AS varchar) AS sevp,
+           upper(action) AS mnem,
+           make_timestamp(2019, mon_num, dd, hh, mi,
+                          cast(ss AS double) + (duration_ms % 1000) / 1000.0) AS ts_parsed,
+           concat('%F', cast(prognum AS varchar), '-', cast(sev AS varchar), '-',
+                  upper(action), ': status ', status) AS msg
+         FROM transcripts_full"""),
 
     "q_parse_syslog_hdr" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx, pri,

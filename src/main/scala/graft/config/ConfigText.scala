@@ -317,6 +317,14 @@ object ConfigText {
       df => graft.parsers.SyslogFormat.stage(
         df, c.kwargs.getOrElse("value", "text"), o,
         prefix = c.kwargs.getOrElse("prefix", "sl_"))
+    case "cisco-parser" =>
+      val o = graft.parsers.SyslogFormat.Options(
+        recvZone = c.kwargs.get("time-zone")
+          .map(java.time.ZoneId.of).getOrElse(java.time.ZoneOffset.UTC),
+        nowEpochUsec = c.kwargs.get("recv-time").map(_.toLong).getOrElse(0L))
+      df => graft.parsers.CiscoParser.stage(
+        df, c.kwargs.getOrElse("value", "text"), o,
+        prefix = c.kwargs.getOrElse("prefix", "cisco_"))
     case "json-parser" =>
       df => df.withColumn(c.kwargsOrFail("prefix"),
         FieldParsers.jsonParser(col(c.kwargs.getOrElse("value", "text")),

@@ -86,7 +86,7 @@ object SyslogFormat {
 
   private final class ParseError(val pos: Int) extends RuntimeException
 
-  private val months = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+  private[parsers] val months = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
     "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
 
   // ---------------------------------------------------------------- cursor
@@ -401,7 +401,7 @@ object SyslogFormat {
   /** Year for a year-less BSD stamp: receive-time year, Dec/Jan rollover
     * aware (lib/timeutils/wallclocktime.c:862-883).
     */
-  private def guessYear(mon0: Int, opt: Options): Int = {
+  private[parsers] def guessYear(mon0: Int, opt: Options): Int = {
     val now = java.time.Instant.ofEpochSecond(Math.floorDiv(opt.nowEpochUsec, 1000000L))
       .atZone(opt.recvZone)
     if (mon0 == 11 && now.getMonthValue == 1) now.getYear - 1
