@@ -45,19 +45,25 @@ object Dsl {
       otherwise: Seq[Element]) extends Element
 
   /** junction { channel {…} channel {…} } — parallel branches rejoined
-    * (reference cfg-tree.c:1175).
+    * (reference cfg-tree.c:1175). Embedded `log name {…}` statements are
+    * junction channels with names; a named channel gets route
+    * ingress/egress counters (lib/cfg-tree.c log_expr_node names).
     */
-  final case class Junction(channels: Seq[Seq[Element]]) extends Element
+  final case class Junction(
+      channels: Seq[Seq[Element]],
+      names: Seq[Option[String]] = Nil) extends Element
 
   /** log {} statement: source refs + element sequence + path flags
-    * (reference lib/cfg-tree.c:628-639).
+    * (reference lib/cfg-tree.c:628-639). A named path gets route
+    * ingress/egress counters.
     */
   final case class LogPath(
       sources: Seq[String],
       elements: Seq[Element],
       isFinal: Boolean = false,
       isFallback: Boolean = false,
-      isCatchAll: Boolean = false)
+      isCatchAll: Boolean = false,
+      name: Option[String] = None)
 
   final case class Config(
       sources: Map[String, SparkSession => DataFrame],
@@ -96,9 +102,38 @@ object Compiler {
       name: String, pred: Column, isFinal: Boolean, isFallback: Boolean,
       countsAsMatch: Boolean)
 
-  final case class Compiled(flagged: DataFrame, sinkNames: Seq[String]) {
+  final case class Compiled(
+      flagged: DataFrame, sinkNames: Seq[String],
+      routeCounters: Seq[(String, Column, Column)] = Nil,
+      statsFrame: Option[DataFrame] = None) {
     def sink(name: String): DataFrame = Router.sink(flagged, name)
     def dropUnmatched: DataFrame = Router.dropUnmatched(flagged)
+
+    /** Per-named-log-path counters (reference syslogng_route_ingress_total /
+      * _egress_total, tests/light logpath/__init__.py): ingress = rows that
+      * entered the path, egress = rows matched through its WHOLE element
+      * sequence (a row queued to an inner destination but filtered out
+      * later does NOT count — the reference's intended semantics).
+      * One aggregate job over the compiled frame → (id, ingress, egress).
+      */
+    def routeStats: DataFrame = {
+      val f = statsFrame.getOrElse(sys.error("config has no named log paths"))
+      val aggs = routeCounters.flatMap { case (_, in, eg) => Seq(
+        sum(when(in, 1L).otherwise(0L)), sum(when(eg, 1L).otherwise(0L))) }
+      val row = f.agg(aggs.head, aggs.tail: _*).head()
+      val spark = f.sparkSession
+      import spark.implicits._
+      routeCounters.zipWithIndex.map { case ((n, _, _), i) =>
+        (n, row.getLong(2 * i), row.getLong(2 * i + 1))
+      }.toDF("id", "ingress", "egress")
+    }
+
+    /** Prometheus exposition of [[routeStats]] (stats-prometheus.c form). */
+    def routeStatsPrometheus: String =
+      routeStats.collect().sortBy(_.getString(0)).flatMap { r =>
+        Seq(s"""syslogng_route_ingress_total{id="${r.getString(0)}"} ${r.getLong(1)}""",
+          s"""syslogng_route_egress_total{id="${r.getString(0)}"} ${r.getLong(2)}""")
+      }.mkString("", "\n", "\n")
   }
 
   private val HelperPrefix = "__graft_p"
@@ -146,14 +181,23 @@ object Compiler {
     }
 
     val dests = Seq.newBuilder[DestSpec]
+    val counters = Seq.newBuilder[(String, Column, Column)]
 
-    // single in-order walk; returns nothing — dests and frame accumulate.
+    // single in-order walk; dests/counters/frame accumulate. Returns the
+    // sequence's MATCHED predicate — true for a row that traverses every
+    // element (filters pass; a junction needs ≥1 matching channel) — the
+    // route egress signal. Built only from frozen helper columns, so it
+    // stays valid over the final frame.
     // `reach`: None = unconditional so far (plain transforms, cheapest plan)
-    def walk(els: Seq[Element], reach0: Option[Column], path: LogPath): Unit = {
+    def walk(els: Seq[Element], reach0: Option[Column], path: LogPath): Column = {
       var reach = reach0
+      var matched: Column = lit(true)
       def and(c: Column): Option[Column] = Some(reach.map(_ && c).getOrElse(c))
       els.foreach {
-        case FilterE(p)    => reach = and(freeze(p(frame)))
+        case FilterE(p) =>
+          val c = freeze(p(frame))
+          reach = and(c)
+          matched = matched && c
         case TransformE(f) => applyTransform(f, reach)
         case DestE(name) =>
           dests += DestSpec(name, reach.getOrElse(lit(true)),
@@ -162,15 +206,31 @@ object Compiler {
           // exclusive ladder; every branch predicate frozen BEFORE any
           // branch body transform can touch its inputs
           var noneEarlier: Column = lit(true)
+          var anyM: Column = lit(false)
           branches.foreach { case (p, body) =>
             val c = freeze(p(frame))
-            walk(body, Some(reach.map(_ && noneEarlier && c).getOrElse(noneEarlier && c)), path)
+            val bm = walk(body,
+              Some(reach.map(_ && noneEarlier && c).getOrElse(noneEarlier && c)), path)
+            anyM = anyM || (noneEarlier && c && bm)
             noneEarlier = noneEarlier && !c
           }
-          walk(otherwise, Some(reach.map(_ && noneEarlier).getOrElse(noneEarlier)), path)
-        case Junction(channels) =>
-          channels.foreach(ch => walk(ch, reach, path))
+          val em = walk(otherwise,
+            Some(reach.map(_ && noneEarlier).getOrElse(noneEarlier)), path)
+          matched = matched && (anyM || (noneEarlier && em))
+        case Junction(channels, chNames) =>
+          val names =
+            if (chNames.length == channels.length) chNames
+            else channels.map(_ => None)
+          var anyM: Column = lit(false)
+          channels.zip(names).foreach { case (ch, nm) =>
+            val entry = reach.getOrElse(lit(true))
+            val cm = walk(ch, reach, path)
+            nm.foreach(n => counters += ((n, entry, entry && cm)))
+            anyM = anyM || cm
+          }
+          matched = matched && anyM
       }
+      matched
     }
 
     cfg.paths.foreach { p =>
@@ -178,7 +238,11 @@ object Compiler {
         if (p.isCatchAll) None
         else if (cfg.sources.size == 1 && p.sources == cfg.sources.keys.toSeq) None
         else Some(col("__source").isin(p.sources: _*))
-      walk(p.elements, srcPred, p)
+      val m = walk(p.elements, srcPred, p)
+      p.name.foreach { n =>
+        val entry = srcPred.getOrElse(lit(true))
+        counters += ((n, entry, entry && m))
+      }
     }
 
     // merge same-destination predicates (a dest referenced from several
@@ -195,8 +259,11 @@ object Compiler {
         countsAsMatch = ds.exists(_.countsAsMatch))
     }
     val flagged = Router.withRouteFlags(frame, routeSpecs)
+    val cs = counters.result()
     // frozen-predicate helpers are internal: drop them from the sink-facing
-    // plan (Catalyst prunes their computation where flags don't need them)
-    Compiled(flagged.drop(helperCols.result(): _*), names)
+    // plan (Catalyst prunes their computation where flags don't need them).
+    // Route counters still reference them, so they keep the pre-drop frame.
+    Compiled(flagged.drop(helperCols.result(): _*), names,
+      cs, if (cs.isEmpty) None else Some(frame))
   }
 }

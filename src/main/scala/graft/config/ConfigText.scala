@@ -681,6 +681,23 @@ object ConfigText {
             }
             p.expect("}")
             els += Dsl.Junction(channels.result())
+          case "log" =>
+            // embedded log statements — CONSECUTIVE ones form one junction
+            // (reference cfg-tree.c embedded log exprs); names make the
+            // channels named routes with ingress/egress counters
+            val chans = Seq.newBuilder[Seq[Dsl.Element]]
+            val nms = Seq.newBuilder[Option[String]]
+            def one(): Unit = {
+              val nm = p.peek match {
+                case Some(Ident(n)) => p.next(); Some(n)
+                case _ => None
+              }
+              p.expect("{"); chans += parseLogElements(); p.expect("}"); p.eat(";")
+              nms += nm
+            }
+            one()
+            while (p.peek.contains(Ident("log"))) { p.next(); one() }
+            els += Dsl.Junction(chans.result(), nms.result())
           case "if" =>
             val branches = Seq.newBuilder[(DataFrame => Column, Seq[Dsl.Element])]
             p.expect("("); val c0 = filterExpr(p, filters); p.expect(")")
@@ -747,6 +764,11 @@ object ConfigText {
           val name = p.ident()
           filterxNamed(name) = fxBodies(p.ident())
         case "log" =>
+          // optional path name: log top-level-1 { … }; (named route stats)
+          val pathName = p.peek match {
+            case Some(Ident(n)) => p.next(); Some(n)
+            case _ => None
+          }
           p.expect("{")
           // pre-scan for source()/flags() refs, then re-walk for elements
           val saved = p.toks
@@ -777,7 +799,8 @@ object ConfigText {
             elements = els,
             isFinal = flagSet.contains("final"),
             isFallback = flagSet.contains("fallback"),
-            isCatchAll = flagSet.contains("catch-all") || flagSet.contains("catchall"))
+            isCatchAll = flagSet.contains("catch-all") || flagSet.contains("catchall"),
+            name = pathName)
         case other => sys.error(s"unexpected top-level block: $other")
       }
       p.eat(";")

@@ -310,6 +310,54 @@ class ConfigTextSpec extends SparkSpec {
     assert(c2.sink("str").count() === t.count() && c2.sink("num").count() === 0)
   }
 
+  test("named log paths: route ingress/egress counters (test_named_logpaths.py)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-np")
+    java.nio.file.Files.write(dir.resolve("in.log"), Seq(
+      "to-top-level-2", "to-top-level-3", "to-inner-1", "to-inner-2", "to-inner-3")
+      .mkString("\n").getBytes("UTF-8"))
+    val cfg = s"""
+      source s { file("$dir/*.log" format(text)); };
+      filter f_t2 { message("to-top-level-2"); };
+      filter f_t3 { message("to-top-level-3"); };
+      filter f_i1 { message("to-inner-1"); };
+      filter f_i2 { message("to-inner-2"); };
+      filter f_i3 { message("to-inner-3"); };
+      destination d_1 { file("d1"); };
+      destination d_2 { file("d2"); };
+      log top-level-1 { source(s); };
+      log top-level-2 { source(s); filter(f_t2); destination(d_1); };
+      log top-level-3 { source(s); filter(f_t3); destination(d_1); destination(d_2); };
+      log top-level-4 { source(s);
+        log inner-1 { filter(f_i1); destination(d_1); };
+        log inner-2 { filter(f_i2); destination(d_2); };
+      };
+      log top-level-5 { source(s); destination(d_1);
+        log inner-3 { filter(f_i3); destination(d_2); };
+      };
+    """
+    val c = ConfigText.compile(spark, cfg)
+    val stats = c.routeStats.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every named path sees all 5 rows; egress counts rows matched through
+    // the WHOLE path (a d_1 write in top-level-5 does not make egress —
+    // the trailing inner-3 filter must also match)
+    assert(stats("top-level-1") === ((5L, 5L)))
+    assert(stats("top-level-2") === ((5L, 1L)))
+    assert(stats("top-level-3") === ((5L, 1L)))
+    assert(stats("top-level-4") === ((5L, 2L))) // inner-1 ∨ inner-2 matched
+    assert(stats("inner-1") === ((5L, 1L)))
+    assert(stats("inner-2") === ((5L, 1L)))
+    assert(stats("top-level-5") === ((5L, 1L))) // only to-inner-3
+    assert(stats("inner-3") === ((5L, 1L)))
+    // routing itself unchanged: d_1 gets t2, t3, inner-1, and ALL rows via
+    // the unconditional top-level-5 destination
+    assert(c.sink("d1").count() === 5)
+    assert(c.sink("d2").count() === 3) // t3, inner-2, inner-3
+    val prom = c.routeStatsPrometheus
+    assert(prom.contains("""syslogng_route_ingress_total{id="top-level-4"} 5"""))
+    assert(prom.contains("""syslogng_route_egress_total{id="top-level-4"} 2"""))
+  }
+
   test("condition() guards on rewrite rules (rewrite-expr.c): only matching rows change") {
     val cfg = s"""
       source s { transcripts("$sfUnit"); };
