@@ -317,6 +317,17 @@ object ConfigText {
       df => graft.parsers.SyslogFormat.stage(
         df, c.kwargs.getOrElse("value", "text"), o,
         prefix = c.kwargs.getOrElse("prefix", "sl_"))
+    case "sdata-parser" =>
+      // parse an SDATA-shaped field into the sdata/sdata_ids columns the
+      // $SDATA macro renders (reference modules/sdata-parser)
+      df => {
+        val p = graft.functions.GraftFunctions.sdata_parse(
+          col(c.kwargs.getOrElse("value", "text")))
+        df.withColumn("__sd", p)
+          .withColumn("sdata_ids", col("__sd.sdata_ids"))
+          .withColumn("sdata", col("__sd.sdata"))
+          .drop("__sd")
+      }
     case "cisco-parser" =>
       val o = graft.parsers.SyslogFormat.Options(
         recvZone = c.kwargs.get("time-zone")
@@ -375,10 +386,22 @@ object ConfigText {
     if (!text.contains("$")) lit(text)
     else {
       val cols = df.columns.toSet
-      val resolver: graft.functions.Templates.Resolver = n =>
+      val base: graft.functions.Templates.Resolver = n =>
         if (cols.contains(n)) Some(col(n))
         else if (cols.contains("fields")) Some(try_element_at(col("fields"), lit(n)))
         else None
+      // layer the standard macro family ($FACILITY/$SDATA/date macros…)
+      // under the column/fields resolution when the frame carries the
+      // backing columns — config templates address macros like the
+      // reference's (macros resolve only when their inputs exist)
+      val ts = if (cols.contains("ts")) col("ts").cast("timestamp")
+        else lit(null).cast("timestamp")
+      val pri = if (cols.contains("pri")) col("pri").cast("int") else lit(13)
+      val fields = if (cols.contains("fields")) col("fields")
+        else map().cast("map<string,string>")
+      val std = graft.functions.Templates.standardResolver(cols, ts, pri, fields)
+      val resolver: graft.functions.Templates.Resolver =
+        n => base(n).orElse(std(n))
       graft.functions.Templates.compile(text, resolver, user)
     }
 

@@ -278,8 +278,42 @@ object FormatFixed {
       .setScale(precision, java.math.RoundingMode.HALF_EVEN).toPlainString
 }
 
+/** `sdata-parser()` — one SDATA-shaped string (quoted or unquoted param
+  * values) to `struct<sdata_ids: array<string>, sdata: map<string,string>>`
+  * with `id.param` map keys, null when the value is not SDATA (the
+  * reference's modules/sdata-parser over syslog-format.c's SD scanner).
+  * The $SDATA macro renders these two columns back to `[id k="v" …]`.
+  */
+case class SdataParse(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sdata_ids", ArrayType(StringType)),
+    StructField("sdata", MapType(StringType, StringType))))
+
+  override def nullSafeEval(s: Any): Any =
+    graft.parsers.SyslogFormat.parseSdata(s.asInstanceOf[UTF8String].toString) match {
+      case None => null
+      case Some((ids, pairs)) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            ids.map(UTF8String.fromString).toArray[Any]),
+          new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              pairs.map(kv => UTF8String.fromString(kv._1)).toArray[Any]),
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              pairs.map(kv => UTF8String.fromString(kv._2)).toArray[Any]))))
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API for the engine's custom Catalyst expressions. */
 object GraftFunctions {
+
+  def sdata_parse(str: Column): Column =
+    Bridge.column(SdataParse(Bridge.expression(str)))
 
   def format_fixed(d: Column, precision: Int): Column =
     Bridge.column(FormatFixed(Bridge.expression(d), precision))

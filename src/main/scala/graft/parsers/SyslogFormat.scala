@@ -77,6 +77,7 @@ object SyslogFormat {
       var pid: String = "",
       var msgid: String = "",
       var sdata: Vector[(String, String)] = Vector.empty,
+      var sdataIds: Vector[String] = Vector.empty,
       var msg: String = "",
       var tags: Set[String] = Set.empty,
       var ciscoSeqId: String = "",
@@ -503,6 +504,7 @@ object SyslogFormat {
       }
       if (c.i == idStart) throw new ParseError(c.i)
       val sdId = c.s.substring(idStart, c.i)
+      m.sdataIds :+= sdId
       if (c.has && c.peek == ']') m.sdata :+= (s".SDATA.$sdId" -> "")
       while (c.has && c.peek != ']') {
         if (!c.skipSpace()) throw new ParseError(c.i)
@@ -557,6 +559,23 @@ object SyslogFormat {
       if (c.has && c.peek == '\uFEFF') c.skip()
     }
     m.msg = c.rest
+  }
+
+  /** A standalone SDATA string (the `sdata-parser()` input — quoted or
+    * unquoted param values, multiple elements) → (element ids in order,
+    * (id.param → value) pairs). None when `text` is not SDATA-shaped or has
+    * trailing garbage (modules/sdata-parser discards those).
+    */
+  def parseSdata(text: String): Option[(Vector[String], Vector[(String, String)])] = {
+    val m = Msg()
+    val c = new Cur(text)
+    try {
+      if (!c.has || c.peek != '[') return None
+      parseSdColumn(c, m)
+      if (c.has) None
+      else Some((m.sdataIds,
+        m.sdata.map { case (k, v) => k.stripPrefix(".SDATA.") -> v }))
+    } catch { case _: ParseError => None }
   }
 
   // ------------------------------------------------------------ Spark stage

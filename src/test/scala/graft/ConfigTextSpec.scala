@@ -310,6 +310,24 @@ class ConfigTextSpec extends SparkSpec {
     assert(c2.sink("str").count() === t.count() && c2.sink("num").count() === 0)
   }
 
+  test("sdata-parser(): unquoted SDATA parses, $SDATA re-renders quoted (test_sdata_parser.py)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sd")
+    java.nio.file.Files.write(dir.resolve("in.log"),
+      "[Originator@6876 sub=Vimsvc.ha-eventmgr opID=esxui-13c6-6b16 sid=5214bde6 user=root]"
+        .getBytes("UTF-8"))
+    val cfg = s"""
+      source s { file("$dir/*.log" format(text)); };
+      parser p { sdata-parser(); };
+      rewrite r { set("$$SDATA" value("rendered")); };
+      destination d { file("out"); };
+      log { source(s); parser(p); rewrite(r); destination(d); };
+    """
+    val got = ConfigText.compile(spark, cfg).sink("out")
+      .select("rendered").as[String].head()
+    assert(got ===
+      """[Originator@6876 sub="Vimsvc.ha-eventmgr" opID="esxui-13c6-6b16" sid="5214bde6" user="root"]""")
+  }
+
   test("named log paths: route ingress/egress counters (test_named_logpaths.py)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-np")
     java.nio.file.Files.write(dir.resolve("in.log"), Seq(
