@@ -108,7 +108,10 @@ object ConfigText {
               }
             }
             p.expect(")")
-            kwargs += s -> vals.result().mkString(",")
+            // patterns() are regexes — commas are pattern text, so the
+            // list keeps a NUL separator instead of the ',' join
+            kwargs += s -> vals.result().mkString(
+              if (s == "patterns") "\u0000" else ",")
           case Ident(s) if p.isPunct("..") =>
             p.next(); val hi = p.ident(); args += s"$s..$hi"
           case Ident(s) => args += s
@@ -341,29 +344,125 @@ object ConfigText {
         FieldParsers.jsonParser(col(c.kwargs.getOrElse("value", "text")),
           c.args.head))
     case "csv-parser" =>
-      // dialect() selects the scanner FSM (escape modes, greedy, strip)
-      c.kwargs.get("dialect") match {
-        case Some(d) =>
-          val dialect = d match {
+      // dialect()/flags(escape-*) select the scanner FSM; columns() or
+      // positional args name the outputs; quote-pairs("\"\"''") sets the
+      // open/close quote alphabet; template() re-parses a derived value;
+      // flags(drop-invalid) drops unmatched rows (modules/csvparser)
+      val flagWords = Set("greedy", "strip-whitespace", "drop-invalid",
+        "escape-none", "escape-backslash", "escape-backslash-with-sequences",
+        "escape-double-char")
+      val flags = c.kwargs.get("flags")
+        .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty) ++
+        c.args.filter(flagWords)
+      val kwCols = c.kwargs.get("columns").map(_.split(",").map(_.trim).toSeq)
+      val names = kwCols.getOrElse(c.args.filterNot(flagWords))
+      val dialectName = c.kwargs.get("dialect")
+        .orElse(flags.find(_.startsWith("escape-")))
+      dialectName match {
+        case None if (c.kwargs.keySet -- Set("value")).isEmpty =>
+          df => FieldParsers.csvParser(df,
+            col(valueName(c.kwargs.getOrElse("value", "text"))), names)
+        case d =>
+          val dialect = d.getOrElse("escape-none") match {
             case "escape-none" => graft.parsers.Scanners.EscapeNone
             case "escape-backslash" => graft.parsers.Scanners.EscapeBackslash
             case "escape-backslash-with-sequences" => graft.parsers.Scanners.EscapeBackslashWithSequences
             case "escape-double-char" => graft.parsers.Scanners.EscapeDoubleChar
             case other => sys.error(s"unknown csv dialect: $other")
           }
-          val names = c.args.filterNot(Set("greedy", "strip-whitespace"))
-          df => graft.parsers.Scanners.csvStage(
-            df, c.kwargs.getOrElse("value", "text"), names,
-            graft.parsers.Scanners.CsvOptions(
-              delimiters = c.kwargs.getOrElse("delimiters", ","),
-              dialect = dialect,
-              greedy = c.args.contains("greedy"),
-              stripWhitespace = c.args.contains("strip-whitespace")))
-        case None =>
-          df => FieldParsers.csvParser(df, col(c.kwargs.getOrElse("value", "text")), c.args)
+          val qp = c.kwargs.get("quote-pairs")
+          val opts = graft.parsers.Scanners.CsvOptions(
+            delimiters = c.kwargs.getOrElse("delimiters", ","),
+            quotesStart = qp.map(s => s.grouped(2).map(_.head).mkString).getOrElse("\"'"),
+            quotesEnd = qp.map(s => s.grouped(2).map(_.last).mkString).getOrElse("\"'"),
+            dialect = dialect,
+            greedy = flags("greedy"),
+            stripWhitespace = flags("strip-whitespace"))
+          df0 => {
+            val (df, in) = parserInput(df0, c)
+            val out = graft.parsers.Scanners.csvStage(df, in, names, opts)
+              .drop(tmpInputCol)
+            if (flags("drop-invalid")) out.filter(!col("csv_invalid")).drop("csv_invalid")
+            else out
+          }
+      }
+    case "regexp-parser" =>
+      // regexp-parser(patterns('re' …) [prefix() template() value()]) —
+      // ordered first-match over the patterns, named captures (?<n>…) or
+      // (?'n'…) promoted to prefixed top-level columns
+      // (modules/regexp-parser). drop-invalid drops unmatched rows.
+      val pats = c.kwargs.getOrElse("patterns",
+        sys.error("regexp-parser: missing patterns()")).split("\u0000").toSeq
+      val prefix = c.kwargs.getOrElse("prefix", "")
+      val rules = pats.zipWithIndex.map { case (p0, i) =>
+        val (p, names) = stripNamedGroups(p0)
+        graft.parsers.GrokRule(s"re$i", p, names)
+      }
+      val dropInvalid = c.kwargs.get("flags").exists(_.contains("drop-invalid")) ||
+        c.args.contains("drop-invalid")
+      df0 => {
+        val (df1, in) = parserInput(df0, c)
+        // GrokStage owns fields/rule_id/tags — stash pre-existing ones
+        val owned = Seq("fields", "rule_id", "tags").filter(df1.columns.contains)
+        val stashed = owned.foldLeft(df1)((d, n) => d.withColumnRenamed(n, s"__pre_$n"))
+        val parsed = GrokStage(stashed, in, rules)
+        val captures = rules.flatMap(_.captures).distinct
+          .filterNot(_.startsWith("__g")) // unnamed-group placeholders
+        val promoted = captures.foldLeft(parsed)((d, n) =>
+          d.withColumn(prefix + n, try_element_at(col("fields"), lit(n))))
+        val filtered =
+          if (dropInvalid) promoted.filter(col("rule_id").isNotNull) else promoted
+        val cleaned = filtered.drop("fields", "rule_id", "tags", tmpInputCol)
+        owned.foldLeft(cleaned)((d, n) => d.withColumnRenamed(s"__pre_$n", n))
       }
     case other => sys.error(s"unknown parser driver: $other")
   }
+
+  /** PCRE `(?<name>…)` / `(?'name'…)` capture names → plain groups + a
+    * positional name table (java.util.regex named groups reject '_', and
+    * GrokRule names map by group index anyway). Unnamed capturing groups
+    * get `__gN` placeholders, which the promotion step skips. Escapes and
+    * character classes are honored during the scan.
+    */
+  private def stripNamedGroups(p: String): (String, Seq[String]) = {
+    val sb = new StringBuilder
+    val names = Seq.newBuilder[String]
+    var i = 0
+    var inClass = false
+    var k = 0
+    while (i < p.length) {
+      val ch = p(i)
+      if (ch == '\\' && i + 1 < p.length) { sb.append(p.substring(i, i + 2)); i += 2 }
+      else if (inClass) { if (ch == ']') inClass = false; sb += ch; i += 1 }
+      else if (ch == '[') { inClass = true; sb += ch; i += 1 }
+      else if (ch == '(') {
+        if (p.startsWith("(?<", i) && i + 3 < p.length &&
+          p(i + 3) != '=' && p(i + 3) != '!') {
+          val close = p.indexOf('>', i + 3)
+          require(close > 0, s"unterminated (?< in: $p")
+          names += p.substring(i + 3, close); sb += '('; i = close + 1; k += 1
+        } else if (p.startsWith("(?'", i)) {
+          val close = p.indexOf('\'', i + 3)
+          require(close > 0, s"unterminated (?' in: $p")
+          names += p.substring(i + 3, close); sb += '('; i = close + 1; k += 1
+        } else if (p.startsWith("(?", i)) { sb += ch; i += 1 } // (?: lookarounds
+        else { k += 1; names += s"__g$k"; sb += ch; i += 1 }
+      } else { sb += ch; i += 1 }
+    }
+    (sb.toString, names.result())
+  }
+
+  private val tmpInputCol = "__parser_input"
+
+  /** Resolve a parser's input: template() compiles against the frame (as a
+    * temp column), else value() names a column, else `text`.
+    */
+  private def parserInput(df: DataFrame, c: Call): (DataFrame, String) =
+    c.kwargs.get("template") match {
+      case Some(t) =>
+        (df.withColumn(tmpInputCol, templateValue(df, t, Map.empty)), tmpInputCol)
+      case None => (df, valueName(c.kwargs.getOrElse("value", "text")))
+    }
 
   private implicit class CallOps(val c: Call) extends AnyVal {
     def kwargsOrFail(k: String): String =

@@ -310,6 +310,51 @@ class ConfigTextSpec extends SparkSpec {
     assert(c2.sink("str").count() === t.count() && c2.sink("num").count() === 0)
   }
 
+  test("mariadb-audit-parser SCL: quote-pairs + escape-backslash csv, regexp split (test_mariadb_audit_parser.py)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mdb")
+    java.nio.file.Files.write(dir.resolve("in.log"), Seq(
+      "<190>Apr 13 14:43:13 mysql-server_auditing: columnstore-1 eff8a68bcd7f,user1,172.18.0.1,32,394,QUERY,syslog_ng,'SELECT * FROM test WHERE 0=1',1146",
+      "<190>Sep 14 17:46:51 centos mysql-server_auditing: columnstore-1 centos,root,localhost,11,117,QUERY,loans,'SELECT grade, AVG(loan_amnt) avg,FROM loanstats GROUP BY grade ORDER BY grade',0",
+      "<190>Apr 29 13:56:36 mysql-server_auditing: docker eff8a68bcd7f,root,172.18.0.3,13,0,CONNECT,,,0")
+      .mkString("\n").getBytes("UTF-8"))
+    // the reference's scl/mariadb/audit.conf block, body flattened to the
+    // engine's chained-driver form; instantiated over the parsed message
+    val cfg = s"""
+      block parser mariadb-audit-parser(prefix('mdb_') template("$$sl_msg")) {
+        csv-parser(columns('`prefix`serverhost', '`prefix`username', '`prefix`host',
+                           '`prefix`connectionid', '`prefix`queryid', '`prefix`operation',
+                           '`prefix`database', '`prefix`object', '`prefix`retcode')
+                   delimiters(',') template(`template`)
+                   flags(greedy, drop-invalid, escape-backslash)
+                   quote-pairs("''"));
+        regexp-parser(prefix(`prefix`)
+                      patterns('^\\s*(?<syslog_info>\\S*?)(?: )?(?<serverhost>\\S+)$$')
+                      template('$${`prefix`serverhost}'));
+      };
+      source s { file("$dir/*.log" format(text)); };
+      parser p0 { syslog-parser(flags(expect-hostname) recv-time(1549615069123000)); };
+      parser p { mariadb-audit-parser(); };
+      destination d { file("out"); };
+      log { source(s); parser(p0); parser(p); destination(d); };
+    """
+    val out = ConfigText.compile(spark, cfg).sink("out")
+    assert(out.count() === 3)
+    val r1 = out.where(col("mdb_queryid") === "394")
+      .select("mdb_syslog_info", "mdb_serverhost", "mdb_username", "mdb_host",
+        "mdb_connectionid", "mdb_operation", "mdb_database", "mdb_object", "mdb_retcode")
+      .head()
+    assert(r1.toSeq === Seq("columnstore-1", "eff8a68bcd7f", "user1", "172.18.0.1",
+      "32", "QUERY", "syslog_ng", "SELECT * FROM test WHERE 0=1", "1146"))
+    // commas inside the quoted object stay one field
+    val r2 = out.where(col("mdb_queryid") === "117").select("mdb_object", "mdb_serverhost").head()
+    assert(r2.getString(0) === "SELECT grade, AVG(loan_amnt) avg,FROM loanstats GROUP BY grade ORDER BY grade")
+    assert(r2.getString(1) === "centos")
+    // empty trailing fields parse as empty strings
+    val r3 = out.where(col("mdb_operation") === "CONNECT")
+      .select("mdb_database", "mdb_object", "mdb_retcode", "mdb_syslog_info").head()
+    assert(r3.toSeq === Seq("", "", "0", "docker"))
+  }
+
   test("sdata-parser(): unquoted SDATA parses, $SDATA re-renders quoted (test_sdata_parser.py)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sd")
     java.nio.file.Files.write(dir.resolve("in.log"),
