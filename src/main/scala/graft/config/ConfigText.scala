@@ -544,11 +544,21 @@ object ConfigText {
     */
   def preprocess(text: String, seen: Set[String] = Set.empty): (String, String) = {
     var version = ""
+    val defines = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val out = new StringBuilder
     text.linesIterator.foreach { line =>
       val t = line.trim
       if (t.startsWith("@version")) {
         version = t.stripPrefix("@version").stripPrefix(":").stripSuffix(";").trim
+      } else if (t.startsWith("@define")) {
+        // @define name 'value' — backtick `name` refs splice the value
+        // (reference lib/cfg-lexer.c pragma @define + backtick subst)
+        val rest = t.stripPrefix("@define").trim
+        val name = rest.takeWhile(c => !c.isWhitespace)
+        val raw = rest.drop(name.length).trim
+        val v = if (raw.length >= 2 && (raw.head == '\'' || raw.head == '"') &&
+          raw.last == raw.head) raw.substring(1, raw.length - 1) else raw
+        defines(name) = v
       } else if (t.startsWith("@include")) {
         val path = t.stripPrefix("@include").trim
           .stripSuffix(";").stripPrefix("\"").stripSuffix("\"")
@@ -560,7 +570,10 @@ object ConfigText {
         out.append(expanded).append('\n')
       } else out.append(line).append('\n')
     }
-    (out.toString, version)
+    val substituted = defines.foldLeft(out.toString) { case (acc, (k, v)) =>
+      acc.replace("`" + k + "`", v)
+    }
+    (substituted, version)
   }
 
   // ------------------------------------------------------ block generators

@@ -310,6 +310,21 @@ class ConfigTextSpec extends SparkSpec {
     assert(c2.sink("str").count() === t.count() && c2.sink("num").count() === 0)
   }
 
+  test("@define pragma: backtick refs splice the defined value (cfg-lexer pragmas)") {
+    val cfg = s"""
+      @define pat 'error|fail'
+      source s { transcripts("$sfUnit"); };
+      parser p { db-parser(); };
+      filter f { match("^(`pat`)$$" value("status")); };
+      destination d { file("hits"); };
+      log { source(s); parser(p); filter(f); destination(d); };
+    """
+    val c = ConfigText.compile(spark, cfg)
+    val truth = graft.transcripts.Transcripts.loadFull(spark, sfUnit)
+      .filter(col("variant").isin(0, 2) && col("status").isin("error", "fail")).count()
+    assert(truth > 0 && c.sink("hits").count() === truth)
+  }
+
   test("mariadb-audit-parser SCL: quote-pairs + escape-backslash csv, regexp split (test_mariadb_audit_parser.py)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mdb")
     java.nio.file.Files.write(dir.resolve("in.log"), Seq(
