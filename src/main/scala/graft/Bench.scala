@@ -22,7 +22,8 @@ object Bench {
     * session fixed costs).
     */
   private val headline = Seq(
-    "q_transcripts", "q_parse_syslog", "q_parse_patterndb", "q_sink_counts",
+    "q_transcripts", "q_parse_syslog", "q_parse_syslog_hdr", "q_parse_cisco",
+    "q_parse_patterndb", "q_sink_counts",
     "q_group_lines", "q_grouping_by", "q_rate_limit", "q_enrich",
     "q_template_eval", "q_dedup_exact", "q_dedup_minhash", "q_dedup_embed",
     "q_dedup_clusters", "q_embed_topk", "q_text_stats", "q_multimodal_meta",

@@ -747,6 +747,19 @@ object SparkEntry {
     }),
 
     // ================= corpus: text analysis =================
+    "q_corpus_sample" -> ((s, dir) => {
+      // deterministic stratified down-sampling: md5-threshold per stratum,
+      // a pure scan-stage filter (no rand(), no sampleBy driver round-trip)
+      graft.corpus.Sampling.sampleStratified(
+        documents(s, dir), col("doc_id"), col("lang"),
+        Map("en" -> 0.3, "de" -> 0.7))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    "q_corpus_vocab" -> ((s, dir) => {
+      graft.corpus.Sampling.vocabulary(documents(s, dir), col("text"), 50)
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       documents(s, dir).select(col("doc_id"),
         TextStats.wsTokenCount(col("text")).as("n_ws_tokens"),
@@ -1436,6 +1449,19 @@ object SparkEntry {
                                            ORDER BY score DESC, neighbor_id) AS int) AS rank
                  FROM s)
          SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 3""",
+
+    "q_corpus_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE substr(md5(cast(doc_id AS varchar)), 1, 8) <
+           CASE lang WHEN 'en' THEN '4ccccccc'
+                     WHEN 'de' THEN 'b3333333'
+                     ELSE 'ffffffff' END""",
+
+    "q_corpus_vocab" ->
+      """SELECT token, count(*)::bigint AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         WHERE token <> ''
+         GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 50""",
 
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)

@@ -307,4 +307,25 @@ class CorpusSpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"planted-cluster recall $recall")
   }
+
+  test("deterministic sampling: threshold hex, stable membership, stratified fractions") {
+    import graft.corpus.Sampling
+    assert(Sampling.thresholdHex(0.3) === "4ccccccc")
+    assert(Sampling.thresholdHex(0.7) === "b3333333")
+    assert(Sampling.thresholdHex(0.0) === "00000000")
+    assert(Sampling.thresholdHex(1.0) === "ffffffff")
+    val df = spark.range(10000).toDF("id")
+    val s1 = Sampling.sample(df, col("id"), 0.25).as[Long].collect().toSet
+    val s2 = Sampling.sample(df, col("id"), 0.25).as[Long].collect().toSet
+    assert(s1 === s2) // identical across runs — md5 decision, not rand()
+    assert(math.abs(s1.size / 10000.0 - 0.25) < 0.02)
+    // nested property: a smaller fraction is a SUBSET of a larger one
+    val s3 = Sampling.sample(df, col("id"), 0.10).as[Long].collect().toSet
+    assert(s3.subsetOf(s1))
+    val strat = df.withColumn("g", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val kept = Sampling.sampleStratified(strat, col("id"), col("g"), Map("a" -> 0.1))
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("a") / 5000.0 - 0.1) < 0.03)
+    assert(kept("b") === 5000L) // default fraction 1.0 keeps the stratum
+  }
 }
