@@ -72,6 +72,7 @@ object ConfigText {
     }
     def isPunct(p: String): Boolean = peek.contains(Punct(p))
     def eat(p: String): Boolean = if (isPunct(p)) { next(); true } else false
+    def peek2: Option[Tok] = toks.drop(1).headOption
   }
 
   /** One parsed driver invocation: `name(arg1 arg2, key(v)...)` — args are
@@ -200,12 +201,18 @@ object ConfigText {
         s
       case other => sys.error(s"expected comparison operator, got $other")
     }
+    def cmpFollows: Boolean = p.peek2.exists {
+      case Punct(c) => "<>=!".contains(c.head)
+      case Ident(s) => Set("eq", "ne", "lt", "le", "gt", "ge")(s)
+      case _ => false
+    }
     def simple(): DataFrame => Column = p.peek match {
-      case Some(Str(l)) =>
-        // "template" OP "template" — both sides are templates over the
-        // message (reference lib/filter/filter-cmp.c; eq… compare strings,
+      case Some(Str(_)) | Some(Ident(_)) if p.peek.exists(_.isInstanceOf[Str]) || cmpFollows =>
+        // [bare or quoted] template OP template — both sides are templates
+        // over the message (reference lib/filter/filter-cmp.c:
+        // `$SEVERITY_NUM == 7`, `"$HOST" eq "bzorp"`; eq… compare strings,
         // == … compare type-aware numeric-first)
-        p.next()
+        val l = p.next() match { case Str(s) => s; case Ident(s) => s; case other => sys.error(s"$other") }
         val op = cmpOp()
         val r = p.next() match {
           case Str(s)   => s

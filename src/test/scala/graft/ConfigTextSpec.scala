@@ -288,7 +288,8 @@ class ConfigTextSpec extends SparkSpec {
   test("filter comparisons: template OP template with eq/numeric ops (filter-cmp.c)") {
     val cfg = s"""
       source s { transcripts("$sfUnit"); };
-      filter f { "$${turn_idx}" >= "3" and not ("$${role}" eq "system") };
+      # bare and quoted operands both parse (test_filters_fop_cmp.c forms)
+      filter f { $$turn_idx >= 3 and not ("$${role}" eq "system") and 10 == 10 };
       destination d { file("hits"); };
       log { source(s); filter(f); destination(d); };
     """
