@@ -747,6 +747,16 @@ object SparkEntry {
     }),
 
     // ================= corpus: text analysis =================
+    "q_patternize" -> ((s, dir) => {
+      // SLCT log-pattern mining over the transcript lines: message
+      // templates with infrequent word positions wildcarded (the pid/
+      // duration/token positions collapse to @, the structural words stay)
+      graft.operators.Patternize.clusters(
+        transcripts(s, dir),
+        concat_ws(":", col("conv_id"), col("turn_idx")),
+        col("text"), support = 50L)
+    }),
+
     "q_corpus_sample" -> ((s, dir) => {
       // deterministic stratified down-sampling: md5-threshold per stratum,
       // a pure scan-stage filter (no rand(), no sampleBy driver round-trip)
@@ -1449,6 +1459,25 @@ object SparkEntry {
                                            ORDER BY score DESC, neighbor_id) AS int) AS rank
                  FROM s)
          SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 3""",
+
+    "q_patternize" -> Transcripts.oracle(
+      """, w AS (
+           SELECT conv_id || ':' || cast(turn_idx AS varchar) AS mid,
+                  i - 1 AS pos, ws[i] AS word
+           FROM (SELECT conv_id, turn_idx, string_split(text, ' ') AS ws
+                 FROM transcripts) d,
+                unnest(generate_series(1, len(ws))) AS t(i)
+         ),
+         f AS (SELECT pos, word FROM w GROUP BY 1, 2 HAVING count(*) >= 50),
+         p AS (
+           SELECT w.mid,
+             string_agg(CASE WHEN f.word IS NOT NULL THEN w.word ELSE '@' END,
+                        ' ' ORDER BY w.pos) AS pattern,
+             bool_or(f.word IS NOT NULL) AS cand
+           FROM w LEFT JOIN f ON w.pos = f.pos AND w.word = f.word
+           GROUP BY 1)
+         SELECT pattern, count(*)::bigint AS n_msgs
+         FROM p WHERE cand GROUP BY 1 HAVING count(*) >= 50"""),
 
     "q_corpus_sample" ->
       """SELECT doc_id, lang, source FROM documents
