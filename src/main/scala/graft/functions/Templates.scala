@@ -72,8 +72,19 @@ object Templates {
           case '(' =>
             flush()
             val (call, next) = parseCall(s, i + 2)
-            out += call
-            i = next
+            // $(fn …)@N — index into the call's LIST result (the reference's
+            // context-index suffix, e.g. $(grep cond $PID)@0 = first match)
+            if (next < s.length && s(next) == '@' &&
+              next + 1 < s.length && s(next + 1).isDigit) {
+              var j = next + 1
+              while (j < s.length && s(j).isDigit) j += 1
+              out += Call("__at", Seq(Seq(call), Seq(Lit(s.substring(next + 1, j)))),
+                Seq("", s.substring(next + 1, j)))
+              i = j
+            } else {
+              out += call
+              i = next
+            }
           case '*' => // $* — the match list as a LIST value (macros.c M__ASTERISK)
             flush(); out += Ref("*", None); i += 2
           case c2 if nameChar(c2) =>
@@ -636,6 +647,8 @@ object TemplateFunctions {
       java.util.regex.Pattern.quote(a(0).literal.getOrElse(" "))))),
     // --- lists (list-funcs.c) — comma-separated LIST values --------------
     "list-concat" -> (a => render(concat(a.map(asList): _*))),
+    // $(…)@N context-index suffix (lib/template parser @-index)
+    "__at" -> (a => try_element_at(asList(a(0)), lit(a(1).int + 1))),
     "list-head" -> (a => element_at(asList(a(0)), 1)),
     "list-nth" -> (a => element_at(asList(a(0)), a(1).int + 1)),
     "list-tail" -> (a => render(slice(asList(a(0)), 2, 1000000))),

@@ -264,6 +264,14 @@ class TemplatesSpec extends SparkSpec {
     assert(ev("$(tags-head)") === "t1")
   }
 
+  test("$(…)@N context-index suffix selects the Nth list element (test_cond_funcs @-forms)") {
+    assert(eval("$(explode ; a;b;c)@0") === "a")
+    assert(eval("$(explode ; a;b;c)@1") === "b")
+    assert(eval("$(explode ; a;b;c)@2") === "c")
+    assert(eval("$(explode ; a;b;c)@3") === "") // out of range → empty
+    assert(eval("$(list-concat $lst)@1") === "b")
+  }
+
   test("WEEK/ISOWEEK boundaries, facility names, $* match list (test_macro.c)") {
     val df = Seq(
       "2015-01-01 11:20:50", "2015-12-31 11:20:50",
