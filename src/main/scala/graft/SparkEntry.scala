@@ -747,6 +747,17 @@ object SparkEntry {
     }),
 
     // ================= corpus: text analysis =================
+    "q_grouping_by_trigger" -> ((s, dir) => {
+      // trigger(context-length == 3) closes every 3rd message within the
+      // 1-hour-gap session (test_grouping_by.c semantics, batch shape)
+      graft.operators.Correlation.groupingByTriggered(
+        transcripts(s, dir), Seq(col("conv_id")), col("ts").cast("timestamp"),
+        timeoutSeconds = 3600L, triggerCount = 3,
+        aggs = Seq(count(lit(1)).as("n_turns"),
+          min(col("turn_idx")).cast("int").as("first_turn")),
+        tieBreak = Seq(col("turn_idx")))
+    }),
+
     "q_patternize" -> ((s, dir) => {
       // SLCT log-pattern mining over the transcript lines: message
       // templates with infrequent word positions wildcarded (the pid/
@@ -1459,6 +1470,27 @@ object SparkEntry {
                                            ORDER BY score DESC, neighbor_id) AS int) AS rank
                  FROM s)
          SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 3""",
+
+    "q_grouping_by_trigger" -> Transcripts.oracle(
+      """, g AS (
+           SELECT conv_id, ts, turn_idx,
+             CASE WHEN epoch(ts) - lag(epoch(ts))
+                    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) IS NULL
+                   OR epoch(ts) - lag(epoch(ts))
+                    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) > 3600
+                  THEN 1 ELSE 0 END AS brk
+           FROM transcripts),
+         s2 AS (
+           SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+           FROM g),
+         b AS (
+           SELECT *, (row_number() OVER (PARTITION BY conv_id, sess
+                                         ORDER BY ts, turn_idx) - 1) // 3 AS ctx
+           FROM s2)
+         SELECT conv_id, count(*)::bigint AS n_turns,
+                min(turn_idx) AS first_turn
+         FROM b GROUP BY conv_id, sess, ctx"""),
 
     "q_patternize" -> Transcripts.oracle(
       """, w AS (

@@ -48,6 +48,45 @@ object Correlation {
     having.fold(grouped)(grouped.filter)
   }
 
+  /** grouping-by() with a TRIGGER — `trigger("$(context-length)" == "N")`
+    * closes the context every N messages, independent of the timeout
+    * (reference modules/correlation/tests/test_grouping_by.c:65-150 +
+    * grouping-by.c trigger evaluation on each arrival). Batch shape:
+    * gap-based sessions via a running sum of timeout breaks, then fixed
+    * N-blocks within each session — two window passes over ONE keyed
+    * sort (both windows share the partitioning, so a single shuffle),
+    * then the usual hash aggregate. `injectPassThrough` unions the
+    * original rows under the aggregates (inject-mode(pass-through));
+    * default is aggregate-only.
+    */
+  def groupingByTriggered(
+      df: DataFrame,
+      keys: Seq[Column],
+      ts: Column,
+      timeoutSeconds: Long,
+      triggerCount: Int,
+      aggs: Seq[Column],
+      injectPassThrough: Boolean = false,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = ts +: tieBreak
+    val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
+    val tsSec = ts.cast("long")
+    val gap = tsSec - lag(tsSec, 1).over(w)
+    val sessioned = df
+      .withColumn("__brk", when(gap.isNull || gap > timeoutSeconds, 1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__brk")).over(w))
+    val wIn = Window.partitionBy((keys :+ col("__sess")): _*).orderBy(ord: _*)
+    val blocked = sessioned
+      .withColumn("__ctx", floor((row_number().over(wIn) - 1) / triggerCount))
+    val grouped = blocked
+      .groupBy((keys :+ col("__sess") :+ col("__ctx")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__sess", "__ctx")
+    if (!injectPassThrough) grouped
+    else grouped.unionByName(df, allowMissingColumns = true)
+  }
+
   /** rate-limit(key(), rate()) — reference modules/rate-limit-filter/
     * rate-limit.c:68-142. The reference is a wall-clock token bucket (1s
     * refill); arrival order is nondeterministic there. The batch semantics

@@ -161,6 +161,37 @@ class CorrelationSpec extends SparkSpec {
     assert(got(3) === "done")
   }
 
+  test("grouping-by trigger + inject modes (test_grouping_by.c:65-150)") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def t(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    // 4 messages, trigger(context-length == 3): one full context of 3 and
+    // one open context of 1
+    val df = (0 until 4).map(i => ("c1", t(i), s"m$i"))
+      .toDF("key", "ts", "text")
+    val aggOnly = Correlation.groupingByTriggered(
+      df, Seq(col("key")), col("ts"), timeoutSeconds = 100, triggerCount = 3,
+      aggs = Seq(count(lit(1)).as("n"), concat_ws(",",
+        transform(array_sort(collect_list(struct(col("ts"), col("text")))),
+          x => x("text"))).as("joined")))
+    // aggregate-only: just the context aggregates, originals dropped
+    val rows = aggOnly.orderBy("joined").select("n", "joined")
+      .as[(Long, String)].collect().toSeq
+    assert(rows === Seq((3L, "m0,m1,m2"), (1L, "m3")))
+    // pass-through: aggregates AND the 4 original messages
+    val pt = Correlation.groupingByTriggered(
+      df, Seq(col("key")), col("ts"), 100, 3,
+      Seq(count(lit(1)).as("n")), injectPassThrough = true)
+    assert(pt.count() === 6) // 2 aggregates + 4 originals
+    assert(pt.where(col("n").isNull).count() === 4)
+    // a timeout gap also closes the context (trigger never fired)
+    val gapped = Seq(("c1", t(0), "a"), ("c1", t(1), "b"), ("c1", t(500), "c"))
+      .toDF("key", "ts", "text")
+    val g = Correlation.groupingByTriggered(
+      gapped, Seq(col("key")), col("ts"), 100, 3,
+      Seq(count(lit(1)).as("n"))).select("n").as[Long].collect().toSeq.sorted
+    assert(g === Seq(1L, 2L))
+  }
+
   test("context functions callable from template text inside aggregate()") {
     import graft.functions.Templates
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
