@@ -579,15 +579,45 @@ object TemplateFunctions {
       else coalesce(a.map(x => nullif(x.col, lit(""))) :+ lit(""): _*)),
     // --- strings --------------------------------------------------------
     "echo" -> (a => concat_ws(" ", a.map(_.col): _*)),
-    "length" -> (a => length(a(0).col).cast("string")),
-    "lowercase" -> (a => lower(a(0).col)),
-    "uppercase" -> (a => upper(a(0).col)),
-    "strip" -> (a => trim(a(0).col)),
+    // multi-arg: per-arg lengths joined with spaces (str-funcs.c tf_length)
+    "length" -> (a =>
+      if (a.isEmpty) lit("")
+      else concat_ws(" ", a.map(x => length(x.col).cast("string")): _*)),
+    // multi-arg: args join with spaces before casing (tf_lowercase/upper)
+    "lowercase" -> (a => lower(concat_ws(" ", a.map(_.col): _*))),
+    "uppercase" -> (a => upper(concat_ws(" ", a.map(_.col): _*))),
+    // multi-arg: stripped values joined with spaces, EMPTY results skipped
+    // (tf_strip appends only non-empty stripped args)
+    "strip" -> (a => concat_ws(" ",
+      filter(array(a.map(x => trim(x.col)): _*), _ =!= ""))),
     // substr(str, offset, [len]) — 0-based offset (reference str-funcs)
     "substr" -> (a =>
       if (a.length > 2) substring(a(0).col, a(1).int + 1, a(2).int)
       else a(0).col.substr(lit(a(1).int + 1), length(a(0).col))),
-    "sanitize" -> (a => regexp_replace(a(0).col, "[^a-zA-Z0-9_.-]", "_")),
+    // tf_sanitize (str-funcs.c:218-291): default invalid set is '/', control
+    // chars (<32) replaced unless -C; args join with '/'
+    "sanitize" -> (a => {
+      var i = 0
+      var repl = "_"
+      var invalid = "/"
+      var ctrl = true
+      var more = true
+      while (more && i < a.length) {
+        a(i).literal match {
+          case Some("-r") | Some("--replacement") =>
+            repl = a(i + 1).literal.getOrElse("_"); i += 2
+          case Some("-i") | Some("--invalid-chars") =>
+            invalid = a(i + 1).literal.getOrElse("/"); i += 2
+          case Some("-C") | Some("--no-ctrl-chars") => ctrl = false; i += 1
+          case Some("-c") | Some("--ctrl-chars") => ctrl = true; i += 1
+          case _ => more = false
+        }
+      }
+      val cls = "[" + java.util.regex.Pattern.quote(invalid) +
+        (if (ctrl) "\\x00-\\x1f" else "") + "]"
+      val rq = java.util.regex.Matcher.quoteReplacement(repl)
+      concat_ws("/", a.drop(i).map(x => regexp_replace(x.col, cls, rq)): _*)
+    }),
     // replace-delimiter("from_chars", "to_char", text) — any of from_chars
     // becomes to_char (reference str-funcs.c tf_replace_delimiter)
     "replace-delimiter" -> (a => {
@@ -595,15 +625,23 @@ object TemplateFunctions {
       val to = a(1).literal.getOrElse(sys.error("static to-char required"))
       translate(a(2).col, from, to.head.toString * from.length)
     }),
-    "padding" -> (a => lpad(a(0).col,
-      a(1).int, a.lift(2).flatMap(_.literal).getOrElse(" "))),
-    "indent-multi-line" -> (a => regexp_replace(a(0).col, "\n", "\n        ")),
+    // tf_padding: a value already >= the width stays UNTRUNCATED; an empty
+    // padding string pads with spaces (str-funcs.c tf_padding)
+    "padding" -> (a => {
+      val n = a(1).int
+      val pad = a.lift(2).flatMap(_.literal).filter(_.nonEmpty).getOrElse(" ")
+      when(length(a(0).col) >= n, a(0).col).otherwise(lpad(a(0).col, n, pad))
+    }),
+    "indent-multi-line" -> (a => regexp_replace(a(0).col, "\n", "\n\t")),
     "dirname" -> (a => when(a(0).col.contains("/"),
       regexp_extract(a(0).col, "^(.*)/[^/]*$", 1)).otherwise(lit("."))),
     "basename" -> (a => regexp_extract(a(0).col, "([^/]*)$", 1)),
     "url-encode" -> (a => url_encode(a(0).col)),
     "url-decode" -> (a => url_decode(a(0).col)),
-    "base64-encode" -> (a => base64(to_binary(a(0).col, lit("utf-8")))),
+    // multi-arg: inputs CONCATENATE before encoding (tf_base64encode)
+    "base64-encode" -> (a =>
+      if (a.isEmpty) lit("")
+      else base64(to_binary(concat(a.map(_.col): _*), lit("utf-8")))),
     // --- numeric (numeric-funcs.c) — int64-first, reference-exact --------
     "+" -> (numBin(_, (l, r) => try_add(l, r), _ + _)),
     "-" -> (numBin(_, (l, r) => try_subtract(l, r), _ - _)),

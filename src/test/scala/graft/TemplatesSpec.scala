@@ -41,7 +41,7 @@ class TemplatesSpec extends SparkSpec {
     assert(eval("$(strip '  x  ')") === "x")
     assert(eval("$(echo $role $tool)") === "assistant bash")
     assert(eval("$(padding $turn_idx 4 0)") === "0003")
-    assert(eval("$(sanitize 'a b/c')") === "a_b_c")
+    assert(eval("$(sanitize 'a b/c')") === "a b_c") // default invalid set is '/'
     assert(eval("$(replace-delimiter ' ' '-' $text)") === "hello-world")
     assert(eval("$(basename $path)") === "app.log")
     assert(eval("$(dirname $path)") === "/var/log")
@@ -262,6 +262,44 @@ class TemplatesSpec extends SparkSpec {
     assert(ev("$TAGS") === "t1,t2")
     assert(ev("$(tag t1)/$(tag t9)") === "1/0")
     assert(ev("$(tags-head)") === "t1")
+  }
+
+  test("str/fname function reference cases (test_str_funcs / test_fname_funcs)") {
+    assert(eval("$(length $role $tool)") === "9 4")
+    assert(eval("$(length $role)") === "9")
+    assert(eval("$(length)") === "")
+    assert(eval("$(strip '  value  ')") === "value")
+    assert(eval("$(strip '   ')") === "")
+    assert(eval("$(strip '' ' value ' '')") === "value") // empties skipped
+    assert(eval("$(strip ' v1 ' 'v2' ' v3 ')") === "v1 v2 v3")
+    assert(eval("$(strip ŐRÜLT_ÍRÓ)") === "ŐRÜLT_ÍRÓ")
+    assert(eval("$(sanitize alma/bela)") === "alma_bela")
+    assert(eval("$(sanitize -r @ alma/bela)") === "alma@bela")
+    assert(eval("$(sanitize -i @ alma@bela)") === "alma_bela")
+    assert(eval("$(sanitize -i '@/l ' alma@/bela)") === "a_ma__be_a")
+    assert(eval("$(sanitize $role $tool)") === "assistant/bash") // args join with '/'
+    assert(eval("$(indent-multi-line 'foo\nbar')") === "foo\n\tbar")
+    assert(eval("$(lowercase ŐRÜLT ÍRÓ)") === "őrült író")
+    assert(eval("$(uppercase őrült író)") === "ŐRÜLT ÍRÓ")
+    assert(eval("$(padding foo 10)") === "       foo")
+    assert(eval("$(padding foo 10 x)") === "xxxxxxxfoo")
+    assert(eval("$(padding foo 10 abc)") === "abcabcafoo")
+    assert(eval("$(padding foo 2)") === "foo") // longer value than width
+    assert(eval("$(padding foo 3)") === "foo")
+    assert(eval("$(padding foo 6 abc)") === "abcfoo")
+    assert(eval("$(padding foo 4 '')") === " foo") // empty pad string → space
+    assert(eval("[$(base64-encode)]") === "[]")
+    assert(eval("[$(base64-encode abc)]") === "[YWJj]")
+    assert(eval("[$(base64-encode abcd)]") === "[YWJjZA==]")
+    assert(eval("[$(base64-encode abcd abcd abcd abcd)]") === "[YWJjZGFiY2RhYmNkYWJjZA==]")
+    assert(eval("[$(base64-encode 'X X')]") === "[WCBY]")
+    assert(eval("$(basename foo)") === "foo")
+    assert(eval("$(basename /foo/bar)") === "bar")
+    assert(eval("$(basename /foo/bar/baz)") === "baz")
+    assert(eval("$(dirname foo)") === ".")
+    assert(eval("$(dirname /foo/bar)") === "/foo")
+    assert(eval("$(dirname /foo/bar/)") === "/foo/bar")
+    assert(eval("$(dirname /foo/bar/baz)") === "/foo/bar")
   }
 
   test("$(…)@N context-index suffix selects the Nth list element (test_cond_funcs @-forms)") {
