@@ -512,14 +512,14 @@ object TemplateFunctions {
     }
   }
 
-  // list values are comma-separated strings (reference LM_VT_LIST,
-  // lib/scanner/list-scanner) — split/join on ','; the empty string is the
-  // EMPTY list (list-scanner yields no elements), not a 1-element list
-  private def asList(a: Arg): Column = {
-    val c = a.col
-    when(c.isNull || c === "", array().cast("array<string>")).otherwise(split(c, ","))
-  }
-  private def render(l: Column): Column = concat_ws(",", l)
+  // LIST values parse/render with the faithful codec (ListValues: quoted
+  // elements, escapes, unquoted empties drop, re-quoting on encode)
+  private def asList(a: Arg): Column = ListValues.list_scan(a.col)
+  private def asLists(args: Seq[Arg]): Column =
+    if (args.isEmpty) array().cast("array<string>")
+    else if (args.length == 1) asList(args.head)
+    else concat(args.map(asList): _*)
+  private def render(l: Column): Column = ListValues.list_encode(l)
 
   /** Built-in protocol/service tables for $(getent) — both directions
     * (name→number and number→name), like nss does for the reference.
@@ -680,22 +680,82 @@ object TemplateFunctions {
     "floor" -> (numUnaryInt(_, floor(_))),
     // implode/explode (str-funcs): join a LIST with a delimiter / split a
     // string into a LIST
-    "implode" -> (a => concat_ws(a(0).literal.getOrElse(" "), asList(a(1)))),
-    "explode" -> (a => render(split(a(1).col,
-      java.util.regex.Pattern.quote(a(0).literal.getOrElse(" "))))),
-    // --- lists (list-funcs.c) — comma-separated LIST values --------------
-    "list-concat" -> (a => render(concat(a.map(asList): _*))),
+    "implode" -> (a => concat_ws(a(0).literal.getOrElse(" "), asLists(a.drop(1)))),
+    "explode" -> (a => render(flatten(array(a.drop(1).map(x => split(x.col,
+      java.util.regex.Pattern.quote(a(0).literal.getOrElse(" ")))): _*)))),
+    // --- lists (list-funcs.c over lib/scanner/list-scanner) --------------
+    // every list argument parses with the LIST codec (quoted elements,
+    // escapes, unquoted empties drop) and multiple list args concatenate
+    "list-concat" -> (a =>
+      if (a.isEmpty) lit("") else render(asLists(a))),
     // $(…)@N context-index suffix (lib/template parser @-index)
     "__at" -> (a => try_element_at(asList(a(0)), lit(a(1).int + 1))),
-    "list-head" -> (a => element_at(asList(a(0)), 1)),
-    "list-nth" -> (a => element_at(asList(a(0)), a(1).int + 1)),
-    "list-tail" -> (a => render(slice(asList(a(0)), 2, 1000000))),
-    "list-count" -> (a => size(asList(a(0))).cast("string")),
-    "list-append" -> (a => render(concat(asList(a(0)),
-      array(a.drop(1).map(_.col): _*)))),
-    "list-slice" -> (a => render(slice(asList(a(0)), a(1).int + 1,
-      a(2).int - a(1).int))),
-    "list-search" -> (a => (array_position(asList(a(1)), a(0).col) - 1).cast("string")),
+    "list-head" -> (a =>
+      if (a.isEmpty) lit("") else try_element_at(asLists(a), lit(1))),
+    // reference arg order: $(list-nth INDEX list…); negatives count from
+    // the end, out-of-range renders empty
+    "list-nth" -> (a => {
+      val n = a(0).int
+      try_element_at(asLists(a.drop(1)), lit(if (n >= 0) n + 1 else n))
+    }),
+    "list-tail" -> (a =>
+      if (a.isEmpty) lit("") else render(slice(asLists(a), 2, 1000000))),
+    "list-count" -> (a => size(asLists(a)).cast("string")),
+    "list-append" -> (a =>
+      if (a.isEmpty) lit("")
+      else render(concat(asList(a(0)), array(a.drop(1).map(_.col): _*)))),
+    // $(list-slice FROM:TO list…) — python-style half-open slice, negative
+    // ends relative to the length, either side optional (list-funcs.c)
+    "list-slice" -> (a => {
+      val spec = a(0).literal.getOrElse(sys.error("list-slice needs FROM:TO"))
+      val Array(fS, tS) = (spec + " ").split(":", 2).map(_.trim)
+      val l = asLists(a.drop(1))
+      val len = size(l)
+      def bound(s: String, dflt: Column): Column =
+        if (s.isEmpty) dflt
+        else {
+          val k = s.toInt
+          if (k >= 0) lit(k) else greatest(len + k, lit(0))
+        }
+      val from = least(bound(fS, lit(0)), len)
+      val to = least(bound(tS, len.cast("int")), len)
+      render(slice(l, from + 1, greatest(to - from, lit(0))))
+    }),
+    // $(list-search [--mode M] [--start-index N] NEEDLE list…) — first
+    // index ≥ N whose element matches; literal/prefix/substring/glob/pcre
+    "list-search" -> (a => {
+      var i = 0
+      var mode = "literal"
+      var start = 0
+      var needle: Option[Arg] = None
+      val lists = Seq.newBuilder[Arg]
+      while (i < a.length) {
+        a(i).literal match {
+          case Some("--mode") => mode = a(i + 1).literal.getOrElse("literal"); i += 2
+          case Some("--start-index") => start = a(i + 1).int; i += 2
+          case _ =>
+            if (needle.isEmpty) needle = Some(a(i)) else lists += a(i)
+            i += 1
+        }
+      }
+      val nd = needle.getOrElse(sys.error("list-search needs a needle")).col
+      val l = asLists(lists.result())
+      def pred(v: Column): Column = mode match {
+        case "literal"   => v === nd
+        case "prefix"    => v.startsWith(nd)
+        case "substring" => v.contains(nd)
+        case "glob" =>
+          val g = needle.get.literal.getOrElse(sys.error("glob needle must be static"))
+          graft.filters.Filters.matchGlob(v, g)
+        case "pcre" =>
+          val re = needle.get.literal.getOrElse(sys.error("pcre needle must be static"))
+          v.rlike(re) // log_matcher pcre backend: unanchored find
+        case other => sys.error(s"unknown list-search mode: $other")
+      }
+      val idxed = transform(l, (v, ix) => struct(ix.as("i"), v.as("v")))
+      val hits = filter(idxed, e => e("i") >= start && pred(e("v")))
+      when(size(hits) > 0, element_at(hits, 1)("i").cast("string")).otherwise(lit(""))
+    }),
     // --- ip ---------------------------------------------------------------
     "ipv4-to-int" -> (a => graft.filters.Filters.ipv4ToLong(a(0).col).cast("string")),
     // --- crypto (modules/cryptofuncs) -------------------------------------

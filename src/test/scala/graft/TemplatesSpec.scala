@@ -189,13 +189,13 @@ class TemplatesSpec extends SparkSpec {
     assert(eval("$(if '' yes no)") === "no")
     assert(eval("$(or '' $role)") === "assistant")
     assert(eval("$(list-head $lst)") === "a")
-    assert(eval("$(list-nth $lst 1)") === "b")
+    assert(eval("$(list-nth 1 $lst)") === "b") // reference order: INDEX first
     assert(eval("$(list-tail $lst)") === "b,c")
     assert(eval("$(list-count $lst)") === "3")
     assert(eval("$(list-append $lst d)") === "a,b,c,d")
-    assert(eval("$(list-slice $lst 0 2)") === "a,b")
+    assert(eval("$(list-slice 0:2 $lst)") === "a,b") // reference form: FROM:TO first
     assert(eval("$(implode - $lst)") === "a-b-c")
-    assert(eval("$(explode / $path)") === ",var,log,app.log") // leading empty element kept
+    assert(eval("$(explode / $path)") === "\"\",var,log,app.log") // empty element encodes as ""
     assert(eval("$(ipv4-to-int $ip)") === "167838211")
     assert(eval("$(sha256 x 8)") === "2d711642") // sha256("x") prefix
     assert(eval("$(md5 x 8)") === "9dd4e461")
@@ -300,6 +300,70 @@ class TemplatesSpec extends SparkSpec {
     assert(eval("$(dirname /foo/bar)") === "/foo")
     assert(eval("$(dirname /foo/bar/)") === "/foo/bar")
     assert(eval("$(dirname /foo/bar/baz)") === "/foo/bar")
+  }
+
+  test("LIST value semantics: quoting, escapes, slices, search modes (test_list_funcs)") {
+    assert(eval("$(list-concat)") === "")
+    assert(eval("$(list-concat foo bar baz)") === "foo,bar,baz")
+    assert(eval("$(list-concat foo bar baz '')") === "foo,bar,baz")
+    assert(eval("$(list-concat foo $role,$tool bar)") === "foo,assistant,bash,bar")
+    assert(eval("$(list-append)") === "")
+    assert(eval("$(list-append '' foo)") === "foo")
+    assert(eval("$(list-append '' foo bar baz)") === "foo,bar,baz")
+    assert(eval("$(list-append foo,bar,baz 'x')") === "foo,bar,baz,x")
+    assert(eval("$(list-append foo,bar,baz '')") === "foo,bar,baz,\"\"")
+    assert(eval("$(list-append foo,bar,baz 'xxx,')") === "foo,bar,baz,\"xxx,\"")
+    assert(eval("$(list-append foo,bar,baz 'a\tb')") === "foo,bar,baz,\"a\\tb\"")
+    assert(eval("$(list-head '')") === "")
+    assert(eval("$(list-head foo,)") === "foo")
+    assert(eval("$(list-head ,bar,baz)") === "bar") // unquoted empty drops
+    assert(eval("$(list-head foo bar baz)") === "foo")
+    assert(eval("$(list-head '' bar baz)") === "bar")
+    assert(eval("$(list-head '\"\tfoo,\",bar,baz')") === "\tfoo,")
+    assert(eval("$(list-nth 0 '\"foo,\",\"bar\",\"baz\"')") === "foo,")
+    assert(eval("$(list-nth 2 '\"foo,\",\"bar\",\"baz\"')") === "baz")
+    assert(eval("$(list-nth 3 '\"foo,\",\"bar\",\"baz\"')") === "")
+    assert(eval("$(list-nth -1 '\"foo,\",\"bar\",\"baz\"')") === "baz")
+    assert(eval("$(list-nth -3 '\"foo,\",\"bar\",\"baz\"')") === "foo,")
+    assert(eval("$(list-nth -4 '\"foo,\",\"bar\",\"baz\"')") === "")
+    assert(eval("$(list-tail foo)") === "")
+    assert(eval("$(list-tail foo,bar)") === "bar")
+    assert(eval("$(list-tail foo,)") === "")
+    assert(eval("$(list-tail ,bar)") === "")
+    assert(eval("$(list-tail foo,bar,xxx, baz bad)") === "bar,xxx,baz,bad")
+    assert(eval("$(list-slice 0:0 foo,bar,xxx,baz,bad)") === "")
+    assert(eval("$(list-slice 0:2 foo,bar,xxx,baz,bad)") === "foo,bar")
+    assert(eval("$(list-slice 1:1 foo,bar,xxx,baz,bad)") === "")
+    assert(eval("$(list-slice : foo,bar,xxx,baz,bad)") === "foo,bar,xxx,baz,bad")
+    assert(eval("$(list-slice 3: foo,bar,xxx,baz,bad)") === "baz,bad")
+    assert(eval("$(list-slice :3 foo,bar,xxx,baz,bad)") === "foo,bar,xxx")
+    assert(eval("$(list-slice -2: foo,bar,xxx,baz,bad)") === "baz,bad")
+    assert(eval("$(list-slice -100: foo,bar,xxx,baz,bad)") === "foo,bar,xxx,baz,bad")
+    assert(eval("$(list-slice :-2 foo,bar,xxx,baz,bad)") === "foo,bar,xxx")
+    assert(eval("$(list-slice :-5 foo,bar,xxx,baz,bad)") === "")
+    assert(eval("$(list-slice :-6 foo,bar,xxx,baz,bad)") === "")
+    assert(eval("$(list-count foo,bar,xxx, baz bad)") === "5")
+    assert(eval("$(explode ' ' foo bar xxx baz bad)") === "foo,bar,xxx,baz,bad")
+    assert(eval("$(explode ';' foo;bar xxx;baz;bad)") === "foo,bar,xxx,baz,bad")
+    assert(eval("$(implode ' ' foo,bar,xxx,baz,bad)") === "foo bar xxx baz bad")
+    assert(eval("$(implode ' ' $(list-slice :3 foo,bar,xxx,baz,bad))") === "foo bar xxx")
+    assert(eval("$(list-search almafa '')") === "")
+    assert(eval("$(list-search 'foo,' '\"foo,\",\"bar\",\"baz\",\"bar\"')") === "0")
+    assert(eval("$(list-search --start-index 0 --mode literal bar '\"foo,\",\"bar\",\"baz\",\"bar\"')") === "1")
+    assert(eval("$(list-search --start-index 2 bar '\"foo,\",\"bar\",\"baz\",\"bar\"')") === "3")
+    assert(eval("$(list-search --start-index 5 baz '\"foo,\",\"bar\",\"baz\",\"bar\"' '\"foo,\",\"bar\",\"baz\",\"bar\"')") === "6")
+    assert(eval("$(list-search almafa --mode literal '\"foo,\",\"bar\",\"baz\",\"bar\"')") === "")
+    assert(eval("$(list-search --start-index 0 --mode prefix fo '\"foo,\",\"bar\",\"baz\"')") === "0")
+    assert(eval("$(list-search --mode prefix ba '\"foo,\",\"bar\",\"baz\"')") === "1")
+    assert(eval("$(list-search --start-index 2 --mode prefix ba '\"foo,\",\"bar\",\"baz\"')") === "2")
+    assert(eval("$(list-search --mode substring oo '\"foo,\",\"bar\",\"baz\"')") === "0")
+    assert(eval("$(list-search --mode substring --start-index 2 a '\"foo,\",\"bar\",\"baz\"')") === "2")
+    assert(eval("$(list-search --mode glob f*, '\"foo,\",\"bar\",\"baz\"')") === "0")
+    assert(eval("$(list-search --mode glob --start-index 1 *az '\"foo,\",\"bar\",\"baz\"')") === "2")
+    assert(eval("$(list-search --mode glob ar '\"foo,\",\"bar\",\"baz\"')") === "")
+    assert(eval("$(list-search --mode pcre --start-index 0 f.*, '\"foo,\",\"bar\",\"baz\"')") === "0")
+    assert(eval("$(list-search --mode pcre ^bar$$ '\"foo,\",\"bar\",\"baz\"')") === "1")
+    assert(eval("$(list-search --mode pcre a...fa '\"foo,\",\"bar\",\"baz\"')") === "")
   }
 
   test("$(…)@N context-index suffix selects the Nth list element (test_cond_funcs @-forms)") {
