@@ -822,14 +822,14 @@ object TemplateFunctions {
     "values" -> (a => {
       val g = a(0).literal.getOrElse(sys.error("$(values) needs a static glob"))
       val m = a.head.resolver("fields").getOrElse(sys.error("$(values) needs a fields map"))
-      concat_ws(",", transform(array_sort(transform(
+      render(transform(array_sort(transform(
         filter(map_entries(m), e => e("key").rlike(globRegex(g))),
         e => struct(e("key").as("k"), e("value").as("v")))), s => s("v")))
     }),
     "names" -> (a => {
       val g = a(0).literal.getOrElse(sys.error("$(names) needs a static glob"))
       val m = a.head.resolver("fields").getOrElse(sys.error("$(names) needs a fields map"))
-      concat_ws(",", array_sort(filter(map_keys(m), k => k.rlike(globRegex(g)))))
+      render(array_sort(filter(map_keys(m), k => k.rlike(globRegex(g)))))
     }),
     // --- env (basicfuncs misc): plan-time environment snapshot — constant
     // per compiled plan, so retries see one value (determinism rule) ------
@@ -914,13 +914,15 @@ object TemplateFunctions {
     //     contexts). $(context-values $x $order) needs the explicit order
     //     ref because a batch context has no arrival order of its own.
     "context-length" -> (_ => graft.operators.Correlation.Context.length.cast("string")),
-    "context-values" -> (a => concat_ws(",",
+    // values LIST-encode (a value containing a comma renders quoted —
+    // test_context_funcs ${comma_value} cases)
+    "context-values" -> (a => render(
       graft.operators.Correlation.Context.values(a(0).col, a(1).col))),
     // $(context-lookup cond $x $order) / $(grep cond $x $order): the order
     // ref keeps multi-match output deterministic across retries
-    "context-lookup" -> (a => concat_ws(",",
+    "context-lookup" -> (a => render(
       graft.operators.Correlation.Context.lookup(cond(a(0)), a(1).col, a(2).col))),
-    "grep" -> (a => concat_ws(",",
+    "grep" -> (a => render(
       graft.operators.Correlation.Context.grep(cond(a(0)), a(1).col, a(2).col)))
   )
 

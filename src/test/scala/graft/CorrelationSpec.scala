@@ -210,5 +210,13 @@ class CorrelationSpec extends SparkSpec {
     val got = Correlation.groupingBy(df, Seq(col("conv_id")), col("ts"), "1 hour",
       aggs = Seq(summary.as("s"))).select("s").as[String].head()
     assert(got === "n=3 acts=login,read,logout outs=logout")
+    // a value CONTAINING a comma renders quoted in the LIST
+    // (test_basicfuncs.c test_context_funcs ${comma_value})
+    val dfc = Seq(("c1", 0, t(0), "value,with,a,comma"), ("c1", 1, t(1), "plain"))
+      .toDF("conv_id", "i", "ts", "action")
+    val vals = Templates.compile("$(context-values $action $i)", resolver)
+    val gotc = Correlation.groupingBy(dfc, Seq(col("conv_id")), col("ts"), "1 hour",
+      aggs = Seq(vals.as("s"))).select("s").as[String].head()
+    assert(gotc === "\"value,with,a,comma\",plain")
   }
 }
