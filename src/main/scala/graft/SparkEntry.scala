@@ -1516,7 +1516,7 @@ object SparkEntry {
          WHERE substr(md5(cast(doc_id AS varchar)), 1, 8) <
            CASE lang WHEN 'en' THEN '4ccccccc'
                      WHEN 'de' THEN 'b3333333'
-                     ELSE 'ffffffff' END""",
+                     ELSE 'g' END""",
 
     "q_corpus_vocab" ->
       """SELECT token, count(*)::bigint AS freq

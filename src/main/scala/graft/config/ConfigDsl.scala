@@ -123,8 +123,9 @@ object Compiler {
       val row = f.agg(aggs.head, aggs.tail: _*).head()
       val spark = f.sparkSession
       import spark.implicits._
+      def v(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
       routeCounters.zipWithIndex.map { case ((n, _, _), i) =>
-        (n, row.getLong(2 * i), row.getLong(2 * i + 1))
+        (n, v(2 * i), v(2 * i + 1)) // sum() is NULL over zero rows
       }.toDF("id", "ingress", "egress")
     }
 

@@ -150,16 +150,28 @@ object ConfigText {
     sb.toString
   }
 
-  /** condition(<filter expr>) guard of a rewrite rule. */
+  /** condition(<filter expr>) guard of a rewrite rule — same resolution as
+    * templates (columns → macro family → fields map).
+    */
   private def conditionPred(df: DataFrame, text: String,
-      user: Map[String, String]): Column = {
-    val cols = df.columns.toSet
-    val resolver: graft.functions.Templates.Resolver = n =>
-      if (cols.contains(n)) Some(col(n))
-      else if (cols.contains("fields")) Some(try_element_at(col("fields"), lit(n)))
-      else None
-    graft.functions.Conditions.tryCompile(text, resolver, user)
+      user: Map[String, String]): Column =
+    graft.functions.Conditions.tryCompile(text, frameResolver(df), user)
       .getOrElse(sys.error(s"condition() does not parse as a filter expression: $text"))
+
+  /** Name resolution over a frame: top-level columns shadow the standard
+    * macro family (which itself falls back to the parsed `fields` map) —
+    * ONE order for templates, conditions and parser inputs, so $FACILITY /
+    * $SDATA resolve identically everywhere.
+    */
+  private def frameResolver(df: DataFrame): graft.functions.Templates.Resolver = {
+    val cols = df.columns.toSet
+    val ts = if (cols.contains("ts")) col("ts").cast("timestamp")
+      else lit(null).cast("timestamp")
+    val pri = if (cols.contains("pri")) col("pri").cast("int") else lit(13)
+    val fields = if (cols.contains("fields")) col("fields")
+      else map().cast("map<string,string>")
+    val std = graft.functions.Templates.standardResolver(cols, ts, pri, fields)
+    n => (if (cols.contains(n)) Some(col(n)) else None).orElse(std(n))
   }
 
   // --------------------------------------------- filter expression → Column
@@ -284,7 +296,14 @@ object ConfigText {
     case other => sys.error(s"unknown source driver: $other")
   }
 
-  private def parserDriver(c: Call): DataFrame => DataFrame = c.name match {
+  /** A parser driver: the frame transform plus an optional KEEP predicate
+    * (drop-invalid). Dropping rows inside the transform would corrupt the
+    * Compiler's shared-frame model (every path and the stash/blend guard
+    * assume row alignment) — drop-invalid instead compiles to a path
+    * FilterE, which routes the row out of THIS path only, exactly the
+    * reference's per-path drop semantics.
+    */
+  private def parserDriver(c: Call): (DataFrame => DataFrame, Option[DataFrame => Column]) = c.name match {
     case "db-parser" | "grok" =>
       // db-parser(file("rules.xml")) loads a patterndb XML rule set and
       // runs the typed radix matcher; without file() the grok transcript
@@ -293,22 +312,23 @@ object ConfigText {
         case Some(path) =>
           val rules = graft.parsers.PatternDb.loadXml(new String(
             java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
-          df => graft.parsers.PatternDb.promote(
+          ((df: DataFrame) => graft.parsers.PatternDb.promote(
             graft.parsers.PatternDb.annotate(
-              df, c.kwargs.getOrElse("value", "text"), rules), rules)
+              df, c.kwargs.getOrElse("value", "text"), rules), rules), None)
         case None =>
-          df => GrokStage(df, c.kwargs.getOrElse("value", "text"), GrokStage.transcriptRules)
+          ((df: DataFrame) => GrokStage(df, c.kwargs.getOrElse("value", "text"),
+            GrokStage.transcriptRules), None)
       }
     case "kv-parser" =>
       // quoted-dialect scan when requested; plain str_to_map otherwise
       if (c.kwargs.get("dialect").contains("scanner") || c.args.contains("extract-stray-words"))
-        df => graft.parsers.Scanners.kvStage(df, c.kwargs.getOrElse("value", "text"),
+        ((df: DataFrame) => graft.parsers.Scanners.kvStage(df, c.kwargs.getOrElse("value", "text"),
           graft.parsers.Scanners.KvOptions(
             extractStrayWords = c.args.contains("extract-stray-words")),
-          prefix = c.kwargs.getOrElse("prefix", "kv_"))
+          prefix = c.kwargs.getOrElse("prefix", "kv_")), None)
       else
-        df => df.withColumn(c.kwargs.getOrElse("prefix", "kv"),
-          FieldParsers.kvParser(col(c.kwargs.getOrElse("value", "text"))))
+        ((df: DataFrame) => df.withColumn(c.kwargs.getOrElse("prefix", "kv"),
+          FieldParsers.kvParser(col(c.kwargs.getOrElse("value", "text")))), None)
     case "syslog-parser" =>
       // full RFC3164/RFC5424 classification (modules/syslogformat) —
       // flags(...) select the LP_* behaviors; recv-time()/time-zone() pin
@@ -324,32 +344,32 @@ object ConfigText {
           .map(java.time.ZoneId.of).getOrElse(java.time.ZoneOffset.UTC),
         nowEpochUsec = c.kwargs.get("recv-time").map(_.toLong).getOrElse(0L),
         badHostname = c.kwargs.get("bad-hostname"))
-      df => graft.parsers.SyslogFormat.stage(
+      ((df: DataFrame) => graft.parsers.SyslogFormat.stage(
         df, c.kwargs.getOrElse("value", "text"), o,
-        prefix = c.kwargs.getOrElse("prefix", "sl_"))
+        prefix = c.kwargs.getOrElse("prefix", "sl_")), None)
     case "sdata-parser" =>
       // parse an SDATA-shaped field into the sdata/sdata_ids columns the
       // $SDATA macro renders (reference modules/sdata-parser)
-      df => {
+      ((df: DataFrame) => {
         val p = graft.functions.GraftFunctions.sdata_parse(
           col(c.kwargs.getOrElse("value", "text")))
         df.withColumn("__sd", p)
           .withColumn("sdata_ids", col("__sd.sdata_ids"))
           .withColumn("sdata", col("__sd.sdata"))
           .drop("__sd")
-      }
+      }, None)
     case "cisco-parser" =>
       val o = graft.parsers.SyslogFormat.Options(
         recvZone = c.kwargs.get("time-zone")
           .map(java.time.ZoneId.of).getOrElse(java.time.ZoneOffset.UTC),
         nowEpochUsec = c.kwargs.get("recv-time").map(_.toLong).getOrElse(0L))
-      df => graft.parsers.CiscoParser.stage(
+      ((df: DataFrame) => graft.parsers.CiscoParser.stage(
         df, c.kwargs.getOrElse("value", "text"), o,
-        prefix = c.kwargs.getOrElse("prefix", "cisco_"))
+        prefix = c.kwargs.getOrElse("prefix", "cisco_")), None)
     case "json-parser" =>
-      df => df.withColumn(c.kwargsOrFail("prefix"),
+      ((df: DataFrame) => df.withColumn(c.kwargsOrFail("prefix"),
         FieldParsers.jsonParser(col(c.kwargs.getOrElse("value", "text")),
-          c.args.head))
+          c.args.head)), None)
     case "csv-parser" =>
       // dialect()/flags(escape-*) select the scanner FSM; columns() or
       // positional args name the outputs; quote-pairs("\"\"''") sets the
@@ -367,8 +387,8 @@ object ConfigText {
         .orElse(flags.find(_.startsWith("escape-")))
       dialectName match {
         case None if (c.kwargs.keySet -- Set("value")).isEmpty =>
-          df => FieldParsers.csvParser(df,
-            col(valueName(c.kwargs.getOrElse("value", "text"))), names)
+          ((df: DataFrame) => FieldParsers.csvParser(df,
+            col(valueName(c.kwargs.getOrElse("value", "text"))), names), None)
         case d =>
           val dialect = d.getOrElse("escape-none") match {
             case "escape-none" => graft.parsers.Scanners.EscapeNone
@@ -385,13 +405,11 @@ object ConfigText {
             dialect = dialect,
             greedy = flags("greedy"),
             stripWhitespace = flags("strip-whitespace"))
-          df0 => {
+          val f = (df0: DataFrame) => {
             val (df, in) = parserInput(df0, c)
-            val out = graft.parsers.Scanners.csvStage(df, in, names, opts)
-              .drop(tmpInputCol)
-            if (flags("drop-invalid")) out.filter(!col("csv_invalid")).drop("csv_invalid")
-            else out
+            graft.parsers.Scanners.csvStage(df, in, names, opts).drop(tmpInputCol)
           }
+          (f, if (flags("drop-invalid")) Some((_: DataFrame) => !col("csv_invalid")) else None)
       }
     case "regexp-parser" =>
       // regexp-parser(patterns('re' …) [prefix() template() value()]) —
@@ -407,7 +425,7 @@ object ConfigText {
       }
       val dropInvalid = c.kwargs.get("flags").exists(_.contains("drop-invalid")) ||
         c.args.contains("drop-invalid")
-      df0 => {
+      val f = (df0: DataFrame) => {
         val (df1, in) = parserInput(df0, c)
         // GrokStage owns fields/rule_id/tags — stash pre-existing ones
         val owned = Seq("fields", "rule_id", "tags").filter(df1.columns.contains)
@@ -417,11 +435,11 @@ object ConfigText {
           .filterNot(_.startsWith("__g")) // unnamed-group placeholders
         val promoted = captures.foldLeft(parsed)((d, n) =>
           d.withColumn(prefix + n, try_element_at(col("fields"), lit(n))))
-        val filtered =
-          if (dropInvalid) promoted.filter(col("rule_id").isNotNull) else promoted
-        val cleaned = filtered.drop("fields", "rule_id", "tags", tmpInputCol)
+          .withColumn(s"${prefix}re_invalid", col("rule_id").isNull)
+        val cleaned = promoted.drop("fields", "rule_id", "tags", tmpInputCol)
         owned.foldLeft(cleaned)((d, n) => d.withColumnRenamed(s"__pre_$n", n))
       }
+      (f, if (dropInvalid) Some((_: DataFrame) => !col(s"${prefix}re_invalid")) else None)
     case other => sys.error(s"unknown parser driver: $other")
   }
 
@@ -490,26 +508,7 @@ object ConfigText {
   private def templateValue(df: DataFrame, text: String,
       user: Map[String, String]): Column =
     if (!text.contains("$")) lit(text)
-    else {
-      val cols = df.columns.toSet
-      val base: graft.functions.Templates.Resolver = n =>
-        if (cols.contains(n)) Some(col(n))
-        else if (cols.contains("fields")) Some(try_element_at(col("fields"), lit(n)))
-        else None
-      // layer the standard macro family ($FACILITY/$SDATA/date macros…)
-      // under the column/fields resolution when the frame carries the
-      // backing columns — config templates address macros like the
-      // reference's (macros resolve only when their inputs exist)
-      val ts = if (cols.contains("ts")) col("ts").cast("timestamp")
-        else lit(null).cast("timestamp")
-      val pri = if (cols.contains("pri")) col("pri").cast("int") else lit(13)
-      val fields = if (cols.contains("fields")) col("fields")
-        else map().cast("map<string,string>")
-      val std = graft.functions.Templates.standardResolver(cols, ts, pri, fields)
-      val resolver: graft.functions.Templates.Resolver =
-        n => base(n).orElse(std(n))
-      graft.functions.Templates.compile(text, resolver, user)
-    }
+    else graft.functions.Templates.compile(text, frameResolver(df), user)
 
   private def rewriteDriver(c: Call,
       user: () => Map[String, String] = () => Map.empty): DataFrame => DataFrame = c.name match {
@@ -795,6 +794,7 @@ object ConfigText {
     val sources = Map.newBuilder[String, SparkSession => DataFrame]
     val filters = scala.collection.mutable.Map[String, DataFrame => Column]()
     val parsers = scala.collection.mutable.Map[String, DataFrame => DataFrame]()
+    val parserKeeps = scala.collection.mutable.Map[String, Seq[DataFrame => Column]]()
     val rewrites = scala.collection.mutable.Map[String, DataFrame => DataFrame]()
     val dests = scala.collection.mutable.Map[String, String]()
     val userTemplates = scala.collection.mutable.Map[String, String]()
@@ -806,7 +806,14 @@ object ConfigText {
         p.ident() match {
           case "source"      => p.expect("("); p.ident(); p.expect(")") // handled by caller list
           case "filter"      => p.expect("("); els += Dsl.FilterE(filters(p.ident())); p.expect(")")
-          case "parser"      => p.expect("("); els += Dsl.TransformE(parsers(p.ident())); p.expect(")")
+          case "parser" =>
+            p.expect("(")
+            val pn = p.ident()
+            els += Dsl.TransformE(parsers(pn))
+            // drop-invalid compiles to a PATH filter: the unmatched row is
+            // routed out of this path only, never dropped from the frame
+            parserKeeps.getOrElse(pn, Nil).foreach(k => els += Dsl.FilterE(k))
+            p.expect(")")
           case "rewrite"     => p.expect("("); els += Dsl.TransformE(rewrites(p.ident())); p.expect(")")
           case "destination" => p.expect("("); els += Dsl.DestE(dests(p.ident())); p.expect(")")
           case "filterx" =>
@@ -875,7 +882,15 @@ object ConfigText {
         case "parser" =>
           val name = p.ident(); p.expect("{")
           var f: DataFrame => DataFrame = identity
-          while (!p.isPunct("}")) { val c = parseCall(p); p.eat(";"); val g = f; val d = parserDriver(c); f = df => d(g(df)) }
+          val keeps = Seq.newBuilder[DataFrame => Column]
+          while (!p.isPunct("}")) {
+            val c = parseCall(p); p.eat(";")
+            val g = f
+            val (d, keep) = parserDriver(c)
+            f = df => d(g(df))
+            keep.foreach(keeps += _)
+          }
+          parserKeeps(name) = keeps.result()
           p.expect("}")
           parsers(name) = f
         case "rewrite" =>

@@ -18,13 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** The 8-hex-digit threshold under which a uniform md5 draw keeps a row
-    * with probability `fraction`.
+  /** The threshold under which a uniform md5-prefix draw keeps a row with
+    * probability `fraction`. Fraction ≥ 1.0 returns "g" — lexicographically
+    * above every hex prefix, so keep-all really keeps ALL rows (a strict
+    * `< "ffffffff"` would drop the 1-in-2^32 prefix-ffffffff rows, which
+    * exist at the target corpus scale).
     */
-  def thresholdHex(fraction: Double): String = {
-    val t = math.min(math.max(fraction, 0.0), 1.0)
-    f"${(t * 4294967296.0).toLong.min(0xFFFFFFFFL)}%08x"
-  }
+  def thresholdHex(fraction: Double): String =
+    if (fraction >= 1.0) "g"
+    else {
+      val t = math.max(fraction, 0.0)
+      f"${(t * 4294967296.0).toLong}%08x"
+    }
 
   /** Uniform deterministic sample: keep ≈`fraction` of rows, decided by
     * md5(key). Scan-stage predicate, no shuffle, no state.

@@ -370,8 +370,9 @@ object Templates {
       "LEVEL_NUM" -> graft.model.SyslogNames.severityNum(pri).cast("string"),
       "TAGS" -> concat_ws(",", col("tags")),
       // $* — the store-matches list rendered as a LIST value
-      // (macros.c M__ASTERISK; matches live in the `matches` column)
-      "*" -> (if (columns.contains("matches")) concat_ws(",", col("matches"))
+      // (macros.c M__ASTERISK; matches live in the `matches` column);
+      // LIST-encoded so comma-bearing captures stay one element
+      "*" -> (if (columns.contains("matches")) ListValues.list_encode(col("matches"))
         else lit("")),
       // socket-address family: a table source has no peer socket; the
       // reference renders loopback/zero for local sources (macros.c:591-658)
@@ -1006,10 +1007,26 @@ object TemplateFunctions {
   */
 object MatchTemplates {
 
-  /** groups(i) = capture group i of the current match (0 = whole match). */
+  /** groups(i) = capture group i of the current match (0 = whole match).
+    * Unsupported functions fail HERE (plan time, the template is static),
+    * not per row on an executor.
+    */
   def compile(tmpl: String): (Int => Option[String]) => String = {
     val elems = Templates.parse(tmpl)
+    validate(elems)
     gs => render(elems, gs)
+  }
+
+  private val supported = Set("substr", "uppercase", "lowercase", "echo",
+    "length", "sha1", "sha256", "sha512", "md5", "hash")
+
+  private def validate(elems: Seq[Templates.Elem]): Unit = elems.foreach {
+    case Templates.Call(fn, args, _) =>
+      require(supported(fn),
+        s"$$($fn) is not supported in a subst() replacement template")
+      args.foreach(validate)
+    case Templates.Ref(_, Some(d)) => validate(d)
+    case _ =>
   }
 
   private def render(elems: Seq[Templates.Elem], gs: Int => Option[String]): String =

@@ -49,7 +49,13 @@ object CiscoParser {
   /** Timestamp scan at the START of `s`: (epoch-seconds-in-recv-zone, usec,
     * sync-marker). None when `s` does not open with a cisco timestamp.
     */
-  private def scanTs(s: String, opt: SyslogFormat.Options): Option[(Long, Int, String)] = {
+  private def scanTs(s: String, opt: SyslogFormat.Options): Option[(Long, Int, String)] =
+    // regex shape says "looks like a date"; out-of-range fields (Feb 30,
+    // month 13) must scan as NO timestamp, not kill the task
+    try scanTs0(s, opt)
+    catch { case _: java.time.DateTimeException | _: NumberFormatException => None }
+
+  private def scanTs0(s: String, opt: SyslogFormat.Options): Option[(Long, Int, String)] = {
     isoTs.findFirstMatchIn(s) match {
       case Some(g) =>
         val ldt = LocalDateTime.of(g.group(1).toInt, g.group(2).toInt, g.group(3).toInt,

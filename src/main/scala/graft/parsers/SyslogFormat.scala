@@ -315,6 +315,13 @@ object SyslogFormat {
   }
 
   private def scanTimestamp(c: Cur, opt: Options,
+      iso5424Only: Boolean): Option[(LocalDateTime, Int, Option[Int])] =
+    // shape checks below are punctuation-only; a non-digit in a digit slot
+    // ("abcd-ef-gh ij:kl:mn") must scan as NO timestamp, not kill the task
+    try scanTimestamp0(c, opt, iso5424Only)
+    catch { case _: NumberFormatException => None }
+
+  private def scanTimestamp0(c: Cur, opt: Options,
       iso5424Only: Boolean): Option[(LocalDateTime, Int, Option[Int])] = {
     val r = c.rest
     def d(k: Int): Boolean = k < r.length && r(k).isDigit

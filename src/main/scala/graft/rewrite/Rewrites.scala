@@ -58,10 +58,14 @@ object Rewrites {
     * the codegen'd [[subst]]; this path is for function-bearing templates.
     */
   def substTemplate(df: DataFrame, name: String, re: String, replacementTmpl: String,
-      global: Boolean = false, condition: Option[Column] = None): DataFrame =
+      global: Boolean = false, condition: Option[Column] = None): DataFrame = {
+    // force template validation NOW (driver, plan time) — an unsupported
+    // function must not surface as a per-row executor exception
+    graft.functions.MatchTemplates.compile(replacementTmpl)
     guarded(df, name,
       GraftFunctions.regexp_subst_template(col(name), re, replacementTmpl, global),
       condition)
+  }
 
   /** groupset(value, globs) — set every column whose name matches one of the
     * glob patterns (reference lib/rewrite/rewrite-groupset.c:72). The glob is

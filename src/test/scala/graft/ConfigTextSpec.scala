@@ -311,6 +311,37 @@ class ConfigTextSpec extends SparkSpec {
     assert(c2.sink("str").count() === t.count() && c2.sink("num").count() === 0)
   }
 
+  test("macros resolve on grok-parsed frames; drop-invalid routes per path (review fixes)") {
+    // $FACILITY in a set() on a frame WITH a fields map must hit the macro
+    // family, not a null fields['FACILITY'] lookup
+    val cfg = s"""
+      source s { transcripts("$sfUnit"); };
+      parser p { db-parser(); };
+      rewrite r { set("$$FACILITY" value("facname")); };
+      destination d { file("out"); };
+      log { source(s); parser(p); rewrite(r); destination(d); };
+    """
+    val out = ConfigText.compile(spark, cfg).sink("out")
+    assert(out.where(col("facname").isNull || col("facname") === "").count() === 0)
+    // drop-invalid: a row failing the parse leaves THIS path, but still
+    // reaches a parallel path reading the same source
+    val dir = java.nio.file.Files.createTempDirectory("graft-di")
+    java.nio.file.Files.write(dir.resolve("x.log"),
+      "a,b\nnot csv at all".getBytes("UTF-8"))
+    val cfg2 = s"""
+      source s { file("$dir/*.log" format(text)); };
+      parser p { csv-parser(columns(c1, c2) delimiters(',')
+                            flags(drop-invalid, escape-none)); };
+      destination d_ok { file("ok"); };
+      destination d_all { file("all"); };
+      log { source(s); parser(p); destination(d_ok); };
+      log { source(s); destination(d_all); };
+    """
+    val c2 = ConfigText.compile(spark, cfg2)
+    assert(c2.sink("ok").count() === 1)   // only the well-formed row
+    assert(c2.sink("all").count() === 2)  // the invalid row was NOT dropped globally
+  }
+
   test("@define pragma: backtick refs splice the defined value (cfg-lexer pragmas)") {
     val cfg = s"""
       @define pat 'error|fail'

@@ -313,7 +313,7 @@ class CorpusSpec extends SparkSpec {
     assert(Sampling.thresholdHex(0.3) === "4ccccccc")
     assert(Sampling.thresholdHex(0.7) === "b3333333")
     assert(Sampling.thresholdHex(0.0) === "00000000")
-    assert(Sampling.thresholdHex(1.0) === "ffffffff")
+    assert(Sampling.thresholdHex(1.0) === "g") // above all hex: keep-all is exact
     val df = spark.range(10000).toDF("id")
     val s1 = Sampling.sample(df, col("id"), 0.25).as[Long].collect().toSet
     val s2 = Sampling.sample(df, col("id"), 0.25).as[Long].collect().toSet

@@ -174,6 +174,14 @@ class RewritesSpec extends SparkSpec {
     assert(first == s"a $h b $card")
   }
 
+  test("substTemplate rejects unsupported functions at PLAN time (review fix)") {
+    val df = Seq("x").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Rewrites.substTemplate(df, "text", "x", "$(+ 1 2)y", global = true)
+    }
+    assert(e.getMessage.contains("not supported in a subst() replacement"))
+  }
+
   test("MatchTemplates substr follows reference tf_substr offset rules") {
     def sub(t: String) =
       graft.functions.MatchTemplates.compile(t)(i => if (i == 0) Some("bzorp") else None)

@@ -147,6 +147,24 @@ class SyslogFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(m.msg === "Error processing log message: <132>1 2006-10-29T01:59:59.156+01:00 mymachine evntslog - - [a i=\">@<\"ok\"] An application event log entry...")
   }
 
+  test("malformed digit slots scan as no-timestamp, never crash (review fix)") {
+    // punctuation shape of ISO but letters in the digit slots
+    val m1 = SyslogFormat.parse("<13>abcd-ef-gh ij:kl:mn rest of msg", opts())
+    assert(m1.tags("syslog.missing_timestamp") && m1.pri === 13)
+    // BSD punctuation shape with letter time fields
+    val m2 = SyslogFormat.parse("<13>Jan 12 ab:cd:ef host prog: m", opts())
+    assert(m2.tags("syslog.missing_timestamp"))
+    // out-of-range date: Feb 30
+    val m3 = SyslogFormat.parse("<13>Feb 30 10:00:00 host prog: m", opts())
+    assert(m3.tags("syslog.missing_timestamp"))
+    // cisco: Feb 30 / month 13 fail the timestamp branch (the SCL's
+    // drop-invalid gate) instead of crashing the task
+    assert(graft.parsers.CiscoParser.parse(
+      "<189>1: h: Feb 30 11:22:33: %SYS-5-X: m", opts()).isEmpty)
+    assert(graft.parsers.CiscoParser.parse(
+      "<189>2019-13-01T00:00:00 h : %SYS-5-X: m", opts()).isEmpty)
+  }
+
   test("pri/framing/repeat/AIX details") {
     // missing PRI tags and defaults to user.notice
     val noPri = SyslogFormat.parse("Jan  1 14:40:51 alma korte: message", opts())
