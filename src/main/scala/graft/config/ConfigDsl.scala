@@ -178,7 +178,13 @@ object Compiler {
           if (origCols.contains(c)) when(r, col(c)).otherwise(col(stashOf(c))).as(c)
           else when(r, col(c)).as(c) // new column: NULL outside the reach
         }
-        frame = t.select(blended: _*)
+        // a column the transform DROPPED (unset()/rename() in a branch)
+        // must survive for rows outside the reach: null in-branch (the
+        // unset), the stashed pre-image elsewhere
+        val dropped = origCols
+          .filterNot(outCols.contains).filterNot(_.startsWith("__graft"))
+          .map(c => when(r, lit(null)).otherwise(col(stashOf(c))).as(c))
+        frame = t.select(blended ++ dropped: _*)
     }
 
     val dests = Seq.newBuilder[DestSpec]

@@ -311,6 +311,23 @@ class ConfigTextSpec extends SparkSpec {
     assert(c2.sink("str").count() === t.count() && c2.sink("num").count() === 0)
   }
 
+  test("unset() inside an if branch nulls only branch rows (column survives elsewhere)") {
+    val cfg = s"""
+      source s { transcripts("$sfUnit"); };
+      rewrite r_un { unset(value("tool")); };
+      destination d { file("out"); };
+      log { source(s);
+        if (match("^assistant$$" value("role"))) { rewrite(r_un); };
+        destination(d); };
+    """
+    val out = ConfigText.compile(spark, cfg).sink("out")
+    val t = graft.transcripts.Transcripts.loadFull(spark, sfUnit)
+    assert(out.columns.contains("tool")) // column not globally dropped
+    assert(out.where(col("role") === "assistant" && col("tool").isNotNull).count() === 0)
+    assert(out.where(col("role") === "tool" && col("tool").isNotNull).count() ===
+      t.where(col("role") === "tool" && col("tool").isNotNull).count())
+  }
+
   test("macros resolve on grok-parsed frames; drop-invalid routes per path (review fixes)") {
     // $FACILITY in a set() on a frame WITH a fields map must hit the macro
     // family, not a null fields['FACILITY'] lookup
