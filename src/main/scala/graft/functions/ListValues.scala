@@ -90,31 +90,46 @@ object ListValues {
 
   // ---------------------------------------------------------- expressions
 
-  case class ListScan(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  /** Static entry points for generated code (kept codegen-friendly so list
+    * functions don't break whole-stage spans).
+    */
+  def scanToArray(s: UTF8String): GenericArrayData =
+    new GenericArrayData(scan(s.toString).map(UTF8String.fromString).toArray[Any])
+
+  def encodeArray(a: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < a.numElements()) {
+      if (i > 0) sb.append(',')
+      val e = a.getUTF8String(i)
+      sb.append(encodeElem(if (e == null) "" else e.toString))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  case class ListScan(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def nullSafeEval(s: Any): Any =
-      new GenericArrayData(
-        scan(s.asInstanceOf[UTF8String].toString)
-          .map(UTF8String.fromString).toArray[Any])
+    override def nullSafeEval(s: Any): Any = scanToArray(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.ListValues.scanToArray($s);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  case class ListEncode(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class ListEncode(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
-    override def nullSafeEval(a: Any): Any = {
-      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val sb = new java.lang.StringBuilder
-      var i = 0
-      while (i < arr.numElements()) {
-        if (i > 0) sb.append(',')
-        val e = arr.getUTF8String(i)
-        sb.append(encodeElem(if (e == null) "" else e.toString))
-        i += 1
-      }
-      UTF8String.fromString(sb.toString)
-    }
+    override def nullSafeEval(a: Any): Any =
+      encodeArray(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.ListValues.encodeArray($a);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
