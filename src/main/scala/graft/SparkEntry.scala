@@ -768,6 +768,30 @@ object SparkEntry {
         col("text"), support = 50L)
     }),
 
+    "q_filter_matcher" -> ((s, dir) => {
+      // matcher backends (type() + flags()) as scan-stage predicates
+      import graft.filters.Filters.matcher
+      documents(s, dir).select(col("doc_id"),
+        matcher("en", "string")(col("lang")).as("is_en"),
+        matcher("src1*", "glob")(col("source")).as("src_1x"),
+        matcher("THE", "string", Set("substring", "ignore-case"))(col("text")).as("has_the"),
+        matcher("src1", "string", Set("prefix"))(col("source")).as("src1_prefix"))
+    }),
+
+    "q_route_stats" -> ((s, dir) => {
+      // named log paths: one aggregate over the compiled frame yields the
+      // per-path ingress/egress counters (syslogng_route_*_total)
+      val cfg = s"""
+        source s { transcripts("$dir"); };
+        parser p { db-parser(); };
+        filter f_err { match("^(error|fail)$$" value("status")); };
+        destination d1 { file("errs"); };
+        log errors { source(s); parser(p); filter(f_err); destination(d1); };
+        log all { source(s); };
+      """
+      graft.config.ConfigText.compile(s, cfg).routeStats
+    }),
+
     "q_corpus_sample" -> ((s, dir) => {
       // deterministic stratified down-sampling: md5-threshold per stratum,
       // a pure scan-stage filter (no rand(), no sampleBy driver round-trip)
@@ -1510,6 +1534,22 @@ object SparkEntry {
            GROUP BY 1)
          SELECT pattern, count(*)::bigint AS n_msgs
          FROM p WHERE cand GROUP BY 1 HAVING count(*) >= 50"""),
+
+    "q_filter_matcher" ->
+      """SELECT doc_id,
+           lang = 'en' AS is_en,
+           source LIKE 'src1%' AS src_1x,
+           contains(lower(text), 'the') AS has_the,
+           starts_with(source, 'src1') AS src1_prefix
+         FROM documents""",
+
+    "q_route_stats" -> Transcripts.oracle(
+      """SELECT 'errors' AS id, count(*)::bigint AS ingress,
+              sum(CASE WHEN variant IN (0, 2) AND status IN ('error', 'fail')
+                       THEN 1 ELSE 0 END)::bigint AS egress
+         FROM transcripts_full
+         UNION ALL
+         SELECT 'all', count(*)::bigint, count(*)::bigint FROM transcripts_full"""),
 
     "q_corpus_sample" ->
       """SELECT doc_id, lang, source FROM documents
