@@ -103,6 +103,16 @@ object ConfigText {
             while (!p.isPunct(")")) {
               if (p.eat(",")) ()
               else p.next() match {
+                case Ident(t) if p.isPunct("(") =>
+                  // typed column wrapper: columns(... int("pid") ...)
+                  // (csvparser.c typed columns) — encoded "int:pid"
+                  p.expect("(")
+                  val v = p.next() match {
+                    case Str(x) => x; case Ident(x) => x
+                    case other => sys.error(s"unexpected $other in $t(...)")
+                  }
+                  p.expect(")")
+                  vals += s"$t:$v"
                 case Ident(v) => vals += v
                 case Str(v)   => vals += v
                 case other    => sys.error(s"unexpected $other in $s(...)")
@@ -347,6 +357,19 @@ object ConfigText {
       ((df: DataFrame) => graft.parsers.SyslogFormat.stage(
         df, c.kwargs.getOrElse("value", "text"), o,
         prefix = c.kwargs.getOrElse("prefix", "sl_")), None)
+    case "date-parser" =>
+      // date-parser(format('%...') template()/value()): ordered strftime
+      // format fallback into the event-time `ts` column
+      // (modules/timestamp/date-parser)
+      val fmts = c.kwargs.getOrElse("format",
+        sys.error("date-parser: missing format()")).split(",").map(_.trim)
+        .map(graft.functions.TemplateFunctions.strftimeToJava).toSeq
+      ((df: DataFrame) => {
+        val (d2, in) = parserInput(df, c)
+        d2.withColumn("ts",
+            FieldParsers.dateParser(col(in), fmts).cast("timestamp_ntz"))
+          .drop(tmpInputCol)
+      }, None)
     case "sdata-parser" =>
       // parse an SDATA-shaped field into the sdata/sdata_ids columns the
       // $SDATA macro renders (reference modules/sdata-parser)
@@ -405,9 +428,31 @@ object ConfigText {
             dialect = dialect,
             greedy = flags("greedy"),
             stripWhitespace = flags("strip-whitespace"))
+          // typed columns (int("pid") …): scan as strings, then try_cast;
+          // on-type-error(drop-property) nulls the uncastable value
+          // (modules/csvparser typed columns + on-type-error policy)
+          val typed = names.map { n =>
+            n.split(":", 2) match {
+              case Array(t, base) if Set("int", "double", "datetime", "string")(t) =>
+                (base, Some(t))
+              case _ => (n, None)
+            }
+          }
+          val plainNames = typed.map(_._1)
+          c.kwargs.get("on-type-error").foreach(v => require(v == "drop-property",
+            s"csv-parser: unsupported on-type-error($v) — drop-property only"))
           val f = (df0: DataFrame) => {
             val (df, in) = parserInput(df0, c)
-            graft.parsers.Scanners.csvStage(df, in, names, opts).drop(tmpInputCol)
+            // reference csvparser partial-fills: scanned columns keep their
+            // values even when later columns are missing (csvparser.c:292)
+            val scanned = graft.parsers.Scanners.csvStage(df, in, plainNames, opts,
+              partialFill = true).drop(tmpInputCol)
+            typed.foldLeft(scanned) {
+              case (d, (n, Some("int")))      => d.withColumn(n, col(n).try_cast("bigint"))
+              case (d, (n, Some("double")))   => d.withColumn(n, col(n).try_cast("double"))
+              case (d, (n, Some("datetime"))) => d.withColumn(n, col(n).try_cast("timestamp_ntz"))
+              case (d, _)                     => d
+            }
           }
           (f, if (flags("drop-invalid")) Some((_: DataFrame) => !col("csv_invalid")) else None)
       }
@@ -529,6 +574,18 @@ object ConfigText {
       else
         df => Rewrites.subst(df, target, c.args(0), c.args(1), global,
           c.kwargs.get("condition").map(conditionPred(df, _, user())))
+    case "set-pri" | "set-severity" | "set-facility" =>
+      df => {
+        val base = if (df.columns.contains("pri")) df
+          else df.withColumn("pri", lit(13))
+        val v = templateValue(base, c.args.head, user())
+        val cond = c.kwargs.get("condition").map(conditionPred(base, _, user()))
+        c.name match {
+          case "set-pri"      => Rewrites.setPri(base, "pri", v, cond)
+          case "set-severity" => Rewrites.setSeverity(base, "pri", v, cond)
+          case _              => Rewrites.setFacility(base, "pri", v, cond)
+        }
+      }
     case "set-tag" =>
       df => {
         val base = if (df.columns.contains("tags")) df

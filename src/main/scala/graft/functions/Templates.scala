@@ -969,6 +969,9 @@ object TemplateFunctions {
           case 'B' => sb.append("MMMM")
           case 'a' => sb.append("EEE")
           case 'j' => sb.append("DDD")
+          case 'f' => sb.append("SSS") // fractional seconds (date-parser %f)
+          case 'I' => sb.append("hh")
+          case 'p' => sb.append("a")
           case 'Z' => sb.append("zz")
           case '%' => lit.append('%')
           case c   => sys.error(s"unsupported strftime code %$c")

@@ -55,6 +55,16 @@ object Scanners {
     * caller's drop-invalid signal.
     */
   def scanCsv(input: String, n: Int, o: CsvOptions): Array[String] = {
+    val (out, ok) = scanCsvPartial(input, n, o)
+    if (ok) out else null
+  }
+
+  /** Reference semantics (csvparser.c:276-309): columns fill as far as the
+    * scan gets — missing trailing columns stay null and ONLY the invalid
+    * flag records the incomplete scan (drop-invalid decides the fate, never
+    * the fill).
+    */
+  def scanCsvPartial(input: String, n: Int, o: CsvOptions): (Array[String], Boolean) = {
     val out = new Array[String](n)
     var src = 0
     val len = input.length
@@ -72,7 +82,7 @@ object Scanners {
         out(col) = translate(sb, o)
         col += 1
       } else if (src >= len) {
-        return null // partial input: a real column with no data left
+        return (out, false) // partial input: a real column with no data left
       } else {
         // opening quote, then (flagged) left whitespace inside it
         var quote: Char = 0
@@ -120,7 +130,7 @@ object Scanners {
         col += 1
       }
     }
-    if (src < len) null else out // unconsumed trailing input: invalid
+    (out, src >= len) // unconsumed trailing input: invalid
   }
 
   private def translate(sb: java.lang.StringBuilder, o: CsvOptions): String = {
@@ -276,7 +286,8 @@ object Scanners {
     * never dropped — logmsg.h:105-124 semantics).
     */
   def csvStage(df: DataFrame, textCol: String, names: Seq[String],
-      o: CsvOptions, prefix: String = "csv_"): DataFrame = {
+      o: CsvOptions, prefix: String = "csv_",
+      partialFill: Boolean = false): DataFrame = {
     val inSchema = df.schema
     val outSchema = names.foldLeft(inSchema)((s, n) =>
       s.add(StructField(n, StringType, nullable = true)))
@@ -290,13 +301,16 @@ object Scanners {
       return df.mapPartitions { it =>
         it.map { row =>
           val text = row.getString(textIdx)
-          val vals = if (text == null) null else scanCsv(text, nCols, o)
+          val (vals, ok) =
+            if (text == null) (null, false)
+            else if (partialFill) scanCsvPartial(text, nCols, o)
+            else { val v = scanCsv(text, nCols, o); (v, v != null) }
           val out = new Array[Any](nIn + nCols + 1)
           var c = 0
           while (c < nIn) { out(c) = row.get(c); c += 1 }
           var k = 0
           while (k < nCols) { out(nIn + k) = if (vals == null) null else vals(k); k += 1 }
-          out(nIn + nCols) = vals == null
+          out(nIn + nCols) = !ok
           new org.apache.spark.sql.catalyst.expressions.GenericRow(out): org.apache.spark.sql.Row
         }
       }(enc)
@@ -306,16 +320,20 @@ object Scanners {
     val rdd = Bridge.toInternalRdd(df).mapPartitions { it =>
       it.map { row =>
         val text = if (row.isNullAt(textIdx)) null else row.getUTF8String(textIdx).toString
-        val vals = if (text == null) null else scanCsv(text, nCols, o)
+        val (vals, ok) =
+          if (text == null) (null, false)
+          else if (partialFill) scanCsvPartial(text, nCols, o)
+          else { val v = scanCsv(text, nCols, o); (v, v != null) }
         val out = new GenericInternalRow(nIn + nCols + 1)
         var c = 0
         while (c < nIn) { out.update(c, row.get(c, inTypes(c))); c += 1 }
         var k = 0
         while (k < nCols) {
-          out.update(nIn + k, if (vals == null) null else UTF8String.fromString(vals(k)))
+          out.update(nIn + k,
+            if (vals == null || vals(k) == null) null else UTF8String.fromString(vals(k)))
           k += 1
         }
-        out.update(nIn + nCols, vals == null)
+        out.update(nIn + nCols, !ok)
         out: InternalRow
       }
     }

@@ -98,31 +98,45 @@ object Rewrites {
   /** set-pri(template) — bounded 0..191 int parse, invalid values leave the
     * pri unchanged (reference lib/rewrite/rewrite-set-pri.c:58).
     */
-  def setPri(df: DataFrame, priCol: String, value: Column): DataFrame = {
+  def setPri(df: DataFrame, priCol: String, value: Column,
+      condition: Option[Column] = None): DataFrame = {
     val parsed = value.cast("string").try_cast("int")
-    df.withColumn(priCol,
-      when(parsed.isNotNull && parsed.between(0, 191), parsed).otherwise(col(priCol)))
+    guarded(df, priCol,
+      when(parsed.isNotNull && parsed.between(0, 191), parsed).otherwise(col(priCol)),
+      condition)
   }
 
   /** set-severity(name-or-num) — reference rewrite-set-severity.c:84. */
-  def setSeverity(df: DataFrame, priCol: String, value: Column): DataFrame = {
+  def setSeverity(df: DataFrame, priCol: String, value: Column,
+      condition: Option[Column] = None): DataFrame = {
     val bySev = severityNumFromValue(value)
-    df.withColumn(priCol,
+    guarded(df, priCol,
       when(bySev.isNotNull, SyslogNames.mkPri(SyslogNames.facilityNum(col(priCol)), bySev))
-        .otherwise(col(priCol)))
+        .otherwise(col(priCol)),
+      condition)
   }
 
   /** set-facility(name-or-num) — reference rewrite-set-facility.c:83. */
-  def setFacility(df: DataFrame, priCol: String, value: Column): DataFrame = {
+  def setFacility(df: DataFrame, priCol: String, value: Column,
+      condition: Option[Column] = None): DataFrame = {
     val byFac = facilityNumFromValue(value)
-    df.withColumn(priCol,
+    guarded(df, priCol,
       when(byFac.isNotNull, SyslogNames.mkPri(byFac, SyslogNames.severityNum(col(priCol))))
-        .otherwise(col(priCol)))
+        .otherwise(col(priCol)),
+      condition)
   }
 
+  /** Severity aliases (lib/severity-aliases.table): panic/emergency → 0,
+    * fatal/ftl → 2, warn/wrn → 4, log/inf → 6, dbg/vrb/trace → 7 …
+    */
+  private val severityAliases: Seq[(String, Int)] =
+    SyslogNames.severities.zipWithIndex ++ Seq(
+      "emergency" -> 0, "panic" -> 0, "critical" -> 2, "fatal" -> 2,
+      "ftl" -> 2, "error" -> 3, "warn" -> 4, "wrn" -> 4, "inf" -> 6,
+      "log" -> 6, "dbg" -> 7, "vrb" -> 7, "trace" -> 7)
+
   private def severityNumFromValue(v: Column): Column = {
-    val names = SyslogNames.severities
-    val byName = names.zipWithIndex.foldLeft(lit(null).cast("int")) {
+    val byName = severityAliases.foldLeft(lit(null).cast("int")) {
       case (acc, (n, i)) => when(lower(v.cast("string")) === n, lit(i)).otherwise(acc)
     }
     val num = v.cast("string").try_cast("int")

@@ -359,6 +359,64 @@ class ConfigTextSpec extends SparkSpec {
     assert(c2.sink("all").count() === 2)  // the invalid row was NOT dropped globally
   }
 
+  test("postgresql-csvlog-parser SCL: typed columns, double-char quotes, severity shifts (test_postgresql_csvlog_parser.py)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pg")
+    java.nio.file.Files.write(dir.resolve("pg.log"), Seq(
+      // v15 line: 26 fields, quoted message with doubled quotes + commas
+      "2023-09-20 16:50:02.165 CET,,,407764,,650b069a.638d4,2,,2023-09-20 16:50:02 CET,,0,DEBUG3,00000,\"starting PostgreSQL 15.4, 64-bit\",,,,,,,,,\"\",\"postmaster\",,0",
+      // v12-style line: only 24 fields — trailing columns stay unset
+      "2023-08-08 12:05:52.805 UTC,,,22113,,64d22fa0.5661,1,,2023-08-08 12:05:52 UTC,23/74060,0,WARNING,00000,\"vacuum of \"\"tablename\"\": 0 removed, 4 remain\",,,,,,,,,\"\"")
+      .mkString("\n").getBytes("UTF-8"))
+    val cfg = s"""
+      block parser postgresql-csvlog-parser(prefix('pg_')) {
+        csv-parser(columns("`prefix`timestamp", "`prefix`username", "`prefix`database",
+                           int("`prefix`pid"), "`prefix`connection_from", "`prefix`session_id",
+                           int("`prefix`session_line_num"), "`prefix`command_tag",
+                           "`prefix`session_start_time", "`prefix`virtual_transaction_id",
+                           "`prefix`transaction_id", "`prefix`severity", "`prefix`sql_state_code",
+                           "`prefix`message", "`prefix`detail", "`prefix`hint",
+                           "`prefix`internal_query", int("`prefix`internal_query_pos"),
+                           "`prefix`context", "`prefix`query", int("`prefix`query_pos"),
+                           "`prefix`location", "`prefix`application_name", "`prefix`backend_type",
+                           int("`prefix`leader_pid"), int("`prefix`query_id"))
+                   delimiters(',') dialect(escape-double-char)
+                   flags(strip-whitespace) quote-pairs('""')
+                   on-type-error("drop-property"));
+        date-parser(format('%Y-%m-%d %H:%M:%S.%f')
+                    template("$$(substr $${`prefix`timestamp} 0 23)"));
+      };
+      source s { file("$dir/*.log" format(text)); };
+      parser p { postgresql-csvlog-parser(); };
+      rewrite r_sev {
+        set-severity("$${pg_severity}");
+        set-severity("$$(+ $$SEVERITY_NUM 1)" condition($$SEVERITY_NUM == 0));
+        set-severity("$$(+ $$SEVERITY_NUM 1)" condition($$SEVERITY_NUM <= 4));
+        set-severity("debug" condition(match("^DEBUG" value("pg_severity"))));
+      };
+      destination d { file("out"); };
+      log { source(s); parser(p); rewrite(r_sev); destination(d); };
+    """
+    val out = ConfigText.compile(spark, cfg).sink("out")
+    assert(out.count() === 2)
+    val v15 = out.where(col("pg_session_line_num") === 2)
+    assert(v15.select("pg_pid").head().getLong(0) === 407764L) // typed int
+    assert(v15.select("pg_message").head().getString(0) === "starting PostgreSQL 15.4, 64-bit")
+    assert(v15.select("pg_backend_type").head().getString(0) === "postmaster")
+    assert(v15.select("pg_query_id").head().getLong(0) === 0L)
+    // DEBUG3 → debug (severity 7); pri facility preserved (user=1 → 15)
+    assert(v15.select("pri").head().getInt(0) % 8 === 7)
+    // event time parsed from the first 23 chars of the timestamp column
+    assert(v15.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSS")).head().getString(0)
+      === "2023-09-20 16:50:02.165")
+
+    val v12 = out.where(col("pg_session_line_num") === 1)
+    assert(v12.select("pg_message").head().getString(0) === "vacuum of \"tablename\": 0 removed, 4 remain")
+    assert(v12.select("pg_backend_type").head().isNullAt(0)) // missing trailing col
+    assert(v12.where(col("csv_invalid")).count() === 1) // flagged, NOT dropped
+    // WARNING = 4 → shifted to notice (5)
+    assert(v12.select("pri").head().getInt(0) % 8 === 5)
+  }
+
   test("@define pragma: backtick refs splice the defined value (cfg-lexer pragmas)") {
     val cfg = s"""
       @define pat 'error|fail'
