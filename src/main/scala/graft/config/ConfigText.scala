@@ -313,6 +313,21 @@ object ConfigText {
     * FilterE, which routes the row out of THIS path only, exactly the
     * reference's per-path drop semantics.
     */
+  /** Receive clock for config-text syslog/cisco parsers when `recv-time()`
+    * is absent (a ported reference config never has it): the DRIVER wall
+    * clock captured once at plan-compile time — deterministic across task
+    * retries because it is a literal baked into the compiled stage — which
+    * matches the reference's msg->timestamps[LM_TS_RECVD]=now used for BSD
+    * year guessing. Previously this silently defaulted to epoch 0 and
+    * year-less stamps landed in 1970. Pass `recv-time(<epoch-usec>)` to pin
+    * the clock for reproducible runs and oracle checks. */
+  private def defaultRecvTimeUsec(parser: String): Long = {
+    System.err.println(s"[graft] $parser: no recv-time() — using the driver " +
+      "wall clock for BSD year guessing / missing timestamps; pass " +
+      "recv-time(<epoch-usec>) for reproducible output")
+    System.currentTimeMillis() * 1000L
+  }
+
   private def parserDriver(c: Call): (DataFrame => DataFrame, Option[DataFrame => Column]) = c.name match {
     case "db-parser" | "grok" =>
       // db-parser(file("rules.xml")) loads a patterndb XML rule set and
@@ -352,7 +367,8 @@ object ConfigText {
         defaultPri = c.kwargs.get("default-pri").map(_.toInt).getOrElse(-1),
         recvZone = c.kwargs.get("time-zone")
           .map(java.time.ZoneId.of).getOrElse(java.time.ZoneOffset.UTC),
-        nowEpochUsec = c.kwargs.get("recv-time").map(_.toLong).getOrElse(0L),
+        nowEpochUsec = c.kwargs.get("recv-time").map(_.toLong)
+          .getOrElse(defaultRecvTimeUsec("syslog-parser")),
         badHostname = c.kwargs.get("bad-hostname"))
       ((df: DataFrame) => graft.parsers.SyslogFormat.stage(
         df, c.kwargs.getOrElse("value", "text"), o,
@@ -385,7 +401,8 @@ object ConfigText {
       val o = graft.parsers.SyslogFormat.Options(
         recvZone = c.kwargs.get("time-zone")
           .map(java.time.ZoneId.of).getOrElse(java.time.ZoneOffset.UTC),
-        nowEpochUsec = c.kwargs.get("recv-time").map(_.toLong).getOrElse(0L))
+        nowEpochUsec = c.kwargs.get("recv-time").map(_.toLong)
+          .getOrElse(defaultRecvTimeUsec("cisco-parser")))
       ((df: DataFrame) => graft.parsers.CiscoParser.stage(
         df, c.kwargs.getOrElse("value", "text"), o,
         prefix = c.kwargs.getOrElse("prefix", "cisco_")), None)

@@ -321,7 +321,7 @@ object PatternDb {
       new PMatch(consumed, ofs, lenDelta)
 
     @inline private def ch(s: String, i: Int): Char =
-      if (i < s.length) s.charAt(i) else ' '
+      if (i < s.length) s.charAt(i) else '\u0000'
     @inline private def isDigit(c: Char) = c >= '0' && c <= '9'
     @inline private def isXDigit(c: Char) =
       isDigit(c) || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
@@ -515,7 +515,7 @@ object PatternDb {
       if (param.nonEmpty) while (i < s.length && param.indexOf(s.charAt(i)) >= 0) i += 1
       val ofs = i - from
       if (ch(s, i) == '.') return null // local part cannot start with '.'
-      while (isAlnum(ch(s, i)) || (ch(s, i) != ' ' && special.indexOf(ch(s, i)) >= 0)) i += 1
+      while (isAlnum(ch(s, i)) || (ch(s, i) != '\u0000' && special.indexOf(ch(s, i)) >= 0)) i += 1
       if (i > from && s.charAt(i - 1) == '.') return null
       if (ch(s, i) != '@') return null
       i += 1

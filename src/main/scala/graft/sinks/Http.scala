@@ -19,11 +19,17 @@ import org.apache.spark.util.LongAccumulator
   *    connection (`foreachPartition`), so parallelism = partition count;
   *  - `batch-lines(n)` → consecutive rows of a partition joined with
   *    `delimiter` into one request body (reference http-dest batching);
-  *  - response handling mirrors `http_dd_process_response`: 2xx success,
-  *    4xx "disconnect&drop" (the message is not retryable — count and move
-  *    on), 5xx/transport error retried `retries` times with backoff, then
-  *    the task fails → Spark re-runs the task (the reference re-queues to
-  *    its fifo; delivery is at-least-once in both engines).
+  *  - response handling mirrors `default_map_http_status_to_worker_status`
+  *    (reference `modules/http/http-worker.c:395` and the per-class helpers
+  *    at 321-392): 2xx → delivered; the reference's DROP set
+  *    {410,416,422,424,425,451,508} → counted dropped, never retried;
+  *    its ERROR set {102,103,304,428,504, unknown ≥600} → retried with
+  *    backoff up to `retries` then DROPPED (the reference consumes
+  *    per-message retries then drops); everything else (most 1xx/3xx/4xx/
+  *    5xx, transport errors) → NOT_CONNECTED: reconnect-and-retry, which in
+  *    batch is retry-with-backoff then TASK FAILURE so Spark re-runs the
+  *    task (the reference re-queues to its fifo; delivery is at-least-once
+  *    in both engines).
   *
   * Returns (delivered_messages, dropped_messages) from accumulators.
   *
@@ -32,6 +38,16 @@ import org.apache.spark.util.LongAccumulator
   * reference's worker pool.
   */
 object Http {
+
+  /** Statuses the reference drops outright (`_default_4XX` drops list +
+    * `_default_5XX`'s 508, http-worker.c:368,385). */
+  private val HardDrop = Set(410, 416, 422, 424, 425, 451, 508)
+
+  /** Statuses the reference maps to LTR_ERROR — retried on a per-message
+    * budget, then dropped (http-worker.c:330,348,364,389; unknown classes
+    * ≥600 also fall out as LTR_ERROR, :398,412). */
+  private def ErrorRetry(s: Int): Boolean =
+    s == 102 || s == 103 || s == 304 || s == 428 || s == 504 || s >= 600
 
   def write(
       df: DataFrame,
@@ -75,11 +91,18 @@ object Http {
             status match {
               case Right(s) if s >= 200 && s < 300 =>
                 delivered.add(batch.size); done = true
-              case Right(s) if s < 500 =>
-                // 1xx/3xx/4xx: not retryable — drop and continue, like the
-                // reference's default response action for non-2xx/non-5xx
+              case Right(s) if HardDrop(s) =>
+                // reference LTR_DROP: the message can never succeed
                 dropped.add(batch.size); done = true
-              case other => // 5xx or transport error: retry with backoff
+              case Right(s) if ErrorRetry(s) =>
+                // reference LTR_ERROR: per-message retry budget, then drop
+                attempt += 1
+                if (attempt > retries) { dropped.add(batch.size); done = true }
+                else Thread.sleep(50L << math.min(attempt, 6))
+              case other =>
+                // reference LTR_NOT_CONNECTED (most 1xx/3xx/4xx/5xx and
+                // transport errors): reconnect-and-retry; exhausted → task
+                // failure so Spark redelivers the partition (at-least-once)
                 attempt += 1
                 if (attempt > retries) {
                   val why = other.fold(_.toString, s => s"HTTP $s")

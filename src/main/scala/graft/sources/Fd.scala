@@ -38,8 +38,10 @@ object Fd {
       case "octet-counted" => Framing.octetCountedFrames(bytes, maxMsgSize)
       case _ =>
         new String(bytes, "UTF-8").split("[\n\u0000]").toSeq
-          .filter(_.nonEmpty)
+          // CR strip precedes the empty-record drop so a lone "\r" line is
+          // dropped, matching the socket path (SyslogSocket.readDelimited)
           .map(_.stripSuffix("\r"))
+          .filter(_.nonEmpty)
           .map(r => (r, r.length <= maxMsgSize)) // oversize flagged, like the socket path
     }
     import spark.implicits._

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
 
 import graft.sinks.Http
 
-/** http() destination: codegen-rendered bodies, batch-lines batching,
-  * 4xx drop vs 5xx retry semantics (reference modules/http/http-dest.c). */
+/** http() destination: codegen-rendered bodies, batch-lines batching, and
+  * the reference's status→worker-status mapping (drop set vs per-message
+  * ERROR retries vs NOT_CONNECTED reconnect; modules/http/http-worker.c:395). */
 class HttpSinkSpec extends SparkSpec {
 
   private def withServer(test: (HttpServer, Int) => Unit): Unit = {
@@ -41,7 +42,7 @@ class HttpSinkSpec extends SparkSpec {
     }
   }
 
-  test("5xx is retried until success; 4xx drops without failing the job") {
+  test("5xx is retried until success; the reference drop set drops outright") {
     withServer { (server, port) =>
       val calls = new AtomicInteger(0)
       server.createContext("/flaky", (ex: HttpExchange) => {
@@ -50,28 +51,50 @@ class HttpSinkSpec extends SparkSpec {
         else ex.sendResponseHeaders(200, -1)
         ex.close()
       })
-      server.createContext("/reject", (ex: HttpExchange) => {
-        body(ex); ex.sendResponseHeaders(400, -1); ex.close()
+      // 410 Gone is in the reference's LTR_DROP set (http-worker.c:368)
+      val goneCalls = new AtomicInteger(0)
+      server.createContext("/gone", (ex: HttpExchange) => {
+        body(ex); goneCalls.incrementAndGet()
+        ex.sendResponseHeaders(410, -1); ex.close()
       })
       val df = spark.range(3).selectExpr("concat('r', id) AS msg").coalesce(1)
       val (d1, _) = Http.write(df, s"http://127.0.0.1:$port/flaky", col("msg"),
         batchLines = 3)
       assert(d1 === 3 && calls.get() === 2) // one 503 + one success
-      val (d2, drop2) = Http.write(df, s"http://127.0.0.1:$port/reject", col("msg"))
+      val (d2, drop2) = Http.write(df, s"http://127.0.0.1:$port/gone", col("msg"))
       assert(d2 === 0 && drop2 === 3)
+      assert(goneCalls.get() === 3) // one attempt per batch, zero retries
     }
   }
 
-  test("3xx drops like 4xx (non-retryable), and null bodies count as dropped") {
+  test("LTR_ERROR statuses (428) retry on the message budget then drop; " +
+      "null bodies count as dropped") {
     withServer { (server, port) =>
-      server.createContext("/moved", (ex: HttpExchange) => {
-        body(ex); ex.sendResponseHeaders(301, -1); ex.close()
+      val calls = new AtomicInteger(0)
+      server.createContext("/precondition", (ex: HttpExchange) => {
+        body(ex); calls.incrementAndGet()
+        ex.sendResponseHeaders(428, -1); ex.close()
       })
       val df = spark.range(4)
         .selectExpr("CASE WHEN id < 2 THEN concat('m', id) END AS msg").coalesce(1)
-      // 2 null bodies dropped up front; 2 rendered rows dropped by the 301
-      val (d, drop) = Http.write(df, s"http://127.0.0.1:$port/moved", col("msg"))
+      // 2 null bodies dropped up front; the 2 rendered rows form one batch
+      // that is retried `retries` times then dropped (not a task failure)
+      val (d, drop) = Http.write(df, s"http://127.0.0.1:$port/precondition",
+        col("msg"), batchLines = 2, retries = 2)
       assert(d === 0 && drop === 4)
+      assert(calls.get() === 3) // initial attempt + 2 retries
+    }
+  }
+
+  test("plain 4xx (404) maps to NOT_CONNECTED: bounded retries then task failure") {
+    withServer { (server, port) =>
+      server.createContext("/missing", (ex: HttpExchange) => {
+        body(ex); ex.sendResponseHeaders(404, -1); ex.close()
+      })
+      val df = spark.range(2).selectExpr("cast(id AS string) AS msg").coalesce(1)
+      intercept[org.apache.spark.SparkException] {
+        Http.write(df, s"http://127.0.0.1:$port/missing", col("msg"), retries = 1)
+      }
     }
   }
 
