@@ -820,11 +820,23 @@ object SparkEntry {
     }),
 
     // ================= corpus: multimodal =================
+    // real image roundtrip: a genuine PNG/JPEG/GIF payload is encoded from
+    // the ground-truth geometry, then the header-only decode must recover
+    // it (n_bytes is encoder-dependent, so the oracle checks the geometry)
     "q_multimodal_meta" -> ((s, dir) => {
       Multimodal.decode(Multimodal.withPayload(documents(s, dir), "text"))
         .select(col("doc_id"), col("meta.format").as("format"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.n_bytes").as("n_bytes"))
+          col("meta.width").as("width"), col("meta.height").as("height"))
+    }),
+
+    // real raster resize: decode → bilinear scale to an integer-exact
+    // bounded geometry → re-encode; a SECOND header decode of the re-encoded
+    // payload must report the target geometry the oracle recomputes
+    "q_multimodal_resize" -> ((s, dir) => {
+      val decoded = Multimodal.decode(Multimodal.withPayload(documents(s, dir), "text"))
+      Multimodal.decode(Multimodal.resize(decoded, maxSide = 24).drop("meta"))
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
     }),
 
     // salted two-phase variant — row-identical to q_group_lines but the
@@ -1595,11 +1607,24 @@ object SparkEntry {
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
-           CASE length(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-           cast(64 + (ascii(substr(text, 1, 1)) % 8) * 16 AS int) AS width,
-           cast(64 + (length(text) % 8) * 16 AS int) AS height,
-           cast(length(text) AS bigint) AS n_bytes
+           CASE length(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+           cast(16 + (ascii(substr(text, 1, 1)) % 8) * 4 AS int) AS width,
+           cast(16 + (length(text) % 8) * 4 AS int) AS height
          FROM documents""",
+
+    "q_multimodal_resize" ->
+      """WITH geo AS (
+           SELECT doc_id,
+             CASE length(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+             16 + (ascii(substr(text, 1, 1)) % 8) * 4 AS w,
+             16 + (length(text) % 8) * 4 AS h
+           FROM documents)
+         SELECT doc_id, format,
+           cast(CASE WHEN greatest(w, h) <= 24 THEN w
+                     ELSE greatest(1, w * 24 // greatest(w, h)) END AS int) AS width,
+           cast(CASE WHEN greatest(w, h) <= 24 THEN h
+                     ELSE greatest(1, h * 24 // greatest(w, h)) END AS int) AS height
+         FROM geo""",
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n

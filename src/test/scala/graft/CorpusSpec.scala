@@ -199,27 +199,73 @@ class CorpusSpec extends SparkSpec {
     assert(fps.forall(_.matches("[0-9a-f]{32}")))
   }
 
-  test("multimodal: resize bounds geometry; frame-sample explodes rows") {
-    val d = Multimodal.decode(Multimodal.withPayload(docs, "text"))
-    val r = Multimodal.resize(d, maxSide = 80)
-    val geo = r.select(col("meta.width"), col("meta.height"), col("meta.n_bytes"),
-      length(col("payload")).cast("long")).collect()
-    assert(geo.forall(x => x.getInt(0) <= 80 && x.getInt(1) <= 80))
-    assert(geo.forall(x => x.getLong(2) === x.getLong(3))) // meta tracks payload
-    val f = Multimodal.frameSample(Multimodal.withPayload(docs, "text"), everyNth = 2)
-    assert(f.count() > docs.count()) // exploded
-    val frames = f.select(col("doc_id"), col("frame_idx")).collect()
-    assert(frames.forall(_.getInt(1) % 2 == 0))
+  test("multimodal: hand-built header byte literals decode (PNG IHDR / JPEG SOF / GIF LSD)") {
+    // minimal PNG: signature + IHDR length/type + 640x480 big-endian
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, /* w=640 */ 0, 0, 0x01, 0xe0 /* h=480 */).map(_.toByte)
+    assert(Multimodal.decodeMeta(png) === (("png", 640, 480, png.length.toLong)))
+    // JPEG: SOI, APP0 (skipped), SOF0 with h=0x0010=16, w=0x0020=32
+    val jpg = Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // APP0, len 4
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x10, 0x00, 0x20, 0x01, 0x00)
+      .map(_.toByte)
+    assert(Multimodal.decodeMeta(jpg) === (("jpeg", 32, 16, jpg.length.toLong)))
+    // GIF89a with little-endian 300x200
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x2c, 0x01, 0xc8, 0x00).map(_.toByte))
+    assert(Multimodal.decodeMeta(gif) === (("gif", 300, 200, gif.length.toLong)))
+    assert(Multimodal.decodeMeta("not an image".getBytes)._1 === "unknown")
   }
 
-  test("multimodal: payload → per-partition stub decode → meta struct + features") {
+  test("multimodal: real image payloads round-trip header decode; resize is a real raster scale") {
     val d = Multimodal.decode(Multimodal.withPayload(docs, "text"))
     assert(d.schema("meta").dataType === Multimodal.MetaSchema)
-    val m = d.select(col("meta.n_bytes"), length(col("text")).cast("long")).as[(Long, Long)].collect()
-    assert(m.forall { case (n, l) => n === l }) // ascii text: bytes == chars
+    // decoded metadata == the generator's ground-truth geometry
+    val got = d.select(col("text"), col("meta.format"), col("meta.width"),
+      col("meta.height"), col("meta.n_bytes"), length(col("payload")).cast("long"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (fmt, w, h) = Multimodal.geometryOf(r.getString(0))
+      assert(r.getString(1) === fmt && r.getInt(2) === w && r.getInt(3) === h)
+      assert(r.getLong(4) === r.getLong(5)) // meta tracks payload bytes
+    }
+    // resize: the RE-ENCODED payload really has the bounded target geometry
+    val r = Multimodal.resize(d, maxSide = 24)
+    val re = Multimodal.decode(r.drop("meta"))
+      .select(col("text"), col("meta.format"), col("meta.width"), col("meta.height"))
+      .collect()
+    re.foreach { row =>
+      val (fmt, w, h) = Multimodal.geometryOf(row.getString(0))
+      val (nw, nh) = Multimodal.targetGeometry(w, h, 24)
+      assert(row.getString(1) === fmt && row.getInt(2) === nw && row.getInt(3) === nh)
+      assert(math.max(nw, nh) <= 24)
+    }
+  }
+
+  test("multimodal: frame-sample walks an animated GIF with the JDK reader") {
+    val gif = Multimodal.encodeAnimatedGif(20, 14, nFrames = 6, seed = 7)
+    val df = Seq((1L, gif), (2L, Multimodal.encodeImage("png", 10, 10, 1)))
+      .toDF("doc_id", "payload")
+    val f = Multimodal.frameSample(df, everyNth = 2)
+    val byDoc = f.select(col("doc_id"), col("frame_idx")).as[(Long, Int)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byDoc(1L) === Seq(0, 2, 4)) // 6 frames, every 2nd
+    assert(byDoc(2L) === Seq(0)) // single-frame image: one frame
+    // each emitted frame is a real PNG of the source geometry
+    val frame0 = f.where(col("doc_id") === 1L && col("frame_idx") === 0)
+      .select("frame").as[Array[Byte]].head()
+    assert(Multimodal.decodeMeta(frame0) === (("png", 20, 14, frame0.length.toLong)))
+  }
+
+  test("multimodal: features is a real grayscale histogram over the raster") {
     val f = Multimodal.features(Multimodal.withPayload(docs, "text"), dim = 8)
-    val v = f.select("features").as[Seq[Float]].head()
-    assert(v.length === 8 && v.forall(x => x >= 0f && x < 1f))
+    val vs = f.select("features").as[Seq[Float]].collect()
+    assert(vs.forall(_.length === 8))
+    vs.foreach { v => assert(math.abs(v.sum - 1f) < 1e-3) } // normalized
+    // the seeded gradient spans gray levels: histograms aren't degenerate
+    assert(vs.exists(_.count(_ > 0f) > 1))
   }
 
   test("IVF-PQ: codes shape, determinism, and exact-rerank recall vs brute force") {
