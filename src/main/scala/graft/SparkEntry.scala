@@ -473,6 +473,21 @@ object SparkEntry {
         Templates.compile("$YEAR-$MONTH-$DAY $HOUR:$MIN:$SEC @$UNIXTIME", r).as("when"))
     }),
 
+    // $(iterate f initial) — the n-th message of the iteration scope
+    // (per-conversation arrival order) renders f^n(initial)
+    // (tf-iterate.c); here f(x)=x+5 from 100 ≡ a window running sum
+    "q_template_iterate" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("conv_id")).orderBy(col("turn_idx").asc)
+      val withIdx = t.withColumn("__pos", row_number().over(w) - 1)
+      val r: Templates.Resolver = name =>
+        if (name == "__iter_idx") Some(col("__pos"))
+        else if (withIdx.columns.contains(name)) Some(col(name)) else None
+      withIdx.select(col("conv_id"), col("turn_idx"),
+        Templates.compile("$(iterate \"$(+ 5 $_)\" 100)", r).as("acc"))
+    }),
+
     // The macro long tail: 30+ names across the date family (incl. the
     // reference's own WEEK/MONTH_WEEK formulas, BSD space-padded stamps,
     // hex TAG, BSDTAG, MSGHDR, time bases) vs a strftime/recompute oracle.
@@ -619,6 +634,25 @@ object SparkEntry {
         having = Some(col("n_turns") >= 2))
     }),
 
+    // grouping-by sort-key() (grouping-parser.c:37-42,146): context values
+    // order by the rendered sort key (stable — arrival tiebreak), NOT by
+    // arrival; the arrival-order column rides along to prove they differ
+    "q_grouping_by_sorted" -> ((s, dir) => {
+      val sortOrd = struct(coalesce(col("role"), lit("")).as("sk"),
+        col("turn_idx").as("ao"))
+      Correlation.groupingBy(
+        transcripts(s, dir),
+        keys = Seq(col("conv_id")),
+        ts = col("ts"),
+        timeout = "8 hours",
+        aggs = Seq(
+          concat_ws(",",
+            Correlation.Context.values(col("role"), sortOrd)).as("roles_sorted"),
+          concat_ws(",",
+            Correlation.Context.values(col("role"), col("turn_idx"))).as("roles_arrival"),
+          count(lit(1)).as("n_turns")))
+    }),
+
     "q_rate_limit" -> ((s, dir) => {
       Correlation.rateLimit(
         transcripts(s, dir),
@@ -756,6 +790,18 @@ object SparkEntry {
         aggs = Seq(count(lit(1)).as("n_turns"),
           min(col("turn_idx")).cast("int").as("first_turn")),
         tieBreak = Seq(col("turn_idx")))
+    }),
+
+    // salted decomposition of the same trigger blocks — row-identical
+    // (shares q_grouping_by_trigger's oracle recompute), but no window
+    // ever spans a whole conversation (north-rule hot-key escape hatch)
+    "q_grouping_by_trigger_salted" -> ((s, dir) => {
+      graft.operators.Skew.saltedGroupingByTriggered(
+        transcripts(s, dir), Seq(col("conv_id")), col("ts").cast("timestamp"),
+        timeoutSeconds = 3600L, triggerCount = 3,
+        aggs = Seq(count(lit(1)).as("n_turns"),
+          min(col("turn_idx")).cast("int").as("first_turn")),
+        tieBreak = Seq(col("turn_idx")), sliceSeconds = 7200L)
     }),
 
     "q_patternize" -> ((s, dir) => {
@@ -1253,6 +1299,13 @@ object SparkEntry {
                   cast(floor(epoch(ts)) AS bigint)) AS "when"
          FROM transcripts_full WHERE variant = 0"""),
 
+    "q_template_iterate" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           cast(100 + 5 * (row_number() OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx) - 1)
+                AS varchar) AS acc
+         FROM transcripts"""),
+
     "q_template_macros" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx,
            concat(strftime(ts, '%b'), ' ', lpad(cast(day(ts) AS varchar), 2, ' '), ' ',
@@ -1329,6 +1382,20 @@ object SparkEntry {
            cast(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_tool_turns,
            min(ts) AS session_start, max(ts) + INTERVAL 8 HOUR AS session_end
          FROM s1 GROUP BY conv_id, sid HAVING count(*) >= 2"""),
+
+    "q_grouping_by_sorted" -> Transcripts.oracle(
+      """, s0 AS (SELECT conv_id, ts, turn_idx, role,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 8 HOUR THEN 1 ELSE 0 END AS ns
+                  FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+         , s1 AS (SELECT *, sum(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                          ROWS UNBOUNDED PRECEDING) AS sid FROM s0)
+         SELECT conv_id,
+           string_agg(role, ',' ORDER BY coalesce(role, ''), turn_idx) AS roles_sorted,
+           string_agg(role, ',' ORDER BY turn_idx) AS roles_arrival,
+           cast(count(*) AS bigint) AS n_turns,
+           min(ts) AS session_start, max(ts) + INTERVAL 8 HOUR AS session_end
+         FROM s1 GROUP BY conv_id, sid"""),
 
     "q_rate_limit" -> Transcripts.oracle(
       """, rl AS (SELECT conv_id, turn_idx, role, ts,
@@ -1508,6 +1575,28 @@ object SparkEntry {
          SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 3""",
 
     "q_grouping_by_trigger" -> Transcripts.oracle(
+      """, g AS (
+           SELECT conv_id, ts, turn_idx,
+             CASE WHEN epoch(ts) - lag(epoch(ts))
+                    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) IS NULL
+                   OR epoch(ts) - lag(epoch(ts))
+                    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) > 3600
+                  THEN 1 ELSE 0 END AS brk
+           FROM transcripts),
+         s2 AS (
+           SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+           FROM g),
+         b AS (
+           SELECT *, (row_number() OVER (PARTITION BY conv_id, sess
+                                         ORDER BY ts, turn_idx) - 1) // 3 AS ctx
+           FROM s2)
+         SELECT conv_id, count(*)::bigint AS n_turns,
+                min(turn_idx) AS first_turn
+         FROM b GROUP BY conv_id, sess, ctx"""),
+
+    // row-identity contract: the salted plan answers the SAME recompute
+    "q_grouping_by_trigger_salted" -> Transcripts.oracle(
       """, g AS (
            SELECT conv_id, ts, turn_idx,
              CASE WHEN epoch(ts) - lag(epoch(ts))

@@ -81,6 +81,11 @@ object ConfigText {
     */
   private final case class Call(name: String, args: Seq[String], kwargs: Map[String, String])
 
+  /** Options whose parenthesized body is kept as raw text for the driver
+    * to re-parse (filter expressions / synthetic-message sub-grammars). */
+  private val rawKwargs =
+    Set("condition", "where", "having", "trigger", "aggregate")
+
   private def parseCall(p: P): Call = {
     val name = p.ident()
     val args = Seq.newBuilder[String]
@@ -89,12 +94,14 @@ object ConfigText {
       while (!p.isPunct(")")) {
         if (p.eat(",")) ()
         else p.next() match {
-          case Ident("condition") if p.isPunct("(") =>
-            // condition(<filter expr>) — keep the RAW expression text; the
-            // rewrite driver re-parses it with the filter grammar
-            // (reference lib/rewrite/rewrite-expr.c:36-48)
+          case Ident(s) if rawKwargs(s) && p.isPunct("(") =>
+            // condition/where/having/trigger(<filter expr>) and
+            // aggregate(<synthetic message>) keep their RAW text; the
+            // driver re-parses it with the right grammar (reference
+            // lib/rewrite/rewrite-expr.c:36-48 for filter exprs,
+            // correlation-grammar.ym:173,199-210 for synthetic messages)
             p.expect("(")
-            kwargs += "condition" -> rawUntilClose(p)
+            kwargs += s -> rawUntilClose(p)
           case Ident(s) if p.isPunct("(") =>
             // option(value [, value…]) — multi-value options (flags lists)
             // join with commas, e.g. flags(global, store-matches)
@@ -328,7 +335,141 @@ object ConfigText {
     System.currentTimeMillis() * 1000L
   }
 
+  /** A template that is a single bare `$name` ref resolves to the TYPED
+    * column (order/sort refs must compare as their native type — "10" < "2"
+    * as strings); anything else renders as the usual string template. */
+  private def typedTemplate(text: String,
+      resolver: graft.functions.Templates.Resolver): Column =
+    graft.functions.Templates.parse(text) match {
+      case Seq(graft.functions.Templates.Ref(n, None)) =>
+        resolver(n).getOrElse(sys.error(s"unknown field in template: $n"))
+      case _ => graft.functions.Templates.compile(text, resolver)
+    }
+
+  /** Does a template use the context-function family (and therefore
+    * compile to an aggregate Column)? */
+  private def usesContextFns(elems: Seq[graft.functions.Templates.Elem]): Boolean = {
+    import graft.functions.Templates.{Call => TCall, Ref => TRef}
+    elems.exists {
+      case TCall(fn, args, _) =>
+        Set("context-length", "context-values", "context-lookup", "grep")(fn) ||
+          args.exists(usesContextFns)
+      case TRef(_, Some(d)) => usesContextFns(d)
+      case _ => false
+    }
+  }
+
+  /** grouping-by() — the reference's correlation aggregator as a config
+    * driver (modules/correlation/groupingby.c, grammar
+    * correlation-grammar.ym:140-185). Batch mapping:
+    *
+    *  - key("<tmpl>") → group key; timeout(n) → session gap in seconds over
+    *    the frame's event time (the reference's timer wheel);
+    *  - sort-key("<tmpl>") → context order for the aggregate templates
+    *    (grouping-parser.c:37-42,146 sorts the context before aggregation;
+    *    the glib sort is stable, so arrival order is the tiebreak);
+    *  - order("<tmpl>") [graft batch extension, default `$ts`] → the
+    *    arrival-order ref: a batch context has no implicit sequence;
+    *  - aggregate(value("n" "<tmpl>")… inherit-mode(m) tags(t…)) → the
+    *    synthetic message (correlation-grammar.ym:199-210): templates using
+    *    $(context-*) compile to aggregate columns; plain templates render
+    *    the LAST message of the sorted context (synthetic-message.c
+    *    evaluates against messages[len-1]); inherit-mode none (default) /
+    *    last-message / context controls which original columns carry over;
+    *  - where(<expr>) pre-filters arrivals, having(<expr>) post-filters
+    *    closed contexts (groupingby.c:94-99);
+    *  - trigger("$(context-length)" == "N") closes every N messages
+    *    (the batch-expressible trigger form);
+    *  - inject-mode(pass-through|internal|aggregate-only): pass-through
+    *    (the stateful-parser default) unions the originals under the
+    *    synthetics.
+    */
+  private def compileGroupingBy(df: DataFrame, c: Call): DataFrame = {
+    import graft.functions.Templates
+    val resolver = frameResolver(df)
+    val key = typedTemplate(
+      c.kwargs.getOrElse("key", sys.error("grouping-by: missing key()")), resolver)
+    val timeout = c.kwargs.getOrElse("timeout",
+      sys.error("grouping-by: missing timeout()")).trim.toLong
+    val sessionTs = resolver("ts").getOrElse(
+      sys.error("grouping-by needs an event-time ts field")).cast("timestamp")
+    val arrival = typedTemplate(c.kwargs.getOrElse("order", "${ts}"), resolver)
+    val ctxOrder = c.kwargs.get("sort-key") match {
+      case Some(sk) =>
+        struct(Templates.compile(sk, resolver).as("__sk"), arrival.as("__ao"))
+      case None => arrival
+    }
+    val aggResolver: Templates.Resolver =
+      name => if (name == "__ctx_order") Some(ctxOrder) else resolver(name)
+
+    // ---- aggregate(<synthetic message>) sub-grammar
+    val prefix = c.kwargs.getOrElse("prefix", "")
+    var inheritMode = "none"
+    val values = Seq.newBuilder[(String, Column)]
+    var tagLits: Seq[String] = Nil
+    val p = new P(lex(c.kwargs.getOrElse("aggregate", "")))
+    while (p.peek.isDefined) {
+      if (p.eat(",") || p.eat(";")) ()
+      else parseCall(p) match {
+        case Call("value", Seq(n, tmpl), _) =>
+          val elems = Templates.parse(tmpl)
+          val compiled = Templates.compile(tmpl, aggResolver)
+          val agg =
+            if (usesContextFns(elems)) compiled
+            else max_by(compiled, ctxOrder) // last message of the sorted context
+          values += ((prefix + n) -> agg)
+        case Call("inherit-mode", Seq(m), _) => inheritMode = m
+        case Call("tags", tagArgs, _)        => tagLits = tagArgs
+        case other => sys.error(s"grouping-by aggregate(): unsupported $other")
+      }
+    }
+    val valueCols = values.result()
+    require(valueCols.nonEmpty, "grouping-by: aggregate() needs at least one value()")
+    val taken = valueCols.map(_._1).toSet + "key" + "session_start" + "session_end"
+    val inherited: Seq[Column] = inheritMode match {
+      case "none" => Nil
+      case "last-message" =>
+        df.columns.toSeq.filterNot(taken).map(cn => max_by(col(cn), ctxOrder).as(cn))
+      case "context" =>
+        df.columns.toSeq.filterNot(taken)
+          .map(cn => max_by(col(cn), when(col(cn).isNotNull, ctxOrder)).as(cn))
+      case other => sys.error(s"grouping-by: unknown inherit-mode($other)")
+    }
+    val aggs = valueCols.map { case (n, a) => a.as(n) } ++ inherited
+
+    val dIn = c.kwargs.get("where")
+      .map(w => df.filter(conditionPred(df, w, Map.empty))).getOrElse(df)
+
+    val grouped0 = c.kwargs.get("trigger") match {
+      case Some(t) =>
+        val m = """(?s).*context-length\D*?(\d+).*""".r
+        val n = t match {
+          case m(d) => d.toInt
+          case _ => sys.error("grouping-by trigger(): only the " +
+            "\"$(context-length)\" == \"N\" form is expressible in batch, got: " + t)
+        }
+        graft.operators.Correlation.groupingByTriggered(
+          dIn, Seq(key.as("key")), sessionTs, timeout, n, aggs,
+          tieBreak = Seq(arrival))
+      case None =>
+        graft.operators.Correlation.groupingBy(
+          dIn, Seq(key.as("key")), sessionTs, s"$timeout seconds", aggs)
+    }
+    val tagged =
+      if (tagLits.isEmpty) grouped0
+      else grouped0.withColumn("tags", array(tagLits.map(lit): _*))
+    val had = c.kwargs.get("having")
+      .map(h => tagged.filter(conditionPred(tagged, h, Map.empty))).getOrElse(tagged)
+    c.kwargs.getOrElse("inject-mode", "pass-through") match {
+      case "pass-through" => had.unionByName(df, allowMissingColumns = true)
+      case "internal" | "aggregate-only" => had
+      case other => sys.error(s"grouping-by: unknown inject-mode($other)")
+    }
+  }
+
   private def parserDriver(c: Call): (DataFrame => DataFrame, Option[DataFrame => Column]) = c.name match {
+    case "grouping-by" =>
+      ((df: DataFrame) => compileGroupingBy(df, c), None)
     case "db-parser" | "grok" =>
       // db-parser(file("rules.xml")) loads a patterndb XML rule set and
       // runs the typed radix matcher; without file() the grok transcript

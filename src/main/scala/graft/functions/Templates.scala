@@ -900,6 +900,24 @@ object TemplateFunctions {
     //     `$_` (the current element), second the comma-separated list ------
     "map" -> (a => render(transform(asList(a(1)), x => lambda(a(0), x)))),
     "filter" -> (a => render(filter(asList(a(1)), x => condLambda(a(0), x)))),
+    // $(iterate f initial) — reference modules/basicfuncs/tf-iterate.c:
+    // emit the accumulator, THEN update it with f($_ = accumulator), once
+    // per message. The n-th message (0-based) therefore renders
+    // f^n(initial). Batch form: the caller binds the row's 0-based
+    // position in deterministic order as `__iter_idx` through the
+    // resolver (a window rank / turn index), and the value is computed
+    // with the codegen aggregate() HOF folding f over an idx-length
+    // array. f must depend on $_ only (the reference's documented use —
+    // counters/accumulator chains); a fold that reads OTHER rows' fields
+    // is a grouping-by context aggregate, not $(iterate).
+    "iterate" -> (a => {
+      val idx = a(0).resolver("__iter_idx").getOrElse(sys.error(
+        "$(iterate) needs an iteration scope: bind __iter_idx (the row's " +
+          "0-based position in deterministic order) through the resolver"))
+        .cast("int")
+      aggregate(array_repeat(lit(1), idx), a(1).col,
+        (acc, _) => lambda(a(0), acc))
+    }),
     // --- format-date (modules/timestamp/tf-format-date.c): strftime ------
     "format-date" -> (a => {
       val fmt = strftimeToJava(a(0).literal.getOrElse(sys.error("static strftime format required")))
@@ -918,14 +936,26 @@ object TemplateFunctions {
     // values LIST-encode (a value containing a comma renders quoted —
     // test_context_funcs ${comma_value} cases)
     "context-values" -> (a => render(
-      graft.operators.Correlation.Context.values(a(0).col, a(1).col))),
+      graft.operators.Correlation.Context.values(a(0).col, ctxOrder(a, 1)))),
     // $(context-lookup cond $x $order) / $(grep cond $x $order): the order
     // ref keeps multi-match output deterministic across retries
     "context-lookup" -> (a => render(
-      graft.operators.Correlation.Context.lookup(cond(a(0)), a(1).col, a(2).col))),
+      graft.operators.Correlation.Context.lookup(cond(a(0)), a(1).col, ctxOrder(a, 2)))),
     "grep" -> (a => render(
-      graft.operators.Correlation.Context.grep(cond(a(0)), a(1).col, a(2).col)))
+      graft.operators.Correlation.Context.grep(cond(a(0)), a(1).col, ctxOrder(a, 2))))
   )
+
+  /** Context order for the context-function family: the explicit trailing
+    * order argument when given, else the ambient `__ctx_order` the
+    * grouping-by() config driver binds through the resolver (sort-key()
+    * order, or arrival order). The reference needs no argument because a
+    * C context array HAS an arrival order; a batch context does not.
+    */
+  private def ctxOrder(a: Seq[Arg], idx: Int): Column =
+    if (a.length > idx) a(idx).col
+    else a(0).resolver("__ctx_order").getOrElse(sys.error(
+      "$(context-*) without an order argument is only valid inside " +
+        "grouping-by(), which binds the context order"))
 
   /** The callable surface: the base table plus the underscore plugin
     * aliases (the C plugin names are underscored even though the

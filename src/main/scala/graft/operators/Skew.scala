@@ -181,6 +181,91 @@ object Skew {
     having.fold(grouped)(grouped.filter)
   }
 
+  /** Salted grouping-by TRIGGER blocks: row-identical to
+    * Correlation.groupingByTriggered under the same
+    * sliceSeconds > timeoutSeconds contract. Three order-aligned
+    * decompositions stack, none of which ever windows a whole key:
+    *
+    *  1. session ids — within-slice running count of gap-markers +
+    *     cross-slice offset (the saltedSessionize recovery: a slice's first
+    *     row reads its predecessor timestamp from the neighbor-slice join;
+    *     a missing neighbor slice implies a gap ≥ sliceSeconds > timeout,
+    *     so null ≡ new-session is exact);
+    *  2. position within session — within-(key, slice, session) rank +
+    *     count of the session's rows in EARLIER slices (computed on the
+    *     tiny per-(key, session, slice) frame, one row per slice a session
+    *     touches, not per message);
+    *  3. trigger block = (position-1) / triggerCount, then the usual hash
+    *     aggregate on (key, session, block) — bounded by triggerCount rows
+    *     per group regardless of key popularity.
+    *
+    * Every full-row window partitions by (key, slice[, session]); the only
+    * whole-key windows run over slice-level frames (#slices, not rows).
+    */
+  def saltedGroupingByTriggered(
+      df: DataFrame,
+      keys: Seq[Column],
+      ts: Column,
+      timeoutSeconds: Long,
+      triggerCount: Int,
+      aggs: Seq[Column],
+      injectPassThrough: Boolean = false,
+      tieBreak: Seq[Column] = Nil,
+      sliceSeconds: Long = 86400L): DataFrame = {
+    require(sliceSeconds > timeoutSeconds,
+      "order-aligned slicing needs sliceSeconds > timeoutSeconds")
+    require(triggerCount >= 1, s"triggerCount must be >= 1, got $triggerCount")
+    val ord = (ts +: tieBreak).map(_.asc)
+    val d0 = df
+      .withColumn("__sk_k", struct(keys: _*))
+      .withColumn("__sk_slice", floor(unix_timestamp(ts) / sliceSeconds))
+    val wSlice = Window.partitionBy(col("__sk_k"), col("__sk_slice")).orderBy(ord: _*)
+    val bnd = d0.groupBy(col("__sk_k"), col("__sk_slice"))
+      .agg(max(ts).as("__pb_ts0"))
+      .select(col("__sk_k"), (col("__sk_slice") + 1).as("__sk_slice"),
+        col("__pb_ts0").as("__pb_ts"))
+    val rn = row_number().over(wSlice)
+    val prevTs = when(rn === 1, col("__pb_ts")).otherwise(lag(ts, 1).over(wSlice))
+    val isNew = prevTs.isNull ||
+      unix_timestamp(ts) - unix_timestamp(prevTs) > timeoutSeconds
+    val wRun = wSlice.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d1 = d0.join(bnd, Seq("__sk_k", "__sk_slice"), "left")
+      .withColumn("__sk_new", isNew.cast("long"))
+      .withColumn("__sk_wsess", sum(col("__sk_new")).over(wRun))
+    val perSlice = d1.groupBy(col("__sk_k"), col("__sk_slice"))
+      .agg(sum(col("__sk_new")).as("__sk_n"))
+    val wOff = Window.partitionBy(col("__sk_k")).orderBy(col("__sk_slice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sessOffsets = perSlice
+      .withColumn("__sk_soff", coalesce(sum(col("__sk_n")).over(wOff), lit(0L)))
+      .drop("__sk_n")
+    val d2 = d1.join(sessOffsets, Seq("__sk_k", "__sk_slice"))
+      .withColumn("__sk_sess", col("__sk_wsess") + col("__sk_soff"))
+    // position within the session: sessions are contiguous in time order,
+    // so within a slice each session is a contiguous run — rank within
+    // (key, slice, session) plus the session's row count in earlier slices
+    val wSess = Window.partitionBy(col("__sk_k"), col("__sk_slice"), col("__sk_sess"))
+      .orderBy(ord: _*)
+    val perSessSlice = d2.groupBy(col("__sk_k"), col("__sk_sess"), col("__sk_slice"))
+      .agg(count(lit(1)).as("__sk_c"))
+    val wPOff = Window.partitionBy(col("__sk_k"), col("__sk_sess"))
+      .orderBy(col("__sk_slice").asc).rowsBetween(Window.unboundedPreceding, -1)
+    val posOffsets = perSessSlice
+      .withColumn("__sk_poff", coalesce(sum(col("__sk_c")).over(wPOff), lit(0L)))
+      .drop("__sk_c")
+    val blocked = d2
+      .withColumn("__sk_pos", row_number().over(wSess).cast("long"))
+      .join(posOffsets, Seq("__sk_k", "__sk_sess", "__sk_slice"))
+      .withColumn("__ctx",
+        floor((col("__sk_pos") + col("__sk_poff") - 1) / triggerCount))
+    val grouped = blocked
+      .groupBy((keys :+ col("__sk_sess") :+ col("__ctx")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__sk_sess", "__ctx")
+    if (!injectPassThrough) grouped
+    else grouped.unionByName(df, allowMissingColumns = true)
+  }
+
   /** Alias name of an agg Column (aggs passed to saltedSessionize must be
     * aliased, as they must for groupingBy's output to be addressable).
     */

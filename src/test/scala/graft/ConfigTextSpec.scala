@@ -52,6 +52,89 @@ class ConfigTextSpec extends SparkSpec {
     assert(nTool + nErr + nRest === total) // partition: final ∪ err ∪ fallback
   }
 
+  test("grouping-by(): trigger + prefix + aggregate-only (test_grouping_by.c:65-125 shape)") {
+    val cfg = s"""
+      source s { transcripts("$sfUnit"); };
+      parser p { grouping-by(key("$$conv_id")
+                   order("$$turn_idx")
+                   timeout(3600)
+                   aggregate(
+                     value("aggr" "$$(context-values $$role)")
+                     value("n" "$$(context-length)")
+                   )
+                   prefix("gb_")
+                   inject-mode(aggregate-only)
+                   trigger("$$(context-length)" == "3")); };
+      destination d { file("out"); };
+      log { source(s); parser(p); destination(d); };
+    """
+    val out = ConfigText.compile(spark, cfg).sink("out")
+    // the config surface must answer the library plan exactly
+    import graft.operators.Correlation
+    val t = graft.transcripts.Transcripts.load(spark, sfUnit)
+    val expected = Correlation.groupingByTriggered(
+      t, Seq(col("conv_id").as("key")), col("ts").cast("timestamp"),
+      timeoutSeconds = 3600L, triggerCount = 3,
+      aggs = Seq(
+        graft.functions.ListValues.list_encode(
+          Correlation.Context.values(col("role"), col("turn_idx"))).as("gb_aggr"),
+        Correlation.Context.length.cast("string").as("gb_n")),
+      tieBreak = Seq(col("turn_idx")))
+    val got = out.select("key", "gb_aggr", "gb_n").as[(String, String, String)]
+      .collect().sorted.toSeq
+    val want = expected.select("key", "gb_aggr", "gb_n").as[(String, String, String)]
+      .collect().sorted.toSeq
+    assert(got === want)
+    assert(got.nonEmpty && got.exists(_._3 === "3")) // full trigger blocks exist
+  }
+
+  test("grouping-by(): sort-key() orders the context before aggregation; " +
+      "having() filters; pass-through is the default inject mode") {
+    val cfg = s"""
+      source s { transcripts("$sfUnit"); };
+      parser p { grouping-by(key("$$conv_id")
+                   order("$$turn_idx")
+                   timeout(7200)
+                   sort-key("$$role")
+                   aggregate(
+                     value("roles" "$$(context-values $$role)")
+                     value("last_role" "$$role")
+                   )
+                   having("$$roles" ne "")); };
+      destination d { file("out"); };
+      log { source(s); parser(p); destination(d); };
+    """
+    val out = ConfigText.compile(spark, cfg).sink("out")
+
+    import graft.operators.Correlation
+    val t = graft.transcripts.Transcripts.load(spark, sfUnit)
+    val sortOrd = struct(coalesce(col("role").cast("string"), lit("")).as("__sk"),
+      col("turn_idx").as("__ao"))
+    val expected = Correlation.groupingBy(
+      t, Seq(col("conv_id").as("key")), col("ts").cast("timestamp"), "7200 seconds",
+      aggs = Seq(
+        graft.functions.ListValues.list_encode(
+          Correlation.Context.values(col("role"), sortOrd)).as("roles"),
+        max_by(coalesce(col("role").cast("string"), lit("")), sortOrd).as("last_role")))
+    // synthetic rows only (originals have null `roles`)
+    val got = out.filter(col("roles").isNotNull)
+      .select("key", "roles", "last_role").as[(String, String, String)]
+      .collect().sorted.toSeq
+    val want = expected.select("key", "roles", "last_role")
+      .as[(String, String, String)].collect().sorted.toSeq
+    assert(got === want)
+    // sort-key really re-orders: some context's role sequence is NOT in
+    // arrival order (roles cycle user→assistant→…, sorted is grouped)
+    val arrival = Correlation.groupingBy(
+      t, Seq(col("conv_id").as("key")), col("ts").cast("timestamp"), "7200 seconds",
+      aggs = Seq(graft.functions.ListValues.list_encode(
+        Correlation.Context.values(col("role"), col("turn_idx"))).as("roles")))
+      .select("key", "roles").as[(String, String)].collect().toMap
+    assert(want.exists { case (k, roles, _) => arrival(k) != roles })
+    // pass-through: original rows ride along under the synthetics
+    assert(out.count() === expected.count() + t.count())
+  }
+
   test("if/elif/else + junction in text form") {
     val cfg = s"""
       source s_app { transcripts("$sfUnit"); };

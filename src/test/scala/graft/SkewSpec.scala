@@ -97,6 +97,47 @@ class SkewSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("salted trigger blocks == direct groupingByTriggered (blocks spanning slices)") {
+    import graft.operators.Correlation
+    val aggs = Seq(count(lit(1)).as("n_turns"),
+      min(col("turn_idx")).as("first_turn"),
+      sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"))
+    // timeout 30 min, trigger every 4 messages; the hot conv's 7-min cadence
+    // never gaps, so it is ONE session whose blocks must span hour slices
+    val direct = Correlation.groupingByTriggered(timed, Seq(col("conv_id")),
+      col("ts"), timeoutSeconds = 1800L, triggerCount = 4, aggs = aggs,
+      tieBreak = Seq(col("turn_idx")))
+      .as[(String, Long, Int, Long)].collect().sortBy(r => (r._1, r._3))
+    val salted = Skew.saltedGroupingByTriggered(timed, Seq(col("conv_id")),
+      col("ts"), timeoutSeconds = 1800L, triggerCount = 4, aggs = aggs,
+      tieBreak = Seq(col("turn_idx")), sliceSeconds = 3600L)
+    val got = salted.as[(String, Long, Int, Long)].collect().sortBy(r => (r._1, r._3))
+    assert(got === direct)
+    // plan assertion: no full-row window partitions by the bare key — every
+    // window either adds a slice/session discriminator or runs over the
+    // slice-level offset frame (whose input is one row per (key, slice))
+    val windows = salted.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      // every window either carries a slice/session discriminator next to
+      // the key (full-row windows), or is a cross-slice offset scan ordered
+      // by slice over the aggregated one-row-per-(key,slice) frame
+      val slicePartitioned = w.partitionSpec.size >= 2
+      val sliceLevelOffsetScan =
+        w.orderSpec.exists(_.child.toString.contains("__sk_slice"))
+      assert(slicePartitioned || sliceLevelOffsetScan,
+        s"window spans a whole key: partition=${w.partitionSpec} order=${w.orderSpec}")
+    }
+    // inject-mode(pass-through) unions the originals under the aggregates
+    val injected = Skew.saltedGroupingByTriggered(timed, Seq(col("conv_id")),
+      col("ts"), timeoutSeconds = 1800L, triggerCount = 4, aggs = aggs,
+      injectPassThrough = true, tieBreak = Seq(col("turn_idx")),
+      sliceSeconds = 3600L)
+    assert(injected.count() === direct.length + timed.count())
+  }
+
   test("deterministic salt: same rows → same salt on recompute (no rand())") {
     val s1 = skewed.select(Skew.salt(16, col("conv_id"), col("turn_idx"))).as[Int].collect()
     val s2 = skewed.select(Skew.salt(16, col("conv_id"), col("turn_idx"))).as[Int].collect()

@@ -526,6 +526,31 @@ class TemplatesSpec extends SparkSpec {
     assert(run("$(getent services nosuch)") === "")
   }
 
+  test("$(iterate): per-message accumulator chain (tf-iterate.c, test_basicfuncs.c:599)") {
+    // the reference feeds 3 messages through "Some prefix $(iterate "$(+ 1 $_)" 0)"
+    // and reads 0,1,2 — in batch the message sequence is a 3-row frame with
+    // its 0-based position bound as __iter_idx
+    val seq3 = Seq(0, 1, 2).toDF("idx")
+    val r: Templates.Resolver =
+      name => if (name == "__iter_idx") Some(col("idx")) else None
+    val got = seq3
+      .select(col("idx"),
+        Templates.compile("Some prefix $(iterate \"$(+ 1 $_)\" 0)", r).as("v"))
+      .orderBy("idx").as[(Int, String)].collect().map(_._2).toSeq
+    assert(got === Seq("Some prefix 0", "Some prefix 1", "Some prefix 2"))
+    // non-trivial f and initial: f(x)=2x+1 from 1 → 1, 3, 7
+    val got2 = seq3
+      .select(col("idx"),
+        Templates.compile("$(iterate \"$(+ 1 $(* 2 $_))\" 1)", r).as("v"))
+      .orderBy("idx").as[(Int, String)].collect().map(_._2).toSeq
+    assert(got2 === Seq("1", "3", "7"))
+    // outside an iteration scope the compile fails loudly
+    val err = intercept[RuntimeException] {
+      Templates.compile("$(iterate \"$(+ 1 $_)\" 0)", _ => None)
+    }
+    assert(err.getMessage.contains("iteration scope"))
+  }
+
   test("values/names value-pairs walks and env (vp-funcs.c, misc)") {
     val d = Seq(("x", "y", "z")).toDF("a", "b", "c")
       .withColumn("fields", map(
