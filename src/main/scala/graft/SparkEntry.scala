@@ -865,6 +865,26 @@ object SparkEntry {
         TextStats.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // multi-class language ID over planted per-language rows: doc_id % 8
+    // deterministically rewrites the text to a known-language snippet in
+    // BOTH engines (0 keeps the original English-like docs), and langId
+    // must recover the plant — marker argmax for Latin scripts, script-
+    // range ratios for cyrillic/CJK/kana
+    "q_text_lang" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(8))
+      val planted =
+        when(m === 1, lit("der Mann ist nicht mit dem Auto und ich das für"))
+          .when(m === 2, lit("le monde est dans la vie et les gens que je vous"))
+          .when(m === 3, lit("el mundo es para los que no se con una por"))
+          .when(m === 4, lit("il mondo che di per non sono della anche come"))
+          .when(m === 5, lit("русский текст для проверки языка"))
+          .when(m === 6, lit("这是一个中文测试文本"))
+          .when(m === 7, lit("これはにほんごのテストです"))
+          .otherwise(col("text"))
+      documents(s, dir).select(col("doc_id"),
+        TextStats.langId(planted).as("lang"))
+    }),
+
     // ================= corpus: multimodal =================
     // real image roundtrip: a genuine PNG/JPEG/GIF payload is encoded from
     // the ground-truth geometry, then the header-only decode must recover
@@ -1693,6 +1713,52 @@ object SparkEntry {
            CASE WHEN len(s) > 0 THEN list_min([md5('fp:' || g) for g in s])
                 ELSE md5('fp:' || text) END AS fingerprint
          FROM sh""",
+
+    "q_text_lang" ->
+      """WITH l0 AS (
+           SELECT doc_id,
+             CASE (doc_id % 8)
+               WHEN 1 THEN 'der Mann ist nicht mit dem Auto und ich das für'
+               WHEN 2 THEN 'le monde est dans la vie et les gens que je vous'
+               WHEN 3 THEN 'el mundo es para los que no se con una por'
+               WHEN 4 THEN 'il mondo che di per non sono della anche come'
+               WHEN 5 THEN 'русский текст для проверки языка'
+               WHEN 6 THEN '这是一个中文测试文本'
+               WHEN 7 THEN 'これはにほんごのテストです'
+               ELSE text END AS t2
+           FROM documents),
+         sc AS (
+           SELECT doc_id,
+             len([x for x in string_split(lower(t2), ' ') if list_contains(
+               ['the','and','of','to','is','that','for','with','you','have'], x)]) AS s_en,
+             len([x for x in string_split(lower(t2), ' ') if list_contains(
+               ['der','die','das','und','ist','nicht','ein','mit','für','ich'], x)]) AS s_de,
+             len([x for x in string_split(lower(t2), ' ') if list_contains(
+               ['le','la','les','et','est','que','pour','dans','je','vous'], x)]) AS s_fr,
+             len([x for x in string_split(lower(t2), ' ') if list_contains(
+               ['el','los','y','es','para','con','una','por','no','se'], x)]) AS s_es,
+             len([x for x in string_split(lower(t2), ' ') if list_contains(
+               ['il','di','che','per','non','sono','della','anche','più','come'], x)]) AS s_it,
+             length(regexp_replace(t2, '\s', '', 'g')) AS c_all,
+             length(regexp_replace(t2, '[^\x{3040}-\x{30ff}]', '', 'g')) AS c_ja,
+             length(regexp_replace(t2, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS c_zh,
+             length(regexp_replace(t2, '[^\x{ac00}-\x{d7af}]', '', 'g')) AS c_ko,
+             length(regexp_replace(t2, '[^\x{0400}-\x{04ff}]', '', 'g')) AS c_ru,
+             length(regexp_replace(t2, '[^\x{0600}-\x{06ff}]', '', 'g')) AS c_ar
+           FROM l0)
+         SELECT doc_id,
+           CASE WHEN c_all > 0 AND c_ja::double / c_all > 0.3 THEN 'ja'
+                WHEN c_all > 0 AND c_zh::double / c_all > 0.3 THEN 'zh'
+                WHEN c_all > 0 AND c_ko::double / c_all > 0.3 THEN 'ko'
+                WHEN c_all > 0 AND c_ru::double / c_all > 0.3 THEN 'ru'
+                WHEN c_all > 0 AND c_ar::double / c_all > 0.3 THEN 'ar'
+                WHEN greatest(s_en, s_de, s_fr, s_es, s_it) < 2 THEN 'unknown'
+                WHEN s_it >= greatest(s_en, s_de, s_fr, s_es) THEN 'it'
+                WHEN s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
+                WHEN s_es >= greatest(s_en, s_de) THEN 'es'
+                WHEN s_en >= s_de THEN 'en'
+                ELSE 'de' END AS lang
+         FROM sc""",
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -23,14 +23,57 @@ object TextStats {
   }
 
   /** n-gram heuristic language ID, binary en/unknown form: English iff the
-    * stopword ratio and an ASCII-letter ratio clear thresholds. (A full
-    * multi-class variant scores one marker set per language and takes the
-    * argmax — same expression shape, more columns.)
+    * stopword ratio and an ASCII-letter ratio clear thresholds. The
+    * multi-class variant is [[langId]].
     */
   def isEnglish(text: Column, minStopRatio: Double = 0.05): Column =
     stopwordRatio(text) >= minStopRatio &&
       (length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double") /
         length(text).cast("double")) >= 0.9
+
+  /** Marker function-word sets for the Latin-script languages [[langId]]
+    * scores (distinctive high-frequency words; overlaps are fine — the
+    * argmax decides). */
+  val LanguageMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with", "you", "have"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "ich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "pour", "dans", "je", "vous"),
+    "es" -> Seq("el", "los", "y", "es", "para", "con", "una", "por", "no", "se"),
+    "it" -> Seq("il", "di", "che", "per", "non", "sono", "della", "anche", "più", "come"))
+
+  /** Unicode script ranges checked BEFORE the marker argmax (a CJK text has
+    * no whitespace tokens to score). Kana outranks Han because Japanese
+    * text mixes kanji; order in this list is the check order. */
+  val ScriptRanges: Seq[(String, Char, Char)] = Seq(
+    ("ja", '\u3040', '\u30ff'), // hiragana + katakana
+    ("zh", '\u4e00', '\u9fff'), // CJK unified
+    ("ko", '\uac00', '\ud7af'), // hangul
+    ("ru", '\u0400', '\u04ff'), // cyrillic
+    ("ar", '\u0600', '\u06ff')) // arabic
+
+  /** Multi-class language ID, pure codegen (scan-stage expression, no
+    * shuffle / UDF): script-range character ratios pick the non-Latin
+    * languages; Latin text scores one marker set per language and takes
+    * the argmax (ties break to the lexicographically LARGEST code via the
+    * struct array_max — deterministic). Below `minHits` marker hits →
+    * "unknown". At 100 TB this is one WholeStageCodegen pass over text.
+    */
+  def langId(text: Column, minHits: Int = 2): Column = {
+    val nonSpace = length(regexp_replace(text, "\\s", "")).cast("double")
+    def scriptRatio(lo: Char, hi: Char): Column = {
+      val kept = length(regexp_replace(text, s"[^$lo-$hi]", "")).cast("double")
+      when(nonSpace > 0, kept / nonSpace).otherwise(lit(0.0))
+    }
+    val t = split(lower(text), " ")
+    val scores = array(LanguageMarkers.map { case (code, ms) =>
+      struct(size(filter(t, x => x.isin(ms: _*))).as("s"), lit(code).as("c"))
+    }: _*)
+    val best = array_max(scores)
+    val latin = when(best("s") >= minHits, best("c")).otherwise(lit("unknown"))
+    ScriptRanges.foldRight(latin) { case ((code, lo, hi), acc) =>
+      when(scriptRatio(lo, hi) > 0.3, lit(code)).otherwise(acc)
+    }
+  }
 
   /** Quality score ∈ [0,1]: penalizes very short docs, high punctuation
     * density, and degenerate (low type/token ratio) texts — the standard

@@ -199,6 +199,31 @@ class CorpusSpec extends SparkSpec {
     assert(fps.forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("multi-class language ID: marker argmax + script ranges + unknown floor") {
+    val rows = Seq(
+      ("en", "the cat and the dog went to the park with you"),
+      ("de", "der Hund ist nicht mit der Katze und ich das für"),
+      ("fr", "le chat est dans la maison et les gens que je vous"),
+      ("es", "el gato es para los que no se con una por"),
+      ("it", "il gatto che di per non sono della anche come"),
+      ("ru", "это русский текст для проверки"),
+      ("zh", "这是一个中文测试文本"),
+      ("ja", "これはにほんごのテストです"),
+      ("ko", "이것은 한국어 테스트 텍스트입니다"),
+      ("ar", "هذا نص اختبار باللغة العربية"),
+      ("unknown", "zxqv wklm brrt 12345"),
+      ("unknown", ""))
+      .toDF("want", "text")
+    val got = rows.select(col("want"),
+      graft.corpus.TextStats.langId(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(0),
+      s"langId mismatch for planted ${r.getString(0)}"))
+    // kana outranks Han: mixed Japanese (kanji + kana) still reads ja
+    val mixed = Seq(("x", "日本語のテキストです漢字も含む")).toDF("k", "text")
+    assert(mixed.select(graft.corpus.TextStats.langId(col("text")))
+      .as[String].head() === "ja")
+  }
+
   test("multimodal: hand-built header byte literals decode (PNG IHDR / JPEG SOF / GIF LSD)") {
     // minimal PNG: signature + IHDR length/type + 640x480 big-endian
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
