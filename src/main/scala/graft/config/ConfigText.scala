@@ -486,12 +486,28 @@ object ConfigText {
             GrokStage.transcriptRules), None)
       }
     case "kv-parser" =>
-      // quoted-dialect scan when requested; plain str_to_map otherwise
-      if (c.kwargs.get("dialect").contains("scanner") || c.args.contains("extract-stray-words"))
-        ((df: DataFrame) => graft.parsers.Scanners.kvStage(df, c.kwargs.getOrElse("value", "text"),
-          graft.parsers.Scanners.KvOptions(
-            extractStrayWords = c.args.contains("extract-stray-words")),
-          prefix = c.kwargs.getOrElse("prefix", "kv_")), None)
+      // quoted-dialect scan when requested or when the SCL-preset options
+      // (value-separator/pair-separator — checkpoint ':'/';' and '|'/'=')
+      // are present; plain str_to_map otherwise
+      val sepOpts = c.kwargs.contains("value-separator") ||
+        c.kwargs.contains("pair-separator")
+      if (c.kwargs.get("dialect").contains("scanner") ||
+          c.args.contains("extract-stray-words") || sepOpts)
+        ((df: DataFrame) => {
+          val (d2, in) = parserInput(df, c)
+          val pfx = c.kwargs.getOrElse("prefix", "kv_")
+          // re-running the scan (e.g. per if/else format branch) OVERWRITES
+          // the previous fields map instead of appending a duplicate column
+          val base = d2.drop(Seq(s"${pfx}fields", s"${pfx}stray")
+            .filterNot(_ == in): _*)
+          graft.parsers.Scanners.kvStage(base, in,
+            graft.parsers.Scanners.KvOptions(
+              valueSeparator =
+                c.kwargs.get("value-separator").map(_.head).getOrElse('='),
+              pairSeparator = c.kwargs.getOrElse("pair-separator", ", "),
+              extractStrayWords = c.args.contains("extract-stray-words")),
+            prefix = pfx).drop(tmpInputCol)
+        }, None)
       else
         ((df: DataFrame) => df.withColumn(c.kwargs.getOrElse("prefix", "kv"),
           FieldParsers.kvParser(col(c.kwargs.getOrElse("value", "text")))), None)
@@ -585,15 +601,19 @@ object ConfigText {
             quotesEnd = qp.map(s => s.grouped(2).map(_.last).mkString).getOrElse("\"'"),
             dialect = dialect,
             greedy = flags("greedy"),
-            stripWhitespace = flags("strip-whitespace"))
+            stripWhitespace = flags("strip-whitespace"),
+            // null("-"): a field equal to the null marker scans as empty
+            nullValue = c.kwargs.get("null").orNull)
           // typed columns (int("pid") …): scan as strings, then try_cast;
           // on-type-error(drop-property) nulls the uncastable value
           // (modules/csvparser typed columns + on-type-error policy)
+          // prefix() prepends to every output column (SCL presets rely on it)
+          val pfx = c.kwargs.getOrElse("prefix", "")
           val typed = names.map { n =>
             n.split(":", 2) match {
               case Array(t, base) if Set("int", "double", "datetime", "string")(t) =>
-                (base, Some(t))
-              case _ => (n, None)
+                (pfx + base, Some(t))
+              case _ => (pfx + n, None)
             }
           }
           val plainNames = typed.map(_._1)
@@ -602,8 +622,11 @@ object ConfigText {
           val f = (df0: DataFrame) => {
             val (df, in) = parserInput(df0, c)
             // reference csvparser partial-fills: scanned columns keep their
-            // values even when later columns are missing (csvparser.c:292)
-            val scanned = graft.parsers.Scanners.csvStage(df, in, plainNames, opts,
+            // values even when later columns are missing (csvparser.c:292);
+            // a second csv stage on the frame (two-pass SCL presets, if/else
+            // branches) overwrites its outputs instead of duplicating them
+            val base = df.drop((plainNames :+ "csv_invalid").filterNot(_ == in): _*)
+            val scanned = graft.parsers.Scanners.csvStage(base, in, plainNames, opts,
               partialFill = true).drop(tmpInputCol)
             typed.foldLeft(scanned) {
               case (d, (n, Some("int")))      => d.withColumn(n, col(n).try_cast("bigint"))

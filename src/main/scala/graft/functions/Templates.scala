@@ -1003,6 +1003,7 @@ object TemplateFunctions {
           case 'I' => sb.append("hh")
           case 'p' => sb.append("a")
           case 'Z' => sb.append("zz")
+          case 'z' => sb.append("XX") // ±hhmm / Z zone suffix
           case '%' => lit.append('%')
           case c   => sys.error(s"unsupported strftime code %$c")
         }

@@ -560,6 +560,168 @@ class ConfigTextSpec extends SparkSpec {
     assert(r3.toSeq === Seq("", "", "0", "docker"))
   }
 
+  test("checkpoint SCL: syslog + splunk log-exporter formats " +
+      "(scl/checkpoint/plugin.conf, light test_checkpoint.py samples)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cp")
+    val syslogLine = """<134>1 2019-11-27T02:58:25Z ABDP-CPLOG01 CheckPoint 22103 - [action:"Accept"; flags:"18692"; ifdir:"inbound"; ifname:"bond1.734"; loguid:"{0x5ddde651,0x48,0xca96040a,0xc000001b}"; origin:"10.4.150.2"; time:"1574823505"; version:"1"; __policy_id_tag:"product=VPN-1 & FireWall-1[db_tag={12D7A082-42F0-B240-8103-29F2F6FF139C};mgmt=ABDP-MGT01;date=1573204576;policy_name=Cutover_Final_V3_20161031]"; dst:"124.156.190.9"; nat_addtnl_rulenum:"1"; nat_rulenum:"8"; proto:"6"; rule:"8"; rule_name:"3G IP Pool Outgoing"; s_port:"64442"; service:"80"; service_id:"http"; src:"10.7.79.7"; xlatedport:"0"; xlatedst:"0.0.0.0"; xlatesport:"49254"; xlatesrc:"202.1.50.67"; ]"""
+    val splunkLine = "time=1557767758|hostname=r80test|product=Firewall|layer_name=Network|layer_uuid=c0264a80-1832-4fce-8a90-d0849dc4ba33|match_id=1|parent_rule=0|rule_action=Accept|rule_uid=4420bdc0-19f3-4a3e-8954-03b742cd3aee|action=Accept|ifdir=inbound|ifname=eth0|logid=0|loguid={0x5cd9a64e,0x0,0x5060a8c0,0xc0000001}|origin=192.168.96.80|sequencenum=1|version=5|dst=192.168.96.80|inzone=Internal|outzone=Local|proto=6|s_port=63945|service=443|service_id=https|src=192.168.96.27|"
+    java.nio.file.Files.write(dir.resolve("in.log"),
+      (syslogLine + "\n" + splunkLine).getBytes("UTF-8"))
+    // scl/checkpoint/plugin.conf's block, flattened: the if/else channel
+    // becomes a path-level format dispatch; the "syslog" branch is the
+    // 7-column greedy csv + ISO date + ':'/';' kv scan, the "splunk"
+    // branch the '|'/'=' kv scan (the originsicname \= escape edge is the
+    // reference's own declared weak spot and not asserted here)
+    val cfg = s"""
+      block parser checkpoint-syslog-parser(prefix('cp_')) {
+        csv-parser(columns('cp1', 'cp2', 'cp_host', 'cp_program', 'cp_pid', 'cp_msgid', 'cp_msg')
+                   flags(greedy) delimiters(' ') null('-') dialect(escape-none));
+        date-parser(format('%Y-%m-%dT%H:%M:%S%z', '%Y-%m-%dT%H:%M:%S') template('$$cp2'));
+        kv-parser(prefix(`prefix`) value-separator(':') pair-separator(';') value('cp_msg'));
+      };
+      block parser checkpoint-splunk-parser(prefix('cp_')) {
+        kv-parser(prefix(`prefix`) value-separator('=') pair-separator('|'));
+      };
+      source s { file("$dir/*.log" format(text)); };
+      parser p_sys { checkpoint-syslog-parser(); };
+      parser p_spl { checkpoint-splunk-parser(); };
+      destination d { file("out"); };
+      log { source(s);
+            if (message("^<[0-9]{1,3}>1 .* CheckPoint ")) { parser(p_sys); }
+            else { parser(p_spl); };
+            destination(d); };
+    """
+    val out = ConfigText.compile(spark, cfg).sink("out")
+    assert(out.count() === 2)
+    def fld(k: String) = try_element_at(col("cp_fields"), lit(k))
+    val sys0 = out.where(col("cp_host") === "ABDP-CPLOG01")
+    val r = sys0.select(col("cp_program"), col("cp_pid"), col("cp_msgid"),
+      fld("action"), fld("ifname"), fld("proto"), fld("s_port"),
+      fld("__policy_id_tag")).head()
+    assert(r.getString(0) === "CheckPoint" && r.getString(1) === "22103")
+    assert(r.getString(2) === "") // null('-') scans the msgid dash as empty
+    assert(r.getString(3) === "Accept" && r.getString(4) === "bond1.734")
+    assert(r.getString(5) === "6" && r.getString(6) === "64442")
+    // quoted value keeps its embedded ';' '=' '[' intact
+    assert(r.getString(7).contains("policy_name=Cutover_Final_V3_20161031"))
+    assert(sys0.select("ts").head().getAs[java.time.LocalDateTime](0)
+      === java.time.LocalDateTime.parse("2019-11-27T02:58:25"))
+    val spl = out.where(fld("hostname") === "r80test")
+      .select(fld("action"), fld("product"), fld("src"), fld("loguid")).head()
+    assert(spl.toSeq === Seq("Accept", "Firewall", "192.168.96.27",
+      "{0x5cd9a64e,0x0,0x5060a8c0,0xc0000001}"))
+  }
+
+  test("postgresql-csvlog SCL: 27 typed columns, escape-double-char quotes, " +
+      "%f date (scl/pgsql/pgsql.conf, light test samples)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pg")
+    val l1 = """2023-09-20 16:50:02.165 CET,,,407764,,650b069a.638d4,2,,2023-09-20 16:50:02 CET,,0,DEBUG3,00000,"starting PostgreSQL 15.4 (Ubuntu 15.4-0ubuntu0.23.04.1) on x86_64-pc-linux-gnu, compiled by gcc (Ubuntu 12.3.0-1ubuntu1~23.04) 12.3.0, 64-bit",,,,,,,,,"","postmaster",,0"""
+    val l2 = """2023-08-08 12:05:52.805 UTC,,,22113,,64d22fa0.5661,1,,2023-08-08 12:05:52 UTC,23/74060,0,LOG,00000,"automatic vacuum of table ""tablename"": index scans: 0",,,,,,,,,"""""
+    java.nio.file.Files.write(dir.resolve("in.csv"), (l1 + "\n" + l2).getBytes("UTF-8"))
+    // scl/pgsql/pgsql.conf's parser block: the csv-parser column list is
+    // verbatim (typed int() wrappers included), the date-parser extracts
+    // the zone-less prefix via $(substr), and the PID/MESSAGE promotion
+    // rewrites ride as a rewrite block (the severity-shift ladder needs
+    // pgsql's nonstandard level names and is not ported)
+    val cfg = s"""
+      block parser postgresql-csvlog-parser(prefix('pg_')) {
+        csv-parser(columns('timestamp', 'username', 'database', int('pid'),
+                           'connection_from', 'session_id', int('session_line_num'),
+                           'command_tag', 'session_start_time', 'virtual_transaction_id',
+                           int('transaction_id'), 'severity', 'sql_state_code',
+                           'message', 'detail', 'hint', 'internal_query',
+                           int('internal_query_pos'), 'context', 'query',
+                           int('query_pos'), 'location', 'application_name',
+                           'backend_type', int('leader_pid'), int('query_id'))
+                   delimiters(',') dialect(escape-double-char)
+                   flags(strip-whitespace) prefix(`prefix`) quote-pairs('""'));
+        date-parser(format('%Y-%m-%d %H:%M:%S.%f')
+                    template('$$(substr $${pg_timestamp} 0 23)'));
+      };
+      source s { file("$dir/*.csv" format(text)); };
+      parser p { postgresql-csvlog-parser(); };
+      rewrite r { set("$${pg_message}" value("msg")); };
+      destination d { file("out"); };
+      log { source(s); parser(p); rewrite(r); destination(d); };
+    """
+    val out = ConfigText.compile(spark, cfg).sink("out")
+    assert(out.count() === 2)
+    val r1 = out.where(col("pg_pid") === 407764L)
+      .select("pg_session_id", "pg_session_line_num", "pg_severity",
+        "pg_backend_type", "pg_query_id", "msg", "ts").head()
+    assert(r1.getString(0) === "650b069a.638d4" && r1.getLong(1) === 2L)
+    assert(r1.getString(2) === "DEBUG3" && r1.getString(3) === "postmaster")
+    assert(r1.getLong(4) === 0L)
+    assert(r1.getString(5).startsWith("starting PostgreSQL 15.4") &&
+      r1.getString(5).endsWith("12.3.0, 64-bit")) // comma inside quotes kept
+    assert(r1.getAs[java.time.LocalDateTime](6)
+      === java.time.LocalDateTime.parse("2023-09-20T16:50:02.165"))
+    // doubled quotes unescape; pre-v13 line (24 cols) partial-fills
+    val r2 = out.where(col("pg_pid") === 22113L)
+      .select("msg", "pg_severity", "pg_backend_type").head()
+    assert(r2.getString(0) === "automatic vacuum of table \"tablename\": index scans: 0")
+    assert(r2.getString(1) === "LOG" && r2.getString(2) === null)
+  }
+
+  test("panos SCL: two-pass csv with type dispatch (scl/paloalto/panos.conf, " +
+      "light test_panos_parser.py samples)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pan")
+    val lines = Seq(
+      // SYSTEM
+      """<12>Apr 14 16:48:54 paloalto.test.net 1,2020/04/14 16:48:54,unknown,SYSTEM,auth,0,2020/04/14 16:48:54,,auth-fail,,0,0,general,medium,failed authentication for user 'admin'. Reason: Invalid username/password. From: 10.0.10.55.,1718,0x0,0,0,0,0,,paloalto""",
+      // SYSTEM with trailing extras — must still be accepted
+      """<12>Apr 14 16:48:54 paloalto.test.net 1,2020/04/14 16:48:54,unknown,SYSTEM,auth,0,2020/04/14 16:48:54,,auth-fail,,0,0,general,medium,failed authentication for user 'admin'. Reason: Invalid username/password. From: 10.0.10.55.,1718,0x0,0,0,0,0,,paloalto,foo,bar""",
+      // CONFIG (non-custom format)
+      """<14>Apr 14 16:54:18 paloalto.test.net 1,2020/04/14 16:54:18,unknown,CONFIG,0,0,2020/04/14 16:54:18,10.0.10.55,,set,admin,Web,Succeeded,deviceconfig system,127,0x0,0,0,0,0,,paloalto""")
+    java.nio.file.Files.write(dir.resolve("in.log"), lines.mkString("\n").getBytes("UTF-8"))
+    // scl/paloalto/panos.conf flattened: pass 1 splits the common fields
+    // with a greedy `tmp` tail; the type field dispatches pass 2 over
+    // ${pan_tmp} (the reference glues ${LEGACY_MSGHDR}${MESSAGE} back for
+    // the same reason the first greedy column here absorbs the syslog
+    // header: PAN-OS messages are headerless CSV)
+    val cfg = s"""
+      block parser panos-parser(prefix('pan_')) {
+        csv-parser(columns('future_use1', 'receive_time', 'serial', 'type',
+                           'subtype', 'future_use2', 'time_generated', 'tmp')
+                   delimiters(',') flags(greedy, drop-invalid) prefix(`prefix`));
+      };
+      source s { file("$dir/*.log" format(text)); };
+      parser p0 { panos-parser(); };
+      parser p_system {
+        csv-parser(columns('vsys', 'eventid', 'object', 'future_use3', 'future_use4',
+                           'module', 'severity', 'opaque', 'seqno', 'actionflags',
+                           'dg_hier_level_1', 'dg_hier_level_2', 'dg_hier_level_3',
+                           'dg_hier_level_4', 'vsys_name', 'device_name')
+                   prefix('pan_') template("$${pan_tmp}") delimiters(','));
+      };
+      parser p_config {
+        csv-parser(columns('host', 'vsys', 'cmd', 'admin', 'client', 'result', 'path',
+                           'seqno', 'actionflags', 'dg_hier_level_1', 'dg_hier_level_2',
+                           'dg_hier_level_3', 'dg_hier_level_4', 'vsys_name', 'device_name')
+                   prefix('pan_') template("$${pan_tmp}") delimiters(','));
+      };
+      destination d { file("out"); };
+      log { source(s); parser(p0);
+            if (match('SYSTEM' value('pan_type') type(string))) { parser(p_system); }
+            elif (match('CONFIG' value('pan_type') type(string))) { parser(p_config); };
+            destination(d); };
+    """
+    val out = ConfigText.compile(spark, cfg).sink("out")
+    assert(out.count() === 3)
+    val sys0 = out.where(col("pan_type") === "SYSTEM")
+      .select("pan_eventid", "pan_module", "pan_severity", "pan_device_name")
+      .collect()
+    assert(sys0.length === 2)
+    sys0.foreach { r =>
+      assert(r.toSeq === Seq("auth-fail", "general", "medium", "paloalto"))
+    }
+    val cfg0 = out.where(col("pan_type") === "CONFIG")
+      .select("pan_host", "pan_cmd", "pan_admin", "pan_client", "pan_result",
+        "pan_path", "pan_device_name").head()
+    assert(cfg0.toSeq === Seq("10.0.10.55", "set", "admin", "Web", "Succeeded",
+      "deviceconfig system", "paloalto"))
+  }
+
   test("sdata-parser(): unquoted SDATA parses, $SDATA re-renders quoted (test_sdata_parser.py)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sd")
     java.nio.file.Files.write(dir.resolve("in.log"),
