@@ -65,7 +65,11 @@ object SparkEntry {
 
   /** n-bit simhash from md5 nibble MSBs (matches Dedup.simhash). */
   private def simhashSql(wExpr: String, bits: Int): String = (0 until bits).map { i =>
-    s"(CASE WHEN list_sum([CASE WHEN substr(md5(t), ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END for t in $wExpr]) >= 0 THEN '1' ELSE '0' END)"
+    // bits 32..63 read the second md5 (token || '#1'), mirroring
+    // Dedup.simhash's two-md5 widening
+    val h = if (i < 32) s"substr(md5(t), ${i + 1}, 1)"
+            else s"substr(md5(t || '#1'), ${i - 31}, 1)"
+    s"(CASE WHEN list_sum([CASE WHEN $h >= '8' THEN 1 ELSE -1 END for t in $wExpr]) >= 0 THEN '1' ELSE '0' END)"
   }.mkString("concat(", ", ", ")")
 
   /** sequential-fold cosine (matches Similarity.cosine). */
@@ -710,6 +714,21 @@ object SparkEntry {
       Dedup.dedupCorpus(documents(s, dir), col("doc_id"), col("text"))
     }),
 
+    // shard-by-shard dedup against a persisted index: index the even-id
+    // half, increment the odd-id shard over it — the survivor set must be
+    // IDENTICAL to the batch run, so it shares the batch ground-truth oracle
+    "q_dedup_increment" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val idx = Dedup.buildIndex(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), col("doc_id"), col("text"))
+      val (assign, _) = Dedup.dedupIncrement(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), col("doc_id"), col("text"), idx)
+      d.join(
+        assign.filter(col("member_id") === col("keep_id"))
+          .select(col("member_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    }),
+
     // pairs -> transitive duplicate clusters -> survivor per cluster
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = documents(s, dir)
@@ -756,8 +775,10 @@ object SparkEntry {
     }),
 
     "q_dedup_simhash_pairs" -> ((s, dir) => {
+      // pinned at the scale-sane 64/4 default: 16-bit band buckets keep the
+      // candidate join linear-ish (see Dedup.simhashPairs sizing scaladoc)
       Dedup.simhashPairs(documents(s, dir), col("doc_id"), col("text"),
-        bits = 32, bands = 4, maxHamming = 3)
+        bits = 64, bands = 4, maxHamming = 3)
     }),
 
     // ================= corpus: similarity search =================
@@ -1489,6 +1510,33 @@ object SparkEntry {
          keep AS (SELECT id FROM walk GROUP BY id HAVING id = min(lab))
          SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.id""",
 
+    "q_dedup_increment" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in generate_series(1, len(w) - 2)]) AS s
+                FROM tok),
+         near AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.s, b.s))::double /
+                        len(list_distinct(list_concat(a.s, b.s)))::double >= 0.5),
+         ex AS (SELECT l.kid AS doc_a, d.doc_id AS doc_b
+                FROM documents d
+                JOIN (SELECT lower(trim(text)) AS t0, min(doc_id) AS kid
+                      FROM documents GROUP BY 1) l
+                  ON lower(trim(d.text)) = l.t0
+                WHERE l.kid < d.doc_id),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM near
+                   UNION SELECT doc_b, doc_a FROM near
+                   UNION SELECT doc_a, doc_b FROM ex
+                   UNION SELECT doc_b, doc_a FROM ex),
+         walk(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
+         keep AS (SELECT id FROM walk GROUP BY id HAVING id = min(lab))
+         SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.id""",
+
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT doc_id,
@@ -1564,11 +1612,11 @@ object SparkEntry {
     // (pigeonhole), so banding has exact recall and the oracle is pairwise.
     "q_dedup_simhash_pairs" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-         , sig AS (SELECT doc_id, ${simhashSql("w", 32)} AS sh FROM tok)
+         , sig AS (SELECT doc_id, ${simhashSql("w", 64)} AS sh FROM tok)
          , pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     cast(list_sum([CASE WHEN substr(a.sh, i, 1) <> substr(b.sh, i, 1)
                                         THEN 1 ELSE 0 END
-                                   for i in generate_series(1, 32)]) AS int) AS hamming
+                                   for i in generate_series(1, 64)]) AS int) AS hamming
                   FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 3""",
 

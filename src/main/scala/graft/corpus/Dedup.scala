@@ -66,28 +66,29 @@ object Dedup {
     *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */
-  def minhashLsh(
-      docs: DataFrame,
-      id: Column,
-      text: Column,
-      shingleK: Int = 3,
-      numHashes: Int = 16,
-      rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    // pre-filter on word count (≡ "has shingles", but cheap): a filter on
-    // the shingle array itself would be pushed below the scan's exchange and
-    // build every shingle set serially on the (often single) input split
-    val sh = docs
+  /** Shingle table (docs with ≥ k words only): the verification side of the
+    * LSH joins and the per-doc payload the incremental index persists. The
+    * pre-filter is on word count (≡ "has shingles", but cheap): a filter on
+    * the shingle array itself would be pushed below the scan's exchange and
+    * build every shingle set serially on the (often single) input split.
+    */
+  private def shingleTable(docs: DataFrame, id: Column, text: Column,
+      shingleK: Int): DataFrame =
+    docs
       .filter(size(split(text, " ")) >= shingleK)
       .select(id.as("doc_id"), shingles(text, shingleK).as("sh"))
-    val sig = sh.select(col("doc_id"), col("sh"),
+
+  /** (doc_id, band, bucket) MinHash band table. Band hash = md5 over the
+    * band's signature slice. Only these id-sized rows ever shuffle — never
+    * the shingle arrays: at corpus scale the payload dominates, so
+    * candidates are generated over ids and the shingle sets join back ONLY
+    * for surviving candidate pairs.
+    */
+  private def bandTable(sh: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sig = sh.select(col("doc_id"),
       graft.functions.GraftFunctions.minhash_sig(col("sh"), numHashes, MinhashPrime).as("sigs"))
-    // band hash = md5 over the band's signature slice. Only (doc_id, band,
-    // bucket) is shuffled — never the shingle arrays: at corpus scale the
-    // payload dominates, so candidates are generated over ids and the
-    // shingle sets are joined back ONLY for surviving candidate pairs.
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|",
@@ -96,6 +97,18 @@ object Dedup {
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  def minhashLsh(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleTable(docs, id, text, shingleK)
+    val bands = bandTable(sh, numHashes, rowsPerBand)
     val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
         Seq("band", "bucket"))
@@ -341,5 +354,133 @@ object Dedup {
       .withColumn("hamming", hamming(col("sig_a"), col("sig_b"), bits))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  // ------------------------------------------------------ incremental dedup
+
+  /** The persisted state of an incremental dedup run. A 100 TB corpus is
+    * deduped shard-by-shard, not re-run whole: each increment joins ONLY
+    * the new shard's band/content rows against these tables, so the cost of
+    * step N is O(shard + collisions), never O(corpus).
+    *
+    *  - `content`  (doc_id, h): content hashes for exact-dup joins;
+    *  - `bands`    (doc_id, band, bucket): the LSH probe surface;
+    *  - `shingles` (doc_id, sh): exact-Jaccard verification payload (the
+    *    heavy table — swap verification to a signature estimate to shrink
+    *    the index if the corpus dimension dominates storage);
+    *  - `assign`   (member_id, keep_id): current cluster assignment. Its
+    *    star edges (keep→member) compress each known component while
+    *    preserving connectivity, so a later shard can BRIDGE two old
+    *    clusters and the union resolves exactly as a batch run would.
+    *
+    * Doc ids must be globally unique across shards.
+    */
+  final case class DedupIndex(
+      content: DataFrame,
+      bands: DataFrame,
+      shingles: DataFrame,
+      assign: DataFrame) {
+    def save(dir: String): Unit = {
+      content.write.mode("overwrite").parquet(s"$dir/content")
+      bands.write.mode("overwrite").parquet(s"$dir/bands")
+      shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+      assign.write.mode("overwrite").parquet(s"$dir/assign")
+    }
+  }
+
+  object DedupIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): DedupIndex =
+      DedupIndex(
+        spark.read.parquet(s"$dir/content"),
+        spark.read.parquet(s"$dir/bands"),
+        spark.read.parquet(s"$dir/shingles"),
+        spark.read.parquet(s"$dir/assign"))
+  }
+
+  /** Exact-dup star edges (keeper → member) for the given content table,
+    * restricted to hash groups present in `touch` (every group when
+    * touch == content). Keeper-JOIN shape, same viral-duplicate-safety as
+    * [[dedupCorpus]].
+    */
+  private def exactEdges(content: DataFrame, touch: DataFrame): DataFrame = {
+    val touched = content.join(touch.select("h").distinct(), Seq("h"), "left_semi")
+    val keepers = touched.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("h", "doc_a")
+    touched.join(keepers, Seq("h"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+  }
+
+  /** Build the incremental index for an initial corpus — the same edges as
+    * [[dedupCorpus]] (exact ∪ LSH-verified near-dup → connected components)
+    * plus the probe tables a later [[dedupIncrement]] needs.
+    */
+  def buildIndex(
+      docs: DataFrame, id: Column, text: Column,
+      shingleK: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DedupIndex = {
+    val content = docs.select(id.as("doc_id"), contentHash(text).as("h"))
+    val sh = shingleTable(docs, id, text, shingleK)
+    val bands = bandTable(sh, numHashes, rowsPerBand)
+    val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val nearPairs = verifyJaccard(cand, sh, threshold).select("doc_a", "doc_b")
+    val assign = resolveClusters(
+      docs.select(id.as("member_id")),
+      exactEdges(content, content).unionByName(nearPairs), "doc_a", "doc_b")
+      .select("member_id", "keep_id")
+    DedupIndex(content, bands, sh, assign)
+  }
+
+  /** Dedup a NEW shard against a persisted index, without re-processing the
+    * indexed corpus: result ≡ a batch [[dedupCorpus]]/[[buildIndex]] run
+    * over (indexed ∪ new) with the same parameters.
+    *
+    *  - exact edges recompute only for content groups the shard touches
+    *    (semi-join on the shard's hashes);
+    *  - near-dup candidates come from the SHARD's bands probing
+    *    (index ∪ shard) bands — old×old collisions are never re-examined;
+    *  - the old clusters enter the component resolution as star edges, so
+    *    a shard doc bridging two previously-separate clusters merges them
+    *    exactly as the batch run would (min-id keeper over the union).
+    *
+    * Returns (assignment over indexed ∪ new members, updated index).
+    * Survivors = `assign.filter(col("member_id") === col("keep_id"))`.
+    */
+  def dedupIncrement(
+      newDocs: DataFrame, id: Column, text: Column,
+      index: DedupIndex,
+      shingleK: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): (DataFrame, DedupIndex) = {
+    val newContent = newDocs.select(id.as("doc_id"), contentHash(text).as("h"))
+    val newSh = shingleTable(newDocs, id, text, shingleK)
+    val newBands = bandTable(newSh, numHashes, rowsPerBand)
+    val allContent = index.content.unionByName(newContent)
+    val allBands = index.bands.unionByName(newBands)
+    val allSh = index.shingles.unionByName(newSh)
+    val exactPairs = exactEdges(allContent, newContent)
+    // shard probes the union: pairs always have ≥1 new-side doc
+    val cand = allBands.select(col("band"), col("bucket"), col("doc_id").as("a"))
+      .join(newBands.select(col("band"), col("bucket"), col("doc_id").as("b")),
+        Seq("band", "bucket"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val nearPairs = verifyJaccard(cand, allSh, threshold).select("doc_a", "doc_b")
+    val oldStar = index.assign.filter(col("member_id") =!= col("keep_id"))
+      .select(col("keep_id").as("doc_a"), col("member_id").as("doc_b"))
+    val members = index.assign.select("member_id")
+      .unionByName(newDocs.select(id.as("member_id"))).distinct()
+    val assign = resolveClusters(members,
+      oldStar.unionByName(exactPairs).unionByName(nearPairs), "doc_a", "doc_b")
+      .select("member_id", "keep_id")
+    (assign, DedupIndex(allContent, allBands, allSh, assign))
   }
 }

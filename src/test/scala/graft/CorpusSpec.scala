@@ -199,6 +199,48 @@ class CorpusSpec extends SparkSpec {
     assert(fps.forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("incremental dedup: increment(B over index(A)) ≡ batch(A∪B); " +
+      "a shard doc can bridge two old clusters; index save/load roundtrips") {
+    // hand fixture: docs 1 and 3 share (almost) nothing; shard doc 2
+    // overlaps BOTH above threshold — the increment must merge the two
+    // previously-separate singletons exactly like a batch run
+    val a = Seq(
+      (1L, "a b c d e f g h"),
+      (3L, "f g h i j k l m"),
+      (10L, "unique text piece one two")).toDF("doc_id", "text")
+    val b = Seq(
+      (2L, "a b c d e f g h i j k l m"),
+      (11L, "unique text piece one two")).toDF("doc_id", "text")
+    val idx = Dedup.buildIndex(a, col("doc_id"), col("text"))
+    assert(idx.assign.filter(col("member_id") === col("keep_id")).count() === 3)
+    val (assign, idx2) = Dedup.dedupIncrement(b, col("doc_id"), col("text"), idx)
+    def survivors(as: org.apache.spark.sql.DataFrame): Seq[Long] =
+      as.filter(col("member_id") === col("keep_id"))
+        .select("member_id").as[Long].collect().sorted.toSeq
+    val batch = Dedup.dedupCorpus(a.unionByName(b), col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors(assign) === batch)
+    assert(!survivors(assign).contains(11L)) // exact dup of 10 dropped
+    assert(survivors(assign) === Seq(1L, 10L)) // bridge: {1,2,3} collapsed to 1
+    // save/load roundtrip, then a third shard over the RELOADED index
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    idx2.save(dir)
+    val idx3 = Dedup.DedupIndex.load(spark, dir)
+    val c = Seq((20L, "a b c d e f g h")).toDF("doc_id", "text") // exact dup of 1
+    val (assign3, _) = Dedup.dedupIncrement(c, col("doc_id"), col("text"), idx3)
+    val batch3 = Dedup.dedupCorpus(a.unionByName(b).unionByName(c),
+      col("doc_id"), col("text")).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors(assign3) === batch3)
+    // and over the real corpus fixture split in half
+    val aD = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val bD = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val (assignD, _) = Dedup.dedupIncrement(bD, col("doc_id"), col("text"),
+      Dedup.buildIndex(aD, col("doc_id"), col("text")))
+    val batchD = Dedup.dedupCorpus(docs, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors(assignD) === batchD)
+  }
+
   test("multi-class language ID: marker argmax + script ranges + unknown floor") {
     val rows = Seq(
       ("en", "the cat and the dog went to the park with you"),
