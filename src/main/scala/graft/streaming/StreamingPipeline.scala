@@ -194,18 +194,35 @@ object StreamingPipeline {
     flagged.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.persist()
-        try {
-          sinkNames.foreach { s =>
-            b.filter(col(s"route_$s"))
-              .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "rule_id")
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(s"$outDir/sink_$s")
-          }
-        } finally { b.unpersist(); () }
+        writeSinksBatch(batch, batchId, sinkNames, outDir)
       }
       .start()
+
+  /** The per-micro-batch body of [[writeSinks]], public so crash-recovery
+    * tests can drive ONE attempt with a fault injected between sink writes
+    * (`afterSink` fires after each sink's write commits) and prove the
+    * batchId-idempotence claim: a batch killed between two sink writes and
+    * replayed on restart leaves no duplicate rows in any (sink, batch_id)
+    * partition — the replay dynamically overwrites its own partition.
+    */
+  def writeSinksBatch(
+      batch: DataFrame,
+      batchId: Long,
+      sinkNames: Seq[String],
+      outDir: String,
+      afterSink: String => Unit = _ => ()): Unit = {
+    val b = batch.persist()
+    try {
+      sinkNames.foreach { s =>
+        b.filter(col(s"route_$s"))
+          .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "rule_id")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$outDir/sink_$s")
+        afterSink(s)
+      }
+    } finally { b.unpersist(); () }
+  }
 }

@@ -117,6 +117,69 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outDir/sink_errors").count() === batchErrors)
   }
 
+  test("exactly-once claim: a batch killed BETWEEN two sink writes replays " +
+      "without duplicates per (sink, batch_id)") {
+    val base = Files.createTempDirectory("graft-xo").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val t = graft.transcripts.Transcripts.load(spark, sfUnit)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val part1 = t.filter(col("turn_idx") === 0)
+    val part2 = t.filter(col("turn_idx") === 1)
+
+    // batch 0 lands normally
+    part1.coalesce(1).write.mode("append").parquet(inDir)
+    val q1 = StreamingPipeline.writeSinks(
+      StreamingPipeline.parsed(StreamingPipeline.source(spark, inDir)),
+      Seq("all", "errors"), outDir, ckpt)
+    q1.processAllAvailable(); q1.stop()
+
+    // batch 1's FIRST attempt dies after sink_all committed, before
+    // sink_errors — the foreachBatch offset never commits
+    part2.coalesce(1).write.mode("append").parquet(inDir)
+    val crashing = StreamingPipeline.parsed(StreamingPipeline.source(spark, inDir))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        StreamingPipeline.writeSinksBatch(batch, batchId, Seq("all", "errors"),
+          outDir, afterSink = s =>
+            if (s == "all") throw new RuntimeException("injected kill between sinks"))
+      }
+      .start()
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crashing.processAllAvailable()
+    }
+    assert(died.getMessage.contains("injected kill") ||
+      Option(died.getCause).exists(_.getMessage.contains("injected kill")))
+    // the half-written state is visible: sink_all already has batch 1 rows
+    val midAll = spark.read.parquet(s"$outDir/sink_all")
+    assert(midAll.filter(col("batch_id") === 1).count() === part2.count())
+
+    // restart replays batch 1 in full; dynamic overwrite of the batch_id
+    // partition makes the half-delivered sink converge, not duplicate
+    val q2 = StreamingPipeline.writeSinks(
+      StreamingPipeline.parsed(StreamingPipeline.source(spark, inDir)),
+      Seq("all", "errors"), outDir, ckpt)
+    q2.processAllAvailable(); q2.stop()
+
+    val all = spark.read.parquet(s"$outDir/sink_all")
+    assert(all.count() === part1.count() + part2.count())
+    // no duplicate rows within any (batch_id): every key appears once
+    Seq("all", "errors").foreach { s =>
+      val rows = spark.read.parquet(s"$outDir/sink_$s")
+      val dups = rows.groupBy("batch_id", "conv_id", "turn_idx")
+        .count().filter(col("count") > 1).count()
+      assert(dups === 0L, s"duplicates in sink_$s")
+    }
+    // routed-subset equality vs the batch router (contents, not just counts)
+    val batchErrors = Pipeline.withRoutes(
+      graft.parsers.GrokStage(t.filter(col("turn_idx") <= 1), "text",
+        graft.parsers.GrokStage.transcriptRules))
+      .filter(col("route_errors")).select("conv_id", "turn_idx")
+      .as[(String, Int)].collect().sorted.toSeq
+    val gotErrors = spark.read.parquet(s"$outDir/sink_errors")
+      .select("conv_id", "turn_idx").as[(String, Int)].collect().sorted.toSeq
+    assert(gotErrors === batchErrors)
+  }
+
   test("stream-static broadcast enrichment matches batch enrich") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Turn]
