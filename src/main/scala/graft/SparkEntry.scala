@@ -886,6 +886,31 @@ object SparkEntry {
         TextStats.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // benchmark decontamination: the "benchmark" is every 17th doc's text,
+    // so contamination hits are guaranteed and both engines derive the
+    // same eval set; posting join on shingle md5s, text never shuffles
+    "q_contamination" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val bench = d.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").as("bid"), col("text").as("btext"))
+      graft.corpus.Sampling.contamination(
+        d, col("doc_id"), col("text"),
+        bench, col("bid"), col("btext"), shingleK = 8, minHits = 2)
+    }),
+
+    // token-budget document packing: per-shard window cumsum packing with
+    // deterministic shard/order keys — the sequence-packing step of a
+    // tokenized-shard writer
+    "q_corpus_pack" -> ((s, dir) => {
+      graft.corpus.Sampling.packByBudget(
+        documents(s, dir).select(col("doc_id"),
+          TextStats.wsTokenCount(col("text")).as("n_tokens")),
+        shard = pmod(col("doc_id"), lit(4)),
+        size = col("n_tokens"), order = col("doc_id"), budget = 512L)
+        .select(col("doc_id"), col("shard").cast("int").as("shard"),
+          col("pack_id").cast("int").as("pack_id"), col("pack_pos"))
+    }),
+
     // multi-class language ID over planted per-language rows: doc_id % 8
     // deterministically rewrites the text to a known-language snippet in
     // BOTH engines (0 keeps the original English-like docs), and langId
@@ -1761,6 +1786,35 @@ object SparkEntry {
            CASE WHEN len(s) > 0 THEN list_min([md5('fp:' || g) for g in s])
                 ELSE md5('fp:' || text) END AS fingerprint
          FROM sh""",
+
+    "q_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 8
+                       THEN list_distinct([array_to_string(w[i:i+7], ' ')
+                                           for i in generate_series(1, len(w) - 7)])
+                       ELSE [] END AS s
+                FROM tok)
+         SELECT d.doc_id AS doc_id, b.doc_id AS bench_id,
+                cast(len(list_intersect(d.s, b.s)) AS bigint) AS n_shared
+         FROM sh d JOIN sh b ON b.doc_id % 17 = 0
+         WHERE len(list_intersect(d.s, b.s)) >= 2""",
+
+    "q_corpus_pack" ->
+      """WITH sized AS (
+           SELECT doc_id, doc_id % 4 AS shard,
+                  len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+           FROM sized)
+         SELECT doc_id, cast(shard AS int) AS shard,
+           cast((cum - n_tokens) // 512 AS int) AS pack_id,
+           cast(row_number() OVER (PARTITION BY shard, (cum - n_tokens) // 512
+                                   ORDER BY doc_id) AS int) AS pack_pos
+         FROM c""",
 
     "q_text_lang" ->
       """WITH l0 AS (

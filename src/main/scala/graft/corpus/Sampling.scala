@@ -54,6 +54,69 @@ object Sampling {
     df.filter(substring(md5(key.cast("string")), 1, 8) < threshold)
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing at least `minHits`
+    * distinct word k-shingles with any benchmark/eval doc (the n-gram
+    * overlap check run before training on web-scale corpora). Posting-list
+    * join on shingle md5s: only (shingle_hash, id) rows shuffle — never the
+    * texts — and the benchmark side is tiny relative to the corpus, so
+    * Catalyst broadcasts its postings. Returns
+    * (doc_id, bench_id, n_shared); decontaminate = anti-join docs against
+    * the distinct doc_ids of this frame.
+    */
+  def contamination(
+      docs: DataFrame, id: Column, text: Column,
+      bench: DataFrame, benchId: Column, benchText: Column,
+      shingleK: Int = 8, minHits: Int = 1): DataFrame = {
+    def postings(df: DataFrame, i: Column, t: Column, as: String) =
+      df.select(i.as(as), Dedup.shingles(t, shingleK).as("sh"))
+        .select(col(as), explode(col("sh")).as("g"))
+        .select(col(as), md5(col("g")).as("gh"))
+    postings(docs, id, text, "doc_id")
+      .join(postings(bench, benchId, benchText, "bench_id"), Seq("gh"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per side
+      .filter(col("n_shared") >= minHits)
+  }
+
+  /** Token-budget document packing — group documents into training packs of
+    * ≈`budget` tokens (the sequence-packing step before tokenized shards
+    * are written). Deterministic and fully parallel:
+    *
+    *  - the caller-supplied deterministic `shard` key (pmod of the id,
+    *    Skew.salt — never rand()) splits the corpus into independent
+    *    packing streams; packs never cross shards, so 100 TB packs with
+    *    zero coordination — one shuffle on the shard key;
+    *  - within a shard, docs in `order` accumulate left-to-right and
+    *    `pack_id = floor((cumsum − size) / budget)` — the standard
+    *    approximate packing where a pack may overrun by less than one
+    *    document (exact next-fit needs a sequential scan; this stays a
+    *    window cumsum and overruns ≤ max doc size, which training-data
+    *    packing tolerates by truncation);
+    *  - docs larger than the budget get a pack of their own by the same
+    *    formula.
+    *
+    * Output: input columns + (shard, pack_id, pack_pos). Same formula is
+    * one SQL window — oracle-recomputable in any engine.
+    */
+  def packByBudget(
+      docs: DataFrame, shard: Column, size: Column, order: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    // shard must be DETERMINISTIC (pmod of the id / Skew.salt — never
+    // rand(): stage retries must re-derive identical packs)
+    val w = Window.partitionBy(col("shard")).orderBy(order.asc)
+    docs
+      .withColumn("shard", shard)
+      .withColumn("__cum", sum(size.cast("long")).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - size.cast("long")) / budget))
+      .withColumn("pack_pos",
+        row_number().over(Window.partitionBy(col("shard"), col("pack_id"))
+          .orderBy(order.asc)))
+      .drop("__cum")
+  }
+
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with
     * deterministic ties (count desc, token asc). One explode + one
     * map-side-combinable hash aggregate + a k-row ordered take — the

@@ -241,6 +241,50 @@ class CorpusSpec extends SparkSpec {
     assert(survivors(assignD) === batchD)
   }
 
+  test("contamination: shingle-overlap hits against a benchmark set; decontaminate drops them") {
+    import graft.corpus.Sampling
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text with different words entirely here now"),
+      (3L, "quick brown fox jumps over the lazy dog tonight indeed")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("bid", "btext")
+    val hits = Sampling.contamination(corpus, col("doc_id"), col("text"),
+      bench, col("bid"), col("btext"), shingleK = 8, minHits = 1)
+      .select("doc_id", "bench_id", "n_shared").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // doc1 contains the full benchmark 8-gram twice-shifted; doc2 none;
+    // doc3 shares the shifted window "quick brown ... dog" only
+    assert(hits.map(_._1) === Seq(1L, 3L))
+    assert(hits.forall(_._2 === 100L))
+    assert(hits(0)._3 >= 2L && hits(1)._3 >= 1L)
+    // decontaminate = anti-join on flagged ids
+    val clean = corpus.join(hits.map(_._1).toDF("doc_id"), Seq("doc_id"), "left_anti")
+    assert(clean.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("packByBudget: per-shard cumsum packing, bounded overrun, deterministic") {
+    import graft.corpus.Sampling
+    val d = Seq((0L, 300L), (1L, 300L), (2L, 300L), (3L, 300L), (4L, 700L), (5L, 100L))
+      .toDF("doc_id", "n_tokens")
+    val packed = Sampling.packByBudget(d, shard = lit(0), size = col("n_tokens"),
+      order = col("doc_id"), budget = 512L)
+      .select("doc_id", "pack_id", "pack_pos").as[(Long, Long, Int)]
+      .collect().sortBy(_._1).toSeq
+    // cumsums: 300,600,900,1200,1900,2000 → pack = (cum-size)/512 =
+    // 0,0,1,1,2,3 — each pack starts below the budget, overrun < one doc
+    assert(packed.map(_._2) === Seq(0L, 0L, 1L, 1L, 2L, 3L))
+    assert(packed.map(_._3) === Seq(1, 2, 1, 2, 1, 1))
+    // packs never cross shards
+    val sharded = Sampling.packByBudget(d, shard = pmod(col("doc_id"), lit(2)),
+      size = col("n_tokens"), order = col("doc_id"), budget = 512L)
+    val crossing = sharded.groupBy("shard", "pack_id")
+      .agg(countDistinct("shard").as("n")).filter(col("n") > 1).count()
+    assert(crossing === 0L)
+    // a doc above the budget still lands in exactly one pack
+    assert(packed.count(_._1 == 4L) === 1)
+  }
+
   test("multi-class language ID: marker argmax + script ranges + unknown floor") {
     val rows = Seq(
       ("en", "the cat and the dog went to the park with you"),
