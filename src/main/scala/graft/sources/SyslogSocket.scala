@@ -84,7 +84,12 @@ private final class SyslogSocketTable(options: CaseInsensitiveStringMap)
             maxMsgSize = options.getInt("max-msg-size", 8 * 1024 * 1024),
             name = Option(options.get("name")),
             parallelism = options.getInt("partitions", 4),
-            path = Option(options.get("path")))
+            path = Option(options.get("path")),
+            tls = Option(options.get("key-file")).map(k =>
+                () => Tls.serverContextFromPem(k, options.get("cert-file")))
+              .orElse(Option(options.get("keystore")).map(p =>
+                () => Tls.serverContextFromKeystore(
+                  p, options.getOrDefault("keystore-password", "")))))
       }
     }
 }
@@ -118,7 +123,8 @@ private final class SyslogSocketStream(
     maxMsgSize: Int,
     name: Option[String],
     parallelism: Int,
-    path: Option[String] = None) extends MicroBatchStream {
+    path: Option[String] = None,
+    tls: Option[() => javax.net.ssl.SSLContext] = None) extends MicroBatchStream {
 
   // (record, peer, ok, recvMicros)
   private val buffer = new ArrayBuffer[(String, String, Boolean, Long)]()
@@ -181,15 +187,27 @@ private final class SyslogSocketStream(
             } catch { case _: java.nio.channels.ClosedChannelException => () }
           }
         }
-      case _ =>
-        server = new ServerSocket(port)
+      case t =>
+        // tcp, or tls when an SSLContext factory is configured (reference
+        // transport(tls), RFC5425 syslog-over-TLS: same framing, the
+        // SSLServerSocket handshakes per connection and hands back a
+        // plain-looking stream — readConnection is transport-agnostic)
+        server =
+          if (t == "tls")
+            tls.getOrElse(sys.error("syslog-socket: transport(tls) needs " +
+              "key-file()+cert-file() or keystore()+keystore-password"))()
+              .getServerSocketFactory.createServerSocket(port)
+          else new ServerSocket(port)
         name.foreach(n => SyslogSocket.bound.put(n, server.getLocalPort))
         spawn("graft-tcp-accept") {
           while (running.get()) {
             try {
               val sock = server.accept()
               spawn(s"graft-tcp-conn-${sock.getPort}")(readConnection(sock))
-            } catch { case _: java.net.SocketException => () } // closed
+            } catch {
+              case _: java.net.SocketException => () // closed
+              case _: javax.net.ssl.SSLException => () // failed handshake
+            }
           }
         }
     }

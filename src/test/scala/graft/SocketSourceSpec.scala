@@ -117,6 +117,63 @@ class SocketSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tls transport: RFC5425 syslog-over-TLS via keystore AND reference-style PEM files") {
+    // self-signed server identity, generated with the JDK's own keytool
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls")
+    val ksPath = s"$dir/server.p12"
+    val keytool = new java.io.File(sys.props("java.home"), "bin/keytool").getAbsolutePath
+    val rc = new ProcessBuilder(keytool, "-genkeypair", "-alias", "srv",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "30",
+      "-dname", "CN=localhost", "-keystore", ksPath, "-storetype", "PKCS12",
+      "-storepass", "changeit", "-keypass", "changeit")
+      .redirectErrorStream(true).start().waitFor()
+    assert(rc === 0, "keytool failed")
+    // export the reference-style PEMs (unencrypted PKCS#8 key + X.509 cert)
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fin = new java.io.FileInputStream(ksPath)
+    try ks.load(fin, "changeit".toCharArray) finally fin.close()
+    val keyPem = s"$dir/server.key"; val certPem = s"$dir/server.crt"
+    graft.sources.Tls.writePem(keyPem, "PRIVATE KEY",
+      ks.getKey("srv", "changeit".toCharArray).getEncoded)
+    graft.sources.Tls.writePem(certPem, "CERTIFICATE",
+      ks.getCertificate("srv").getEncoded)
+
+    def sendTls(port: Int, payload: String): Unit = {
+      val s = graft.sources.Tls.clientContext(certPem).getSocketFactory
+        .createSocket("127.0.0.1", port)
+      s.getOutputStream.write(payload.getBytes("UTF-8"))
+      s.getOutputStream.flush(); s.close()
+    }
+
+    // 1. keystore() form
+    val (q1, p1) = startQuery("sock_tls_ks", "t_tls_ks", Map(
+      "transport" -> "tls", "keystore" -> ksPath, "keystore-password" -> "changeit"))
+    try {
+      sendTls(p1, "<13>t1 host app: over tls\n")
+      sendTls(p1, "5 hello") // auto framing works through TLS too
+      awaitRows(q1, "sock_tls_ks", 2)
+      val recs = spark.table("sock_tls_ks").select("record")
+        .collect().map(_.getString(0)).toSet
+      assert(recs === Set("<13>t1 host app: over tls", "hello"))
+    } finally q1.stop()
+
+    // 2. key-file()/cert-file() PEM form (the reference's tls() options)
+    val (q2, p2) = startQuery("sock_tls_pem", "t_tls_pem", Map(
+      "transport" -> "tls", "key-file" -> keyPem, "cert-file" -> certPem))
+    try {
+      sendTls(p2, "<14>t2 host app: pem identity\n")
+      awaitRows(q2, "sock_tls_pem", 1)
+      assert(spark.table("sock_tls_pem").select("record").head().getString(0)
+        === "<14>t2 host app: pem identity")
+      // a PLAINTEXT client on the TLS port never becomes a row
+      val plain = new Socket("127.0.0.1", p2)
+      plain.getOutputStream.write("not tls\n".getBytes); plain.getOutputStream.flush()
+      plain.close()
+      q2.processAllAvailable()
+      assert(spark.table("sock_tls_pem").count() === 1)
+    } finally q2.stop()
+  }
+
   test("fd source: newline and octet-counted framing from a byte stream") {
     val nl = Fd.read(spark,
       new ByteArrayInputStream("one\r\ntwo\n\nthree".getBytes("UTF-8")))
