@@ -4,11 +4,40 @@ import org.apache.spark.sql.functions._
 
 import graft.enrich.GeoIp
 
-/** geoip2 range-bucket enrichment (reference modules/geoip2/). */
+/** geoip2 range-bucket enrichment (reference modules/geoip2/) and
+  * hosts-file DNS resolution (reference lib/dnscache.c persist-only). */
 class EnrichSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val ranges = GeoIp.defaultRanges(spark).cache()
+
+  test("dns-cache-hosts: hosts-file resolution, short/fqdn forms, ip fallback") {
+    import graft.enrich.DnsCache
+    val dir = java.nio.file.Files.createTempDirectory("graft-dns")
+    java.nio.file.Files.write(dir.resolve("hosts"),
+      ("# comment line\n" +
+        "\n" +
+        "10.0.0.1\tweb01.example.com www\n" +
+        "10.0.0.2 db01.example.com\n" +
+        "10.0.0.1 web01b.example.com\n" + // later entry overwrites (cache replace)
+        "fe80::1 router.local\n").getBytes("UTF-8"))
+    val hosts = DnsCache.hostsDf(spark, s"$dir/hosts")
+    assert(hosts.count() === 3)
+    val df = Seq("10.0.0.1", "10.0.0.2", "10.9.9.9", "fe80::1").toDF("ip")
+    val short = DnsCache.resolveHost(df, col("ip"), hosts)
+      .select("ip", "resolved").as[(String, String)].collect().toMap
+    assert(short("10.0.0.1") === "web01b") // last wins, short form
+    assert(short("10.0.0.2") === "db01")
+    assert(short("10.9.9.9") === "10.9.9.9") // unmapped → address text
+    assert(short("fe80::1") === "router") // v6 rows resolve too
+    val fqdn = DnsCache.resolveHost(df, col("ip"), hosts, useFqdn = true)
+      .select("ip", "resolved").as[(String, String)].collect().toMap
+    assert(fqdn("10.0.0.2") === "db01.example.com")
+    // broadcast hash join, never a nested loop
+    val plan = DnsCache.resolveHost(df, col("ip"), hosts)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
 
   test("wide /16 and fine /24 ranges resolve; misses stay NULL") {
     val df = Seq(
