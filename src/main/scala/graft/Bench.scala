@@ -27,7 +27,10 @@ object Bench {
     "q_group_lines", "q_grouping_by", "q_rate_limit", "q_enrich",
     "q_template_eval", "q_dedup_exact", "q_dedup_minhash", "q_dedup_embed",
     "q_dedup_clusters", "q_embed_topk", "q_text_stats", "q_multimodal_meta",
-    "q_filterx", "q_enrich_geoip", "q1_agg")
+    "q_filterx", "q_enrich_geoip", "q1_agg",
+    // round-3 operator families
+    "q_grouping_by_trigger_salted", "q_text_lang", "q_contamination",
+    "q_corpus_pack", "q_dedup_increment", "q_multimodal_resize")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
