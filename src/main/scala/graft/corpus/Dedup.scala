@@ -17,16 +17,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Words → word k-shingles (space-joined), distinct. Empty when the doc
-    * has fewer than k words.
+    * has fewer than k words. One tight per-row pass
+    * ([[graft.functions.WordShingles]]) — the composed-builtins form
+    * (transform over sequence with k element_ats) is an interpreted HOF
+    * tree that re-evaluates split() per element and measured ~2 ms per
+    * shingle at k = 8.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val w = split(text, " ")
-    val grams = transform(
-      sequence(lit(1), size(w) - (k - 1)),
-      i => concat_ws(" ", (0 until k).map(o => element_at(w, i + o)): _*))
-    // sequence(1, n) with n < 1 would count DOWN — short docs get no shingles
-    array_distinct(when(size(w) >= k, grams).otherwise(array()))
-  }
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.GraftFunctions.word_shingles(text, k)
 
   /** The ONE normalization + hash defining "identical content" — shared
     * by exact() and dedupCorpus so the two entry points can never diverge.
