@@ -145,8 +145,19 @@ object Compiler {
     val unified = cfg.sources
       .map { case (name, build) => build(spark).withColumn("__source", lit(name)) }
       .reduce(_ unionByName _)
+    compileFrame(unified, cfg)
+  }
 
-    var frame = unified
+  /** Compile the config's paths over a CALLER-SUPPLIED unified frame — the
+    * STREAMING entry: the identical parse/filter/rewrite/route plan applies
+    * to a `readStream` frame unchanged (the compiled stages are narrow
+    * Column transforms, which are streaming-safe; a config using the
+    * batch-window `grouping-by()` driver needs the streaming sessionize
+    * instead). The frame must carry a `__source` column when paths select
+    * sources by name.
+    */
+  def compileFrame(input: DataFrame, cfg: Config): Compiled = {
+    var frame = input
     var helperId = 0
     val helperCols = Seq.newBuilder[String]
 

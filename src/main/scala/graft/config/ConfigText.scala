@@ -1206,4 +1206,22 @@ object ConfigText {
   /** Parse + compile in one step. */
   def compile(spark: SparkSession, text: String): Compiler.Compiled =
     Compiler.compile(spark, parse(text))
+
+  /** Parse + compile against a LIVE frame — the streaming entry: a ported
+    * config's parse/filter/rewrite/route plan runs unchanged over a
+    * `readStream` source. The config's `source` blocks still name the
+    * paths' routing; the supplied stream plays the role of `sourceName`
+    * (default: the config's first source). The returned
+    * [[Compiler.Compiled]]'s `flagged`/`sink()` frames are streaming
+    * DataFrames ready for `writeStream`/foreachBatch fan-out.
+    */
+  def compileStream(stream: DataFrame, text: String,
+      sourceName: String = null): Compiler.Compiled = {
+    val cfg = parse(text)
+    val name = Option(sourceName)
+      .orElse(cfg.sources.keys.headOption)
+      .getOrElse(sys.error("config has no source block to impersonate"))
+    require(cfg.sources.contains(name), s"unknown source name: $name")
+    Compiler.compileFrame(stream.withColumn("__source", lit(name)), cfg)
+  }
 }

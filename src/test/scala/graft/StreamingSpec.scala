@@ -180,6 +180,49 @@ class StreamingSpec extends SparkSpec {
     assert(gotErrors === batchErrors)
   }
 
+  test("ported config text runs unchanged on a LIVE stream (compileStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cfg = s"""
+      source s { transcripts("$sfUnit"); };
+      parser p { db-parser(); };
+      filter f_tool { match("tool_call" value("event")); };
+      rewrite r { set-tag("checked"); set("$${role}/$${tool:-none}" value("who")); };
+      destination d_tool { file("tool"); };
+      destination d_rest { file("rest"); };
+      log { source(s); parser(p); filter(f_tool); rewrite(r);
+            destination(d_tool); flags(final); };
+      log { source(s); destination(d_rest); flags(fallback); };
+    """
+    // live rows: a kv/tool-call line and a syslog-ish line
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val c = graft.config.ConfigText.compileStream(mem.toDF(), cfg)
+    assert(c.flagged.isStreaming)
+    val q = c.flagged.writeStream.format("memory").queryName("cfg_stream")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        Turn("c1", 0, "assistant",
+          "event=tool_call tool=bash duration_ms=12 ok=true", "bash", ts(1)),
+        Turn("c1", 1, "user", "<13>t1 host app: plain message", null, ts(2)))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("cfg_stream")
+      assert(got.count() === 2)
+      // routing matches the BATCH compile of the same config semantics:
+      // the kv tool_call row goes final into d_tool, the other falls back
+      val tool = got.filter(col("route_tool")).select("turn_idx", "who")
+        .as[(Int, String)].collect().toSeq
+      assert(tool === Seq((0, "assistant/bash")))
+      assert(got.filter(col("route_rest")).select("turn_idx").as[Int]
+        .collect().toSeq === Seq(1))
+      // rewrites applied under the path guard: tag only on the tool row
+      val tags = got.select(col("turn_idx"), array_contains(col("tags"), "checked"))
+        .as[(Int, Boolean)].collect().toMap
+      assert(tags(0) && !tags(1))
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment matches batch enrich") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Turn]
