@@ -18,6 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object DnsCache {
 
+  /** Driver-local hosts parse (last entry per address wins) — the
+    * compile-time form $(dns-resolve-ip --dns-cache-hosts) binds into a
+    * literal map. */
+  def parseHostsLocal(path: String): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).asScala
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .foreach { l =>
+        val t = l.split("[ \t]+").filter(_.nonEmpty)
+        if (t.length >= 2) m(t(0)) = t(1)
+      }
+    m.toSeq
+  }
+
   /** Parse a hosts file into an (ip, host) lookup frame. */
   def hostsDf(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

@@ -759,6 +759,44 @@ object TemplateFunctions {
     }),
     // --- ip ---------------------------------------------------------------
     "ipv4-to-int" -> (a => graft.filters.Filters.ipv4ToLong(a(0).col).cast("string")),
+    // $(dns-resolve-ip [--use-fqdn] [--use-dns] [--dns-cache]
+    //   [--dns-cache-hosts <file>] $ip) — reference modules/basicfuncs/
+    // ip-funcs.c:85-168. The deterministic batch form: the hosts file
+    // (the global dns-cache-hosts() option, bound locally here) loads at
+    // plan-compile time into a literal map — one codegen try_element_at
+    // per row, no per-row resolver call; unresolvable → the address text
+    // (the reference's resolve_sockaddr fallback). --use-dns/--dns-cache
+    // are accepted no-ops (live resolution is nondeterministic).
+    "dns-resolve-ip" -> (a => {
+      var useFqdn = false
+      var hostsPath: Option[String] = None
+      var i = 0
+      var scanning = true
+      while (scanning && i < a.length - 1) {
+        a(i).literal match {
+          case Some("--use-fqdn")               => useFqdn = true; i += 1
+          case Some("--use-dns" | "--dns-cache") => i += 1
+          case Some("--dns-cache-hosts") =>
+            hostsPath = Some(a(i + 1).literal.getOrElse(
+              sys.error("$(dns-resolve-ip): --dns-cache-hosts needs a literal path")))
+            i += 2
+          case _ => scanning = false
+        }
+      }
+      val ip = a.last.col.cast("string")
+      hostsPath match {
+        case None => ip
+        case Some(p) =>
+          val entries = graft.enrich.DnsCache.parseHostsLocal(p)
+          if (entries.isEmpty) ip
+          else {
+            val kvs = entries.flatMap { case (addr, host) =>
+              Seq(lit(addr), lit(if (useFqdn) host else host.takeWhile(_ != '.')))
+            }
+            coalesce(try_element_at(map(kvs: _*), ip), ip)
+          }
+      }
+    }),
     // --- crypto (modules/cryptofuncs) -------------------------------------
     "sha256" -> (a => truncHash(sha2(a(0).col, 256), a)),
     "sha1" -> (a => truncHash(sha1(a(0).col), a)),

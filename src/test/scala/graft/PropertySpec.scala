@@ -34,6 +34,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("WordShingles expression ≡ composed builtins (split/transform/concat_ws/distinct)") {
+    // texts with empty tokens, repeats, multi-space runs, unicode, short docs
+    val tokGen = Gen.oneOf(Gen.oneOf("a", "b", "ab", "", "répé", "x1"),
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(5)))
+    val textGen = Gen.listOf(tokGen).map(_.mkString(" "))
+    val texts = samples(textGen, 200) ++ Seq("", " ", "  ", "a", "a b", null)
+    Seq(2, 3, 8).foreach { k =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+      val w = split(col("text"), " ")
+      val composed = array_distinct(
+        when(size(w) >= k,
+          transform(sequence(lit(1), size(w) - (k - 1)),
+            i => concat_ws(" ", (0 until k).map(o => element_at(w, i + o)): _*)))
+          .otherwise(array()))
+      val got = df.select(col("id"),
+        graft.corpus.Dedup.shingles(col("text"), k).as("fast"),
+        composed.as("slow")).as[(Int, Seq[String], Seq[String])].collect()
+      got.foreach { case (i, fast, slow) =>
+        assert(fast === slow, s"k=$k case $i text=${texts(i)}")
+      }
+    }
+  }
+
   test("json round trip: format-json ∘ json-parser = identity on (k, v) fields") {
     val vGen = Gen.zip(valGen, Gen.choose(0, 99999))
     val cases = samples(vGen, 150)

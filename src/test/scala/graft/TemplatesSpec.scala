@@ -526,6 +526,22 @@ class TemplatesSpec extends SparkSpec {
     assert(run("$(getent services nosuch)") === "")
   }
 
+  test("$(dns-resolve-ip): hosts-backed resolution, fqdn/short, address fallback (ip-funcs.c)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tdns")
+    java.nio.file.Files.write(dir.resolve("hosts"),
+      "10.1.2.3 web01.example.com\n# c\n10.1.2.4 db01.example.com\n".getBytes)
+    val df2 = Seq(("10.1.2.3", "10.9.9.9")).toDF("ip", "miss")
+    val r: Templates.Resolver =
+      name => if (df2.columns.contains(name)) Some(col(name)) else None
+    def ev(t: String): String =
+      df2.select(Templates.compile(t, r).as("v")).as[String].head()
+    assert(ev(s"$$(dns-resolve-ip --dns-cache-hosts $dir/hosts $$ip)") === "web01")
+    assert(ev(s"$$(dns-resolve-ip --use-fqdn --dns-cache-hosts $dir/hosts $$ip)")
+      === "web01.example.com")
+    assert(ev(s"$$(dns-resolve-ip --dns-cache-hosts $dir/hosts $$miss)") === "10.9.9.9")
+    assert(ev("$(dns-resolve-ip $ip)") === "10.1.2.3") // no hosts: address text
+  }
+
   test("$(iterate): per-message accumulator chain (tf-iterate.c, test_basicfuncs.c:599)") {
     // the reference feeds 3 messages through "Some prefix $(iterate "$(+ 1 $_)" 0)"
     // and reads 0,1,2 — in batch the message sequence is a 3-row frame with
