@@ -177,6 +177,47 @@ object StreamingPipeline {
         })
   }
 
+  /** suppress(seconds) in streaming form (reference lib/logwriter.c
+    * suppress): per key, a turn whose text equals the previously seen one
+    * within the interval is dropped; the survivor is emitted immediately
+    * (the reference emits the first occurrence and counts followers — the
+    * batch variant's `repeated` count needs the closed window, so the
+    * streaming form reports suppression through the stats counters
+    * instead). State = (last text, last event-time ms) per key, evicted on
+    * event-time timeout at interval past the last occurrence. In-batch
+    * rows process in deterministic (ts, turn_idx) order.
+    */
+  def suppressStream(
+      turns: Dataset[Turn],
+      key: Turn => String,
+      intervalSeconds: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[Turn] = {
+    import turns.sparkSession.implicits._
+    turns
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: String, rows: Iterator[Turn], state: GroupState[(String, Long)]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var cur = state.getOption.orNull
+            val out = Seq.newBuilder[Turn]
+            rows.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx)).foreach { t =>
+              val tms = t.ts.getTime
+              val dup = cur != null && cur._1 == t.text &&
+                tms - cur._2 <= intervalSeconds * 1000L
+              if (!dup) out += t
+              cur = (t.text, tms)
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur._2 + intervalSeconds * 1000L)
+            }
+            out.result().iterator
+          }
+        })
+  }
+
   /** Multi-sink streaming fan-out: one foreachBatch persists the micro-batch
     * and writes each sink's filtered slice — the streaming form of
     * Pipeline.writeSinks. foreachBatch alone is at-least-once (a failure

@@ -180,6 +180,43 @@ class StreamingSpec extends SparkSpec {
     assert(gotErrors === batchErrors)
   }
 
+  test("suppress stream: duplicate elision with state across batches == batch suppress") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[Turn]
+    val q = StreamingPipeline.suppressStream(mem.toDS(), _.conv_id,
+      intervalSeconds = 120)
+      .writeStream.format("memory").queryName("sup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: dup within interval suppressed, different text passes
+      mem.addData(
+        turn("c1", 0, 10, text = "same line"),
+        turn("c1", 1, 11, text = "same line"), // dup, 1 min later
+        turn("c1", 2, 12, text = "other"))
+      q.processAllAvailable()
+      // batch 2: the dup chain continues ACROSS the batch boundary;
+      // a dup beyond the interval passes again
+      mem.addData(
+        turn("c1", 3, 13, text = "other"), // dup of last batch's tail
+        turn("c1", 4, 30, text = "other")) // 17 min later: beyond interval
+      q.processAllAvailable()
+      val got = spark.table("sup_stream").select("turn_idx")
+        .as[Int].collect().sorted.toSeq
+      assert(got === Seq(0, 2, 4))
+      // identical decision set to the batch operator on the closed input
+      val all = Seq(
+        turn("c1", 0, 10, text = "same line"), turn("c1", 1, 11, text = "same line"),
+        turn("c1", 2, 12, text = "other"), turn("c1", 3, 13, text = "other"),
+        turn("c1", 4, 30, text = "other")).toDF()
+      val batch = graft.operators.Correlation.suppress(all,
+        key = Seq(col("conv_id")), dupKey = col("text"), ts = col("ts"),
+        intervalSeconds = 120, tieBreak = Seq(col("turn_idx")))
+        .select("turn_idx").as[Int].collect().sorted.toSeq
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("ported config text runs unchanged on a LIVE stream (compileStream)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val cfg = s"""
