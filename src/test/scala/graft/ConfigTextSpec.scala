@@ -564,14 +564,18 @@ class ConfigTextSpec extends SparkSpec {
       "(scl/checkpoint/plugin.conf, light test_checkpoint.py samples)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cp")
     val syslogLine = """<134>1 2019-11-27T02:58:25Z ABDP-CPLOG01 CheckPoint 22103 - [action:"Accept"; flags:"18692"; ifdir:"inbound"; ifname:"bond1.734"; loguid:"{0x5ddde651,0x48,0xca96040a,0xc000001b}"; origin:"10.4.150.2"; time:"1574823505"; version:"1"; __policy_id_tag:"product=VPN-1 & FireWall-1[db_tag={12D7A082-42F0-B240-8103-29F2F6FF139C};mgmt=ABDP-MGT01;date=1573204576;policy_name=Cutover_Final_V3_20161031]"; dst:"124.156.190.9"; nat_addtnl_rulenum:"1"; nat_rulenum:"8"; proto:"6"; rule:"8"; rule_name:"3G IP Pool Outgoing"; s_port:"64442"; service:"80"; service_id:"http"; src:"10.7.79.7"; xlatedport:"0"; xlatedst:"0.0.0.0"; xlatesport:"49254"; xlatesrc:"202.1.50.67"; ]"""
+    // light-test sample 0: SPACE-separated date (the reference's 8-column
+    // else-branch, "checkpoint's RFC5424 is utterly wrong")
+    val spaceDateLine = """<134>1 2018-03-21 17:25:25 MDS-72 CheckPoint 13752 - [action:"Update"; flags:"150784"; ifdir:"inbound"; logid:"160571424"; origin:"192.168.32.91"; sequencenum:"1"; time:"1521645925"; version:"5"; product:"Identity Awareness"; src:"192.168.32.69";]"""
     val splunkLine = "time=1557767758|hostname=r80test|product=Firewall|layer_name=Network|layer_uuid=c0264a80-1832-4fce-8a90-d0849dc4ba33|match_id=1|parent_rule=0|rule_action=Accept|rule_uid=4420bdc0-19f3-4a3e-8954-03b742cd3aee|action=Accept|ifdir=inbound|ifname=eth0|logid=0|loguid={0x5cd9a64e,0x0,0x5060a8c0,0xc0000001}|origin=192.168.96.80|sequencenum=1|version=5|dst=192.168.96.80|inzone=Internal|outzone=Local|proto=6|s_port=63945|service=443|service_id=https|src=192.168.96.27|"
     java.nio.file.Files.write(dir.resolve("in.log"),
-      (syslogLine + "\n" + splunkLine).getBytes("UTF-8"))
-    // scl/checkpoint/plugin.conf's block, flattened: the if/else channel
-    // becomes a path-level format dispatch; the "syslog" branch is the
-    // 7-column greedy csv + ISO date + ':'/';' kv scan, the "splunk"
-    // branch the '|'/'=' kv scan (the originsicname \= escape edge is the
-    // reference's own declared weak spot and not asserted here)
+      (syslogLine + "\n" + spaceDateLine + "\n" + splunkLine).getBytes("UTF-8"))
+    // scl/checkpoint/plugin.conf's block, flattened: the nested if/else
+    // channels become path-level format dispatches; the "syslog" branch
+    // splits on the ISO-vs-space stamp (the reference tries the 7-column
+    // parse and falls back to 8 columns), then the ':'/';' kv scan; the
+    // "splunk" branch is the '|'/'=' kv scan (the originsicname \= escape
+    // edge is the reference's own declared weak spot and not asserted)
     val cfg = s"""
       block parser checkpoint-syslog-parser(prefix('cp_')) {
         csv-parser(columns('cp1', 'cp2', 'cp_host', 'cp_program', 'cp_pid', 'cp_msgid', 'cp_msg')
@@ -579,20 +583,37 @@ class ConfigTextSpec extends SparkSpec {
         date-parser(format('%Y-%m-%dT%H:%M:%S%z', '%Y-%m-%dT%H:%M:%S') template('$$cp2'));
         kv-parser(prefix(`prefix`) value-separator(':') pair-separator(';') value('cp_msg'));
       };
+      block parser checkpoint-syslog-spacedate-parser(prefix('cp_')) {
+        csv-parser(columns('cp1', 'cp2', 'cp3', 'cp_host', 'cp_program', 'cp_pid', 'cp_msgid', 'cp_msg')
+                   flags(greedy) delimiters(' ') null('-') dialect(escape-none));
+        date-parser(format('%Y-%m-%d %H:%M:%S') template('$$cp2 $$cp3'));
+        kv-parser(prefix(`prefix`) value-separator(':') pair-separator(';') value('cp_msg'));
+      };
       block parser checkpoint-splunk-parser(prefix('cp_')) {
         kv-parser(prefix(`prefix`) value-separator('=') pair-separator('|'));
       };
       source s { file("$dir/*.log" format(text)); };
       parser p_sys { checkpoint-syslog-parser(); };
+      parser p_sp  { checkpoint-syslog-spacedate-parser(); };
       parser p_spl { checkpoint-splunk-parser(); };
       destination d { file("out"); };
       log { source(s);
-            if (message("^<[0-9]{1,3}>1 .* CheckPoint ")) { parser(p_sys); }
+            if (message("^<[0-9]{1,3}>1 [0-9-]+T.* CheckPoint ")) { parser(p_sys); }
+            elif (message("^<[0-9]{1,3}>1 .* CheckPoint ")) { parser(p_sp); }
             else { parser(p_spl); };
             destination(d); };
     """
     val out = ConfigText.compile(spark, cfg).sink("out")
-    assert(out.count() === 2)
+    assert(out.count() === 3)
+    // space-date branch: 8-column split, two-token date, same kv fields
+    val sp = out.where(col("cp_host") === "MDS-72")
+    val spr = sp.select(col("cp_program"), col("cp_pid"),
+      try_element_at(col("cp_fields"), lit("action")),
+      try_element_at(col("cp_fields"), lit("product")), col("ts")).head()
+    assert(spr.getString(0) === "CheckPoint" && spr.getString(1) === "13752")
+    assert(spr.getString(2) === "Update" && spr.getString(3) === "Identity Awareness")
+    assert(spr.getAs[java.time.LocalDateTime](4)
+      === java.time.LocalDateTime.parse("2018-03-21T17:25:25"))
     def fld(k: String) = try_element_at(col("cp_fields"), lit(k))
     val sys0 = out.where(col("cp_host") === "ABDP-CPLOG01")
     val r = sys0.select(col("cp_program"), col("cp_pid"), col("cp_msgid"),

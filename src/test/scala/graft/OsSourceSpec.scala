@@ -62,6 +62,37 @@ class OsSourceSpec extends SparkSpec {
     assert(errs.exists(_.contains("truncated pacct record: 3 trailing bytes")))
   }
 
+  test("kmsg format: header, continuation keys, DEVICE sigil decode (linux-kmsg-format.c)") {
+    import graft.sources.Kmsg
+    val text =
+      "6,802,65338577;ATL1E 0000:02:00.0: eth0: NIC Link is Up\n" +
+        " SUBSYSTEM=pci\n" +
+        " DEVICE=+pci:0000:02:00.0\n" +
+        "7,803,65339000,-;block dev event\n" +
+        " DEVICE=b8:1\n" +
+        "4,804,65340000;netdev event\n" +
+        " DEVICE=n2\n" +
+        "not a kmsg header\n"
+    val boot = 1700000000000000L // epoch usec of boot
+    val df = Seq(Tuple1(text.getBytes("UTF-8"))).toDF("content")
+    val rows = Kmsg.parseFiles(df, col("content"), boot)
+    assert(rows.count() === 4)
+    val r1 = rows.where(col("seqid") === "802")
+      .select("pri", "boot_usec", "msg", "fields", "dev_type", "dev_name", "ts").head()
+    assert(r1.getInt(0) === 6 && r1.getLong(1) === 65338577L)
+    assert(r1.getString(2) === "ATL1E 0000:02:00.0: eth0: NIC Link is Up")
+    assert(r1.getMap[String, String](3)(".linux.SUBSYSTEM") === "pci")
+    assert(r1.getString(4) === "pci" && r1.getString(5) === "0000:02:00.0")
+    assert(r1.getTimestamp(6).getTime === (boot + 65338577L) / 1000L)
+    val r2 = rows.where(col("seqid") === "803")
+      .select("dev_type", "dev_major", "dev_minor").head()
+    assert(r2.toSeq === Seq("block", "8", "1")) // trailing flags field tolerated
+    val r3 = rows.where(col("seqid") === "804").select("dev_type", "dev_index").head()
+    assert(r3.toSeq === Seq("netdev", "2"))
+    val bad = rows.where(!col("ok")).select("msg").head()
+    assert(bad.getString(0) === "not a kmsg header")
+  }
+
   test("journal export format: entries, binary fields, reference field mapping") {
     val textPart =
       ("__REALTIME_TIMESTAMP=1700000000123456\n" +
