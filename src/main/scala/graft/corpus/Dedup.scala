@@ -429,10 +429,15 @@ object Dedup {
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     val nearPairs = verifyJaccard(cand, sh, threshold).select("doc_a", "doc_b")
+    // the assignment IS the index's materialized state: checkpoint it so a
+    // following increment's three references (reach test, star edges,
+    // untouched anti-join) read rows, not a live CC plan (save()/load()
+    // gives the same property through parquet on a real pipeline)
     val assign = resolveClusters(
       docs.select(id.as("member_id")),
       exactEdges(content, content).unionByName(nearPairs), "doc_a", "doc_b")
       .select("member_id", "keep_id")
+      .localCheckpoint()
     DedupIndex(content, bands, sh, assign)
   }
 
@@ -471,14 +476,38 @@ object Dedup {
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val nearPairs = verifyJaccard(cand, allSh, threshold).select("doc_a", "doc_b")
-    val oldStar = index.assign.filter(col("member_id") =!= col("keep_id"))
+    // materialize the edge set once: it is referenced by the endpoint
+    // reach test, the star union and the final resolution — without this
+    // the LSH verify subtree re-executes per reference. Edges are id
+    // pairs, orders of magnitude smaller than the corpus; on a real
+    // cluster prefer persist()/checkpoint() (same shape).
+    val newEdges = exactPairs
+      .unionByName(verifyJaccard(cand, allSh, threshold).select("doc_a", "doc_b"))
+      .localCheckpoint()
+
+    // components re-resolve ONLY where the shard connects: an old cluster
+    // is affected iff any member is an endpoint of a new edge (its star
+    // shape makes membership the exact reach test); everything else keeps
+    // its assignment untouched — increment cost is O(shard + affected
+    // subgraph), never O(corpus)
+    val endpoints = newEdges.select(col("doc_a").as("member_id"))
+      .unionByName(newEdges.select(col("doc_b").as("member_id"))).distinct()
+    val affectedKeeps = index.assign
+      .join(endpoints, Seq("member_id"), "left_semi")
+      .select(col("keep_id")).distinct()
+    val affectedOld = index.assign
+      .join(affectedKeeps, Seq("keep_id"), "left_semi")
+    val oldStar = affectedOld.filter(col("member_id") =!= col("keep_id"))
       .select(col("keep_id").as("doc_a"), col("member_id").as("doc_b"))
-    val members = index.assign.select("member_id")
+    val members = affectedOld.select("member_id")
       .unionByName(newDocs.select(id.as("member_id"))).distinct()
-    val assign = resolveClusters(members,
-      oldStar.unionByName(exactPairs).unionByName(nearPairs), "doc_a", "doc_b")
+    val recomputed = resolveClusters(members,
+      oldStar.unionByName(newEdges), "doc_a", "doc_b")
       .select("member_id", "keep_id")
+    val untouched = index.assign
+      .join(affectedKeeps, Seq("keep_id"), "left_anti")
+      .select("member_id", "keep_id")
+    val assign = untouched.unionByName(recomputed).localCheckpoint()
     (assign, DedupIndex(allContent, allBands, allSh, assign))
   }
 }
