@@ -78,6 +78,13 @@ object SparkEntry {
        (sqrt(list_sum(list_transform(qv, x -> CAST(x AS double) * CAST(x AS double)))) *
         sqrt(list_sum(list_transform(cv, x -> CAST(x AS double) * CAST(x AS double)))))"""
 
+  /** Planted boilerplate for the span-dedup contract: EXACTLY 16 words, so
+    * prepending it to a document shifts every original 16-word window by one
+    * whole span and window alignment is preserved on both engines.
+    */
+  private val SPAN_BOILER =
+    "banner subscribe to our newsletter for updates terms of service apply all rights reserved cookie policy"
+
   // ---- shared oracle fragments (route ground truth, DuckDB dialect) ------
   private val R_TOOL = "(variant = 1 AND tool IS NOT NULL)"
   private val R_ERR_RAW =
@@ -896,6 +903,22 @@ object SparkEntry {
       graft.corpus.Sampling.contamination(
         d, col("doc_id"), col("text"),
         bench, col("bid"), col("btext"), shingleK = 8, minHits = 2)
+    }),
+
+    // span-level dedup: every 5th doc gets a 16-word boilerplate span
+    // prepended in BOTH engines; dedupSpans must strip any 16-word window
+    // shared by >= 2 distinct docs (the plant AND any organic repeats) from
+    // every document and reassemble the rest in order — only span-hash
+    // postings ever shuffle, the corpus text never does
+    "q_dedup_spans" -> ((s, dir) => {
+      val d = documents(s, dir).withColumn("text2",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(SPAN_BOILER + " "), col("text"))).otherwise(col("text")))
+      graft.corpus.SpanDedup.dedupSpans(
+        d, col("doc_id"),
+        graft.corpus.SpanDedup.windowSpans(col("text2"), 16),
+        delim = " ", minDocs = 2)
+        .select(col("doc_id"), col("text_clean"), col("n_spans"), col("n_dropped"))
     }),
 
     // token-budget document packing: per-shard window cumsum packing with
@@ -1799,6 +1822,37 @@ object SparkEntry {
                 cast(len(list_intersect(d.s, b.s)) AS bigint) AS n_shared
          FROM sh d JOIN sh b ON b.doc_id % 17 = 0
          WHERE len(list_intersect(d.s, b.s)) >= 2""",
+
+    "q_dedup_spans" ->
+      s"""WITH base AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '$SPAN_BOILER ' || text
+                  ELSE text END AS text
+           FROM documents),
+         words AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+         spans AS (
+           SELECT doc_id,
+             [{'i': i, 's': array_to_string(w[i*16+1 : i*16+16], ' ')}
+              for i in range(greatest(CAST(ceil(len(w) / 16.0) AS BIGINT), 1))] AS sp
+           FROM words),
+         flat AS (SELECT doc_id, unnest(sp, recursive := true) FROM spans),
+         hashed AS (
+           SELECT doc_id, i AS span_idx, s,
+             CASE WHEN trim(s) = '' THEN NULL ELSE md5(lower(trim(s))) END AS sh
+           FROM flat),
+         dup AS (SELECT sh FROM hashed WHERE sh IS NOT NULL
+                 GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+         kept AS (SELECT doc_id, span_idx, s FROM hashed
+                  WHERE sh IS NULL OR sh NOT IN (SELECT sh FROM dup)),
+         agg AS (SELECT doc_id, string_agg(s, ' ' ORDER BY span_idx) AS text_clean,
+                        count(*) AS n_kept
+                 FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS n_spans FROM hashed GROUP BY doc_id)
+         SELECT t.doc_id AS doc_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           cast(t.n_spans AS bigint) AS n_spans,
+           cast(t.n_spans - coalesce(a.n_kept, 0) AS bigint) AS n_dropped
+         FROM tot t LEFT JOIN agg a USING (doc_id)""",
 
     "q_corpus_pack" ->
       """WITH sized AS (

@@ -378,11 +378,33 @@ object Dedup {
       bands: DataFrame,
       shingles: DataFrame,
       assign: DataFrame) {
+    /** Persist the index. In-place safe: after [[dedupIncrement]] the
+      * tables are lazy plans that still READ the parquet under the load
+      * directory, so a direct overwrite of the same dir would be
+      * read-while-truncating. Every table therefore materializes fully into
+      * a staging subdir first, and only then swaps into place (delete old +
+      * rename staged) — the old files are never touched until the new data
+      * is durably written.
+      */
     def save(dir: String): Unit = {
-      content.write.mode("overwrite").parquet(s"$dir/content")
-      bands.write.mode("overwrite").parquet(s"$dir/bands")
-      shingles.write.mode("overwrite").parquet(s"$dir/shingles")
-      assign.write.mode("overwrite").parquet(s"$dir/assign")
+      val spark = content.sparkSession
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val tables = Seq("content" -> content, "bands" -> bands,
+        "shingles" -> shingles, "assign" -> assign)
+      val staged = tables.map { case (name, df) =>
+        val tmp = s"$dir/_staging_$name"
+        df.write.mode("overwrite").parquet(tmp)
+        name -> tmp
+      }
+      // all four staged durably → swap (rename is atomic per table on HDFS
+      // and cheap on local fs; a crash mid-swap leaves recoverable staging)
+      staged.foreach { case (name, tmp) =>
+        val dst = new org.apache.hadoop.fs.Path(s"$dir/$name")
+        val src = new org.apache.hadoop.fs.Path(tmp)
+        val fs = dst.getFileSystem(hconf)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        require(fs.rename(src, dst), s"rename $tmp -> $dst failed")
+      }
     }
   }
 

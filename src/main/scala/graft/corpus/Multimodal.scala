@@ -54,7 +54,9 @@ object Multimodal {
     * height = 16+(length%8)*4.
     */
   def geometryOf(text: String): (String, Int, Int) = {
-    val len = text.length
+    // code points, not UTF-16 units: DuckDB length() counts characters, so
+    // non-BMP text (emoji) must derive the same format/height on both sides
+    val len = text.codePointCount(0, text.length)
     val fmt = (len % 3) match {
       case 0 => "png"
       case 1 => "jpeg"

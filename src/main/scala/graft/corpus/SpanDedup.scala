@@ -1,0 +1,109 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Span/paragraph-level deduplication: remove REPEATED SPANS across
+  * documents, not repeated documents. Web corpora share boilerplate
+  * (headers, navigation, license blurbs) between otherwise-distinct pages;
+  * whole-document dedup ([[Dedup]]) never touches those, so the standard
+  * curation pipeline also runs a span pass that drops any paragraph seen in
+  * ≥ `minDocs` distinct documents and reassembles each document from its
+  * surviving spans, order preserved.
+  *
+  * Scale shape (100 TB): the corpus text NEVER shuffles. Candidate
+  * detection explodes only (doc_id, span_idx, md5-of-span) postings —
+  * id-sized rows — into one map-side-combinable aggregate; the only thing
+  * joined back onto the corpus is the per-document list of span INDICES to
+  * drop (empty for the overwhelming majority of documents, so the join's
+  * build side is the duplicated fringe, not the corpus). Reassembly is a
+  * per-row array filter + join — a narrow codegen projection, no shuffle.
+  *
+  * No reference analog (syslog-ng operates on messages); the operator
+  * follows the repo's determinism rules — md5-only hashing, content-derived
+  * decisions, no rand().
+  */
+object SpanDedup {
+
+  /** Fixed-size word windows: span i = words [i·k, (i+1)·k). The last span
+    * may be shorter. `array_join(windowSpans(t,k), " ") == t` for
+    * single-space-separated text, so reassembly is lossless when nothing is
+    * dropped. One codegen projection, no shuffle.
+    */
+  def windowSpans(text: Column, k: Int): Column = {
+    require(k >= 1, s"span window must be >= 1 word, got $k")
+    val words = split(text, " ")
+    val nSpans = ceil(size(words).cast("double") / k).cast("int")
+    transform(sequence(lit(0), greatest(nSpans, lit(1)) - 1),
+      i => array_join(slice(words, i * k + 1, lit(k)), " "))
+  }
+
+  /** Delimiter paragraphs (e.g. "\n\n" for real prose). Reassembly joins
+    * with the same delimiter, so split→join round-trips exactly.
+    */
+  def paragraphSpans(text: Column, delim: String): Column =
+    split(text, java.util.regex.Pattern.quote(delim))
+
+  /** The ONE normalization + hash defining "the same span" (mirrors
+    * [[Dedup.contentHash]]'s role): md5 of the lowercased trim. Blank spans
+    * hash to NULL so they can never count as boilerplate (and NULL keys
+    * drop out of the aggregate for free).
+    */
+  def spanHash(s: Column): Column =
+    when(trim(s) === "" || s.isNull, lit(null)).otherwise(md5(lower(trim(s))))
+
+  /** Remove spans duplicated across ≥ `minDocs` distinct documents.
+    *
+    * @param docs      corpus frame
+    * @param id        document id column (globally unique)
+    * @param spans     span array for the document — [[windowSpans]] or
+    *                  [[paragraphSpans]] of the text column
+    * @param delim     the string reassembly joins spans with (must match
+    *                  how `spans` was produced for lossless round-trip)
+    * @param minDocs   a span is "duplicated" when it appears in at least
+    *                  this many DISTINCT documents (2 = any cross-doc
+    *                  repeat; raise for a frequency-based boilerplate bar)
+    * @param keepFirst false (default) removes a duplicated span from EVERY
+    *                  document — true boilerplate removal; true keeps the
+    *                  copies in the minimum-id document and strips the rest
+    *                  — span-level "keep one survivor" dedup
+    * @return input columns + `text_clean` (reassembled surviving spans,
+    *         "" when everything was boilerplate), `n_spans`, `n_dropped`
+    */
+  def dedupSpans(
+      docs: DataFrame, id: Column, spans: Column,
+      delim: String = " ", minDocs: Int = 2,
+      keepFirst: Boolean = false): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would drop spans unique to one doc (got $minDocs)")
+    val base = docs.withColumn("__doc_id", id).withColumn("__spans", spans)
+    // postings: (doc_id, span_idx, span-hash) — the ONLY exploded/shuffled
+    // rows; span text stays in the source rows
+    val postings = base
+      .select(col("__doc_id").as("doc_id"),
+        posexplode(transform(col("__spans"), s => spanHash(s))).as(Seq("span_idx", "sh")))
+      .filter(col("sh").isNotNull)
+    val dup = postings
+      .groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+    val dropRows0 = postings.join(dup, Seq("sh"))
+    val dropRows =
+      if (keepFirst) dropRows0.filter(col("doc_id") =!= col("first_doc"))
+      else dropRows0
+    // per-doc drop-index list: rows exist ONLY for documents that lose a
+    // span — the join's build side is the duplicated fringe, not the corpus
+    val dropIdx = dropRows.groupBy(col("doc_id"))
+      .agg(collect_set(col("span_idx")).as("__drop"))
+      .withColumnRenamed("doc_id", "__drop_doc")
+    base
+      .join(dropIdx, col("__doc_id") === col("__drop_doc"), "left")
+      .withColumns(Map(
+        "text_clean" -> array_join(
+          filter(col("__spans"),
+            (s, i) => !coalesce(array_contains(col("__drop"), i), lit(false))),
+          delim),
+        "n_spans" -> size(col("__spans")).cast("long"),
+        "n_dropped" -> coalesce(size(col("__drop")), lit(0)).cast("long")))
+      .drop("__doc_id", "__spans", "__drop", "__drop_doc")
+  }
+}

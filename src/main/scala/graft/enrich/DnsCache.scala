@@ -57,12 +57,16 @@ object DnsCache {
     */
   def resolveHost(df: DataFrame, ip: Column, hosts: DataFrame,
       useFqdn: Boolean = false): DataFrame = {
+    // the hosts side is fully aliased to reserved names so joining onto a
+    // frame that already carries a `host` column (the canonical syslog
+    // field) can't raise an ambiguous reference or clobber the caller's
     val name =
-      if (useFqdn) col("host")
-      else substring_index(col("host"), ".", 1)
-    df.join(broadcast(hosts.select(col("ip").as("__dns_ip"), col("host"))),
+      if (useFqdn) col("__dns_host")
+      else substring_index(col("__dns_host"), ".", 1)
+    df.join(
+        broadcast(hosts.select(col("ip").as("__dns_ip"), col("host").as("__dns_host"))),
         ip === col("__dns_ip"), "left")
       .withColumn("resolved", coalesce(name, ip.cast("string")))
-      .drop("__dns_ip", "host")
+      .drop("__dns_ip", "__dns_host")
   }
 }

@@ -76,8 +76,11 @@ object Kmsg {
     if (semi < 0) return bad
     val parts = head.substring(0, semi).split(",", -1)
     if (parts.length < 3) return bad
-    if (parts(0).isEmpty || !parts(0).forall(_.isDigit)) return bad
-    if (!parts(2).forall(_.isDigit) || parts(2).isEmpty) return bad
+    // digit-count bounds keep toInt/toLong from throwing on overflow-wide
+    // headers (e.g. '99999999999,...') — malformed means the bad row, not a
+    // failed Spark task
+    if (parts(0).isEmpty || parts(0).length > 9 || !parts(0).forall(_.isDigit)) return bad
+    if (parts(2).isEmpty || parts(2).length > 18 || !parts(2).forall(_.isDigit)) return bad
     val pri = parts(0).toInt
     val usec = parts(2).toLong
     val msg = head.substring(semi + 1)

@@ -211,7 +211,13 @@ object StreamingPipeline {
             }
             if (cur != null) {
               state.update(cur)
-              state.setTimeoutTimestamp(cur._2 + intervalSeconds * 1000L)
+              // clamp past the watermark: a key whose rows are all late
+              // (older than watermark - interval) would otherwise ask for a
+              // timeout in the past, which setTimeoutTimestamp rejects and
+              // the exception kills the whole query
+              state.setTimeoutTimestamp(math.max(
+                cur._2 + intervalSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
             }
             out.result().iterator
           }

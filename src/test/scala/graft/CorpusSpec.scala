@@ -485,4 +485,53 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(kept("a") / 5000.0 - 0.1) < 0.03)
     assert(kept("b") === 5000L) // default fraction 1.0 keeps the stratum
   }
+
+  test("span dedup: shared boilerplate paragraph vanishes from BOTH docs, unique text survives") {
+    import graft.corpus.SpanDedup
+    val boiler = "subscribe to our newsletter all rights reserved"
+    val d = Seq(
+      (1L, s"alpha beta gamma\n\n$boiler\n\ndelta epsilon"),
+      (2L, s"$boiler\n\nzeta eta theta"),
+      (3L, "iota kappa lambda\n\nmu nu xi")).toDF("doc_id", "text")
+    val got = SpanDedup.dedupSpans(
+      d, col("doc_id"), SpanDedup.paragraphSpans(col("text"), "\n\n"),
+      delim = "\n\n", minDocs = 2)
+      .select("doc_id", "text_clean", "n_spans", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, "alpha beta gamma\n\ndelta epsilon", 3L, 1L)))
+    assert(got(1) === ((2L, "zeta eta theta", 2L, 1L)))
+    assert(got(2) === ((3L, "iota kappa lambda\n\nmu nu xi", 2L, 0L))) // untouched
+  }
+
+  test("span dedup: keepFirst keeps the min-id copy; within-doc repeats alone never trigger") {
+    import graft.corpus.SpanDedup
+    val d = Seq(
+      (5L, "shared span here\n\nfive only"),
+      (9L, "nine only\n\nshared span here"),
+      (7L, "solo repeat\n\nsolo repeat")).toDF("doc_id", "text")
+    val got = SpanDedup.dedupSpans(
+      d, col("doc_id"), SpanDedup.paragraphSpans(col("text"), "\n\n"),
+      delim = "\n\n", minDocs = 2, keepFirst = true)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert(got(5L) === "shared span here\n\nfive only") // min doc_id keeps it
+    assert(got(9L) === "nine only")
+    // doc 7 repeats a span with ITSELF only — countDistinct(doc)=1 < minDocs
+    assert(got(7L) === "solo repeat\n\nsolo repeat")
+  }
+
+  test("span dedup: windowSpans round-trips and normalizes case/trim for matching") {
+    import graft.corpus.SpanDedup
+    val d = Seq((1L, "a b c d e"), (2L, "C D")).toDF("doc_id", "text")
+    // windows of 2: doc1 = [a b][c d][e], doc2 = [C D] — hash is md5(lower(trim))
+    val got = SpanDedup.dedupSpans(
+      d, col("doc_id"), SpanDedup.windowSpans(col("text"), 2), minDocs = 2)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert(got(1L) === "a b e")
+    assert(got(2L) === "")
+    // lossless round trip when nothing is dropped
+    val rt = Seq((1L, "one two three four five")).toDF("doc_id", "text")
+      .select(array_join(SpanDedup.windowSpans(col("text"), 2), " ").as("t"))
+      .as[String].head()
+    assert(rt === "one two three four five")
+  }
 }
