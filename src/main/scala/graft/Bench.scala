@@ -71,6 +71,33 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  // ---- dedup-increment split timing -----------------------------------
+  // q_dedup_increment (the CORRECTNESS query) runs buildIndex + increment —
+  // right for the increment ≡ batch proof, wrong as a benchmark: the batch
+  // build dominates and the number said nothing about the increment's
+  // O(shard + affected) claim. The bench therefore times the two halves as
+  // separate entries: `increment_build` (batch index build + persist, the
+  // one-time cost) and `q_dedup_increment` (the per-shard increment alone
+  // against the pre-built on-disk index — the cost the claim is about).
+  private val incIndexDir = "/dev/shm/graft-bench-dedup-index"
+
+  private def buildIncrementIndex(spark: SparkSession, sfDir: String): Unit = {
+    import graft.corpus.Dedup
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    Dedup.buildIndex(
+      d.filter(pmod(col("doc_id"), lit(2)) === 0), col("doc_id"), col("text"))
+      .save(incIndexDir)
+  }
+
+  private def runIncrementOnly(spark: SparkSession, sfDir: String): Unit = {
+    import graft.corpus.Dedup
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = Dedup.DedupIndex.load(spark, incIndexDir)
+    val (assign, _) = Dedup.dedupIncrement(
+      d.filter(pmod(col("doc_id"), lit(2)) === 1), col("doc_id"), col("text"), idx)
+    assign.filter(col("member_id") === col("keep_id")).count()
+  }
+
   def main(args: Array[String]): Unit = {
     new java.io.File("/dev/shm/spark-local").mkdirs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,17 +112,29 @@ object Bench {
     // JVM/codegen warmup so the first timed query isn't charged for it
     try SparkEntry.queries("q_sink_counts")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    // min over 2 runs per query: single-shot numbers are steal-prone (the
-    // same reasoning as the throughput repeats below)
-    val qtimes = headline.map { name =>
-      def once(): Double = {
+    // min over 2 runs per query, INTERLEAVED: pass 1 over the whole list,
+    // then pass 2 over the whole list, min per query. Back-to-back repeats
+    // put a query's two samples inside the same few-second window, so one
+    // sustained host-steal burst corrupted BOTH (round-3 artifact: two
+    // adjacent queries read 5-8x their clean times and the corruption
+    // survived the min). With passes a burst can touch at most one sample
+    // of any query and the min rejects it.
+    def queryPass(): Seq[(String, Double)] = {
+      def timed(f: => Unit): Double = {
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
+        try f catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      headline.map { name =>
+        name -> timed {
+          if (name == "q_dedup_increment") runIncrementOnly(spark, sfDir)
+          else SparkEntry.queries(name)(spark, sfDir).count()
+        }
+      } :+ ("increment_build" -> timed(buildIncrementIndex(spark, sfDir)))
     }
+    buildIncrementIndex(spark, sfDir) // index exists before pass 1's increment
+    val (pass1, pass2) = (queryPass(), queryPass())
+    val qtimes = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
 
     // ---- scaling: same job, same materialized input, two levels ----
     // The north-rule pipeline starts at the transcripts TABLE: synthesize
