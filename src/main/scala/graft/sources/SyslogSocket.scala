@@ -85,11 +85,18 @@ private final class SyslogSocketTable(options: CaseInsensitiveStringMap)
             name = Option(options.get("name")),
             parallelism = options.getInt("partitions", 4),
             path = Option(options.get("path")),
-            tls = Option(options.get("key-file")).map(k =>
-                () => Tls.serverContextFromPem(k, options.get("cert-file")))
-              .orElse(Option(options.get("keystore")).map(p =>
-                () => Tls.serverContextFromKeystore(
-                  p, options.getOrDefault("keystore-password", "")))))
+            tls =
+              if (options.get("key-file") == null && options.get("keystore") == null) None
+              else Some(() => Tls.serverTls(
+                keyFile = Option(options.get("key-file")),
+                certFile = Option(options.get("cert-file")),
+                keystore = Option(options.get("keystore")),
+                keystorePassword = options.getOrDefault("keystore-password", ""),
+                keyPassword = Option(options.get("key-password")),
+                peerVerify = Tls.PeerVerify(
+                  options.getOrDefault("peer-verify", "optional-untrusted")),
+                caFile = Option(options.get("ca-file")),
+                caDir = Option(options.get("ca-dir")))))
       }
     }
 }
@@ -124,7 +131,7 @@ private final class SyslogSocketStream(
     name: Option[String],
     parallelism: Int,
     path: Option[String] = None,
-    tls: Option[() => javax.net.ssl.SSLContext] = None) extends MicroBatchStream {
+    tls: Option[() => Tls.ServerTls] = None) extends MicroBatchStream {
 
   // (record, peer, ok, recvMicros)
   private val buffer = new ArrayBuffer[(String, String, Boolean, Long)]()
@@ -196,7 +203,7 @@ private final class SyslogSocketStream(
           if (t == "tls")
             tls.getOrElse(sys.error("syslog-socket: transport(tls) needs " +
               "key-file()+cert-file() or keystore()+keystore-password"))()
-              .getServerSocketFactory.createServerSocket(port)
+              .createServerSocket(port)
           else new ServerSocket(port)
         name.foreach(n => SyslogSocket.bound.put(n, server.getLocalPort))
         spawn("graft-tcp-accept") {

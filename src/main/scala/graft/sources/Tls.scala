@@ -8,7 +8,7 @@ import java.security.cert.{Certificate, CertificateFactory}
 import java.security.spec.PKCS8EncodedKeySpec
 import java.util.Base64
 
-import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory}
+import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory, TrustManager, X509TrustManager}
 
 /** TLS support for the socket source/destinations — the reference's
   * `tls(key-file() cert-file() ...)` block (reference
@@ -22,12 +22,43 @@ import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory}
   *  - alternatively a `keystore()` PKCS12 path + password, the JDK-native
   *    form.
   *
-  * Scope note (documented deltas from the reference tls() surface):
-  * encrypted PEM keys (`ENCRYPTED PRIVATE KEY`) and client-certificate
-  * verification (`peer-verify(required-trust)`) are not implemented —
-  * server-auth TLS only, the dominant syslog-over-TLS (RFC5425) deployment.
+  * Also covered (reference `lib/transport/tls-context.c`):
+  *
+  *  - `peer-verify()` — the four reference modes
+  *    (`tls_context_set_verify_mode_by_name`, tls-context.c:663-678, mapped
+  *    to SSL_VERIFY_* flags at tls-context.c:158-181) re-expressed on JSSE:
+  *    `optional-untrusted`/`none` = no client auth; `optional-trusted` =
+  *    want (absent ok, presented must verify); `required-trusted` = need +
+  *    verify against the CA store; `required-untrusted` = need a cert but
+  *    accept any (`tls_session_verify` returns 1 for TVM_UNTRUSTED,
+  *    tls-session.c:191-193 — JSSE side: a trust-all X509TrustManager).
+  *  - `ca-file()`/`ca-dir()` trust anchors
+  *    (`SSL_CTX_load_verify_locations`, tls-context.c:577-581).
+  *  - encrypted PKCS#8 `key-file()` + `key-password()` — PBES2/PBE PEM
+  *    (`ENCRYPTED PRIVATE KEY`) decrypted with the JDK's
+  *    EncryptedPrivateKeyInfo (reference: PEM_read_bio_PrivateKey with the
+  *    password callback, tls-context.c key loading).
+  *
+  * Out of scope: CRLs, OCSP stapling, DN/fingerprint pinning lists.
   */
 object Tls {
+
+  /** peer-verify() modes, reference TVM_* combinations. */
+  sealed trait PeerVerify
+  object PeerVerify {
+    case object OptionalUntrusted extends PeerVerify // "none"
+    case object OptionalTrusted extends PeerVerify
+    case object RequiredUntrusted extends PeerVerify
+    case object RequiredTrusted extends PeerVerify
+    def apply(name: String): PeerVerify =
+      name.toLowerCase.replace('_', '-') match {
+        case "optional-trusted"           => OptionalTrusted
+        case "optional-untrusted" | "none" => OptionalUntrusted
+        case "required-trusted" | "yes"   => RequiredTrusted
+        case "required-untrusted"         => RequiredUntrusted
+        case other => sys.error(s"peer-verify($other): unknown mode")
+      }
+  }
 
   private def pemBlocks(path: String, header: String): Seq[Array[Byte]] = {
     val text = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.US_ASCII)
@@ -37,12 +68,36 @@ object Tls {
     }.toSeq
   }
 
-  /** Unencrypted PKCS#8 PEM private key (RSA or EC). */
-  def loadPrivateKey(keyFile: String): PrivateKey = {
-    val der = pemBlocks(keyFile, "PRIVATE KEY").headOption.getOrElse(
-      sys.error(s"$keyFile: no PKCS#8 'BEGIN PRIVATE KEY' block (encrypted " +
-        "or PKCS#1 keys are out of scope — convert with openssl pkcs8)"))
-    val spec = new PKCS8EncodedKeySpec(der)
+  /** PKCS#8 PEM private key (RSA or EC); `ENCRYPTED PRIVATE KEY` blocks
+    * (PBES2/PBE) are decrypted with `password` — the reference's
+    * `key-file()` + `key-password()` pair (tls-context.c key loading via
+    * PEM_read_bio_PrivateKey's password callback). */
+  def loadPrivateKey(keyFile: String, password: Option[String] = None): PrivateKey = {
+    val spec = pemBlocks(keyFile, "ENCRYPTED PRIVATE KEY").headOption match {
+      case Some(der) =>
+        val pw = password.getOrElse(sys.error(
+          s"$keyFile: encrypted private key needs key-password()")).toCharArray
+        val epki = new javax.crypto.EncryptedPrivateKeyInfo(der)
+        // PBES1 OIDs resolve to a usable PBEWith… name directly; for PBES2
+        // (openssl's default) getAlgName is just "PBES2" and the full
+        // scheme name (PBEWithHmacSHA256AndAES_256 …) is what SunJCE's
+        // PBES2Parameters.toString renders
+        val alg =
+          if (epki.getAlgName == "PBES2") epki.getAlgParameters.toString
+          else epki.getAlgName
+        val pbeKey = javax.crypto.SecretKeyFactory.getInstance(alg)
+          .generateSecret(new javax.crypto.spec.PBEKeySpec(pw))
+        val cipher = javax.crypto.Cipher.getInstance(alg)
+        cipher.init(javax.crypto.Cipher.DECRYPT_MODE, pbeKey, epki.getAlgParameters)
+        try epki.getKeySpec(cipher)
+        catch { case e: java.security.spec.InvalidKeySpecException =>
+          sys.error(s"$keyFile: key-password() does not decrypt the key: $e") }
+      case None =>
+        val der = pemBlocks(keyFile, "PRIVATE KEY").headOption.getOrElse(
+          sys.error(s"$keyFile: no PKCS#8 'BEGIN [ENCRYPTED ]PRIVATE KEY' block " +
+            "(PKCS#1 keys are out of scope — convert with openssl pkcs8)"))
+        new PKCS8EncodedKeySpec(der)
+    }
     Seq("RSA", "EC", "Ed25519").view.flatMap { alg =>
       try Some(KeyFactory.getInstance(alg).generatePrivate(spec))
       catch { case _: Exception => None }
@@ -57,44 +112,125 @@ object Tls {
     finally in.close()
   }
 
-  /** Server SSLContext from reference-style PEM files. */
-  def serverContextFromPem(keyFile: String, certFile: String): SSLContext = {
+  /** Server-side TLS bundle: the SSLContext plus the peer-verify() mode,
+    * which JSSE applies at the listening socket (need/want client auth —
+    * the reference sets the matching SSL_VERIFY_* flags on the SSL_CTX,
+    * tls-context.c:158-181). */
+  final case class ServerTls(context: SSLContext, verify: PeerVerify) {
+    def createServerSocket(port: Int): java.net.ServerSocket = {
+      val s = context.getServerSocketFactory.createServerSocket(port)
+        .asInstanceOf[javax.net.ssl.SSLServerSocket]
+      verify match {
+        case PeerVerify.OptionalUntrusted => ()
+        case PeerVerify.OptionalTrusted   => s.setWantClientAuth(true)
+        case PeerVerify.RequiredTrusted | PeerVerify.RequiredUntrusted =>
+          s.setNeedClientAuth(true)
+      }
+      s
+    }
+  }
+
+  /** Full reference tls() block for a listener: identity from PEM
+    * (`key-file()`/`cert-file()`, optionally `key-password()`-encrypted) or
+    * a PKCS12 `keystore()`, client-cert policy from `peer-verify()` +
+    * `ca-file()`/`ca-dir()`. */
+  def serverTls(
+      keyFile: Option[String], certFile: Option[String],
+      keystore: Option[String], keystorePassword: String = "",
+      keyPassword: Option[String] = None,
+      peerVerify: PeerVerify = PeerVerify.OptionalUntrusted,
+      caFile: Option[String] = None, caDir: Option[String] = None): ServerTls = {
+    val (ks, pw) = (keyFile, keystore) match {
+      case (Some(k), _) =>
+        val ks = KeyStore.getInstance("PKCS12")
+        ks.load(null, null)
+        ks.setKeyEntry("key", loadPrivateKey(k, keyPassword), Array.emptyCharArray,
+          loadCertChain(certFile.getOrElse(sys.error("tls(): key-file() needs cert-file()"))))
+        (ks, Array.emptyCharArray)
+      case (None, Some(p)) =>
+        val ks = KeyStore.getInstance("PKCS12")
+        val in = new FileInputStream(p)
+        try ks.load(in, keystorePassword.toCharArray) finally in.close()
+        (ks, keystorePassword.toCharArray)
+      case (None, None) =>
+        sys.error("tls(): needs key-file()+cert-file() or keystore()")
+    }
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, pw)
+    val tms: Array[TrustManager] = peerVerify match {
+      case PeerVerify.RequiredUntrusted =>
+        // reference TVM_UNTRUSTED: a chain must be PRESENTED but any
+        // verification result is accepted (tls-session.c:191-193)
+        Array(trustAllManager)
+      case PeerVerify.OptionalUntrusted => null // never asks for a chain
+      case PeerVerify.OptionalTrusted | PeerVerify.RequiredTrusted =>
+        if (caFile.isEmpty && caDir.isEmpty)
+          sys.error(s"tls(): peer-verify($peerVerify) needs ca-file() or ca-dir()")
+        val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(trustStore(caFile, caDir))
+        tmf.getTrustManagers
+    }
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, tms, null)
+    ServerTls(ctx, peerVerify)
+  }
+
+  /** Back-compat single-purpose forms (server auth only, no client certs). */
+  def serverContextFromPem(keyFile: String, certFile: String): SSLContext =
+    serverTls(Some(keyFile), Some(certFile), None).context
+
+  def serverContextFromKeystore(path: String, password: String): SSLContext =
+    serverTls(None, None, Some(path), password).context
+
+  /** Trust anchors from `ca-file()` (PEM bundle) and/or `ca-dir()` (every
+    * regular file in the directory, lexicographic — the reference loads the
+    * c_rehash'd dir lazily; eager load is equivalent for a finite dir). */
+  def trustStore(caFile: Option[String], caDir: Option[String]): KeyStore = {
     val ks = KeyStore.getInstance("PKCS12")
     ks.load(null, null)
-    ks.setKeyEntry("key", loadPrivateKey(keyFile), Array.emptyCharArray,
-      loadCertChain(certFile))
-    serverContext(ks, Array.emptyCharArray)
+    val dirFiles = caDir.toSeq.flatMap { d =>
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(d)).iterator().asScala
+        .filter(Files.isRegularFile(_)).map(_.toString).toSeq.sorted
+    }
+    var i = 0
+    (caFile.toSeq ++ dirFiles).foreach { f =>
+      loadCertChain(f).foreach { c => ks.setCertificateEntry(s"ca$i", c); i += 1 }
+    }
+    ks
   }
 
-  /** Server SSLContext from a PKCS12 keystore file. */
-  def serverContextFromKeystore(path: String, password: String): SSLContext = {
-    val ks = KeyStore.getInstance("PKCS12")
-    val in = new FileInputStream(path)
-    try ks.load(in, password.toCharArray) finally in.close()
-    serverContext(ks, password.toCharArray)
-  }
-
-  private def serverContext(ks: KeyStore, password: Array[Char]): SSLContext = {
-    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
-    kmf.init(ks, password)
-    val ctx = SSLContext.getInstance("TLS")
-    ctx.init(kmf.getKeyManagers, null, null)
-    ctx
+  private lazy val trustAllManager: X509TrustManager = new X509TrustManager {
+    override def checkClientTrusted(
+        chain: Array[java.security.cert.X509Certificate], authType: String): Unit = ()
+    override def checkServerTrusted(
+        chain: Array[java.security.cert.X509Certificate], authType: String): Unit = ()
+    override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+      Array.empty
   }
 
   /** Client SSLContext trusting exactly the given PEM cert(s) — the
-    * `ca-file()` side of the reference's client tls() block (and what a
-    * test client uses against a self-signed server). */
-  def clientContext(caFile: String): SSLContext = {
-    val ks = KeyStore.getInstance("PKCS12")
-    ks.load(null, null)
-    loadCertChain(caFile).zipWithIndex.foreach { case (c, i) =>
-      ks.setCertificateEntry(s"ca$i", c)
-    }
+    * `ca-file()` side of the reference's client tls() block — and, for
+    * mutual TLS, presenting the `key-file()`/`cert-file()` client identity
+    * when the server requests one. */
+  def clientContext(
+      caFile: String,
+      keyFile: Option[String] = None,
+      certFile: Option[String] = None,
+      keyPassword: Option[String] = None): SSLContext = {
     val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
-    tmf.init(ks)
+    tmf.init(trustStore(Some(caFile), None))
+    val kms = keyFile.map { k =>
+      val ks = KeyStore.getInstance("PKCS12")
+      ks.load(null, null)
+      ks.setKeyEntry("key", loadPrivateKey(k, keyPassword), Array.emptyCharArray,
+        loadCertChain(certFile.getOrElse(sys.error("client tls(): key-file() needs cert-file()"))))
+      val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(ks, Array.emptyCharArray)
+      kmf.getKeyManagers
+    }.orNull
     val ctx = SSLContext.getInstance("TLS")
-    ctx.init(null, tmf.getTrustManagers, null)
+    ctx.init(kms, tmf.getTrustManagers, null)
     ctx
   }
 
@@ -105,6 +241,23 @@ object Tls {
     Files.write(Paths.get(path),
       s"-----BEGIN $header-----\n$b64\n-----END $header-----\n"
         .getBytes(StandardCharsets.US_ASCII))
+  }
+
+  /** Write an encrypted PKCS#8 key PEM (`ENCRYPTED PRIVATE KEY`) — the
+    * inverse of the [[loadPrivateKey]] encrypted branch. Uses PBES1
+    * (SHA1+3DES) because the JDK's EncryptedPrivateKeyInfo ENCODER only
+    * names PBES1 schemes; the DECODER side ([[loadPrivateKey]]) handles
+    * both this and openssl's default PBES2 (AES-CBC + HMAC-SHA256) output,
+    * whose OIDs the JDK resolves to usable PBEWith… names. */
+  def writeEncryptedKeyPem(path: String, key: PrivateKey, password: String): Unit = {
+    val alg = "PBEWithSHA1AndDESede"
+    val pbeKey = javax.crypto.SecretKeyFactory.getInstance(alg)
+      .generateSecret(new javax.crypto.spec.PBEKeySpec(password.toCharArray))
+    val cipher = javax.crypto.Cipher.getInstance(alg)
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE, pbeKey) // provider picks salt/iv
+    val epki = new javax.crypto.EncryptedPrivateKeyInfo(
+      cipher.getParameters, cipher.doFinal(key.getEncoded))
+    writePem(path, "ENCRYPTED PRIVATE KEY", epki.getEncoded)
   }
 
   private[sources] def certFromBytes(der: Array[Byte]): Certificate =

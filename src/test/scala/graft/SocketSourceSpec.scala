@@ -174,6 +174,132 @@ class SocketSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("tls peer-verify: mutual TLS accepts CA-signed clients, rejects bare/rogue ones; encrypted key-file loads") {
+    // fixtures via the JDK's keytool: a CA (bc:c so PKIX accepts it as an
+    // anchor), a client identity SIGNED by that CA, and a rogue self-signed
+    // client from outside the CA
+    val dir = java.nio.file.Files.createTempDirectory("graft-mtls")
+    val keytool = new java.io.File(sys.props("java.home"), "bin/keytool").getAbsolutePath
+    def kt(args: String*): Unit = {
+      val rc = new ProcessBuilder((keytool +: args): _*)
+        .redirectErrorStream(true).start().waitFor()
+      assert(rc === 0, s"keytool ${args.head} failed")
+    }
+    def genPair(ks: String, alias: String, dname: String, ext: Seq[String] = Nil): Unit =
+      kt(Seq("-genkeypair", "-alias", alias, "-keyalg", "RSA", "-keysize", "2048",
+        "-validity", "30", "-dname", dname, "-keystore", ks, "-storetype", "PKCS12",
+        "-storepass", "changeit", "-keypass", "changeit") ++ ext: _*)
+    val caKs = s"$dir/ca.p12"; val cliKs = s"$dir/cli.p12"
+    val srvKs = s"$dir/srv.p12"; val rogueKs = s"$dir/rogue.p12"
+    genPair(caKs, "ca", "CN=graft-ca", Seq("-ext", "bc:c"))
+    genPair(cliKs, "cli", "CN=graft-client")
+    genPair(srvKs, "srv", "CN=localhost")
+    genPair(rogueKs, "rogue", "CN=graft-rogue")
+    // sign the client with the CA: csr -> gencert
+    kt("-certreq", "-alias", "cli", "-keystore", cliKs, "-storepass", "changeit",
+      "-file", s"$dir/cli.csr")
+    kt("-gencert", "-alias", "ca", "-keystore", caKs, "-storepass", "changeit",
+      "-infile", s"$dir/cli.csr", "-outfile", s"$dir/cli.cer", "-rfc", "-validity", "30")
+    def load(path: String) = {
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      val in = new java.io.FileInputStream(path)
+      try ks.load(in, "changeit".toCharArray) finally in.close()
+      ks
+    }
+    def keyOf(ks: java.security.KeyStore, alias: String) =
+      ks.getKey(alias, "changeit".toCharArray).asInstanceOf[java.security.PrivateKey]
+    import graft.sources.Tls
+    val caPem = s"$dir/ca.pem"
+    Tls.writePem(caPem, "CERTIFICATE", load(caKs).getCertificate("ca").getEncoded)
+    // client PEM identity: key + chain [CA-signed leaf, CA]
+    val cliKey = s"$dir/cli.key"
+    Tls.writePem(cliKey, "PRIVATE KEY", keyOf(load(cliKs), "cli").getEncoded)
+    val cliChain = s"$dir/cli-chain.pem"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cliChain),
+      (new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/cli.cer")), "US-ASCII") +
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(caPem)), "US-ASCII")).getBytes("US-ASCII"))
+    // rogue PEM identity (self-signed, not from the CA)
+    val rogueKey = s"$dir/rogue.key"; val rogueCert = s"$dir/rogue.pem"
+    Tls.writePem(rogueKey, "PRIVATE KEY", keyOf(load(rogueKs), "rogue").getEncoded)
+    Tls.writePem(rogueCert, "CERTIFICATE", load(rogueKs).getCertificate("rogue").getEncoded)
+    // server PEM identity: ENCRYPTED key (key-password() path) + self-signed cert
+    val srvKey = s"$dir/srv.key"; val srvCert = s"$dir/srv.pem"
+    Tls.writeEncryptedKeyPem(srvKey, keyOf(load(srvKs), "srv"), "s3cret")
+    Tls.writePem(srvCert, "CERTIFICATE", load(srvKs).getCertificate("srv").getEncoded)
+
+    // the encrypted PEM round-trips in-JVM, and demands its password
+    assert(Tls.loadPrivateKey(srvKey, Some("s3cret")).getAlgorithm === "RSA")
+    assertThrows[RuntimeException](Tls.loadPrivateKey(srvKey, None))
+    // interop: openssl's default PBES2 (AES-CBC + HMAC-SHA256) PKCS#8
+    // encryption also loads — skipped when no openssl binary is around
+    val plainSrvKey = s"$dir/srv-plain.key"
+    Tls.writePem(plainSrvKey, "PRIVATE KEY", keyOf(load(srvKs), "srv").getEncoded)
+    val osslOk = try {
+      new ProcessBuilder("openssl", "pkcs8", "-topk8", "-in", plainSrvKey,
+        "-out", s"$dir/srv-pbes2.key", "-passout", "pass:s3cret")
+        .redirectErrorStream(true).start().waitFor() == 0
+    } catch { case _: java.io.IOException => false }
+    if (osslOk)
+      assert(Tls.loadPrivateKey(s"$dir/srv-pbes2.key", Some("s3cret"))
+        .getAlgorithm === "RSA")
+
+    def send(port: Int, ctx: javax.net.ssl.SSLContext, payload: String): Boolean =
+      try {
+        val s = ctx.getSocketFactory.createSocket("127.0.0.1", port)
+        s.getOutputStream.write(payload.getBytes("UTF-8"))
+        s.getOutputStream.flush(); s.close(); true
+      } catch { case _: java.io.IOException => false }
+
+    // 1. required-trusted: only the CA-signed client produces rows
+    val (q1, p1) = startQuery("sock_mtls", "t_mtls", Map(
+      "transport" -> "tls", "key-file" -> srvKey, "key-password" -> "s3cret",
+      "cert-file" -> srvCert, "peer-verify" -> "required-trusted",
+      "ca-file" -> caPem))
+    try {
+      send(p1, Tls.clientContext(srvCert), "<13>bare no client cert\n") // rejected
+      send(p1, Tls.clientContext(srvCert, Some(rogueKey), Some(rogueCert)),
+        "<13>rogue ca\n") // rejected: not signed by the CA
+      send(p1, Tls.clientContext(srvCert, Some(cliKey), Some(cliChain)),
+        "<13>mutual tls ok\n") // accepted
+      awaitRows(q1, "sock_mtls", 1)
+      Thread.sleep(300); q1.processAllAvailable()
+      val recs = spark.table("sock_mtls").select("record")
+        .collect().map(_.getString(0)).toSet
+      assert(recs === Set("<13>mutual tls ok"))
+    } finally q1.stop()
+
+    // 2. required-untrusted: a cert must be PRESENTED but any issuer passes
+    val (q2, p2) = startQuery("sock_mtls_u", "t_mtls_u", Map(
+      "transport" -> "tls", "key-file" -> srvKey, "key-password" -> "s3cret",
+      "cert-file" -> srvCert, "peer-verify" -> "required-untrusted"))
+    try {
+      send(p2, Tls.clientContext(srvCert, Some(rogueKey), Some(rogueCert)),
+        "<13>untrusted but presented\n") // accepted
+      awaitRows(q2, "sock_mtls_u", 1)
+      assert(spark.table("sock_mtls_u").select("record").head().getString(0)
+        === "<13>untrusted but presented")
+    } finally q2.stop()
+
+    // 3. ca-dir() form: trust anchors loaded from a directory
+    val caDir = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$dir/cadir")).toString
+    java.nio.file.Files.copy(java.nio.file.Paths.get(caPem),
+      java.nio.file.Paths.get(s"$caDir/graft-ca.pem"))
+    val (q3, p3) = startQuery("sock_mtls_d", "t_mtls_d", Map(
+      "transport" -> "tls", "key-file" -> srvKey, "key-password" -> "s3cret",
+      "cert-file" -> srvCert, "peer-verify" -> "required-trusted",
+      "ca-dir" -> caDir))
+    try {
+      send(p3, Tls.clientContext(srvCert, Some(cliKey), Some(cliChain)),
+        "<13>ca-dir trust\n")
+      awaitRows(q3, "sock_mtls_d", 1)
+      assert(spark.table("sock_mtls_d").select("record").head().getString(0)
+        === "<13>ca-dir trust")
+    } finally q3.stop()
+  }
+
   test("fd source: newline and octet-counted framing from a byte stream") {
     val nl = Fd.read(spark,
       new ByteArrayInputStream("one\r\ntwo\n\nthree".getBytes("UTF-8")))
