@@ -1011,6 +1011,19 @@ object SparkEntry {
         values = Seq(count(lit(1)).as("n_turns")))
     }),
 
+    // patterndb action rate(N/quantum): the reference's token bucket
+    // (patterndb.c _is_action_within_rate_limit) gating action firings per
+    // correlation key — rate 2 per day over each conversation's turns;
+    // exact fixed-point refill arithmetic on both engines
+    "q_patterndb_rate" -> ((s, dir) => {
+      Correlation.actionRateLimit(
+        transcripts(s, dir).select("conv_id", "turn_idx", "ts", "role"),
+        keys = Seq(col("conv_id")),
+        ts = col("ts").cast("timestamp"),
+        rate = 2, quantumSeconds = 86400,
+        tieBreak = Seq(col("turn_idx")))
+    }),
+
     // salted variants of the hot-key windowed operators: row-identical to
     // their unsalted counterparts (checked against the SAME oracles), but
     // no task ever owns a whole hot conversation (Skew order-aligned
@@ -1459,6 +1472,41 @@ object SparkEntry {
            first(tool ORDER BY (tool IS NOT NULL) DESC, ts DESC, turn_idx DESC) AS tool,
            min(ts) AS session_start, max(ts) + INTERVAL 8 HOUR AS session_end
          FROM y1 GROUP BY conv_id, sid"""),
+
+    "q_patterndb_rate" -> {
+      // token bucket recomputed as a per-key sequential recursion (one
+      // level per turn ordinal; equality joins only). DuckDB 1.0's
+      // list_reduce silently drops fold state under grouped execution, so
+      // the fold is spelled as WITH RECURSIVE instead.
+      // DEN = (86400<<8)/2 = 11059200; rate = 2. The bucket starts FULL,
+      // so the anchor (first turn per key) always passes with b = rate-1.
+      val refill = """CASE WHEN (e.t - r.last) * 256 // 11059200 > 0
+                        THEN least(r.b + (e.t - r.last) * 256 // 11059200, 2)
+                        ELSE r.b END"""
+      Transcripts.oracle(
+        s""", ev AS (
+             SELECT conv_id, cast(floor(epoch(ts)) AS bigint) AS t, turn_idx,
+                    row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+             FROM transcripts)
+           , rec AS (
+             SELECT * FROM (
+               WITH RECURSIVE r AS (
+                 SELECT conv_id, rn, t AS last, cast(1 AS bigint) AS b,
+                        turn_idx, true AS pass
+                 FROM ev WHERE rn = 1
+                 UNION ALL
+                 SELECT e.conv_id, e.rn,
+                   CASE WHEN (e.t - r.last) * 256 // 11059200 > 0
+                        THEN e.t ELSE r.last END,
+                   ($refill) - (CASE WHEN ($refill) > 0 THEN 1 ELSE 0 END),
+                   e.turn_idx,
+                   ($refill) > 0
+                 FROM r JOIN ev e ON e.conv_id = r.conv_id AND e.rn = r.rn + 1)
+               SELECT conv_id, turn_idx FROM r WHERE pass))
+           SELECT t.conv_id, t.turn_idx, t.ts, t.role
+           FROM transcripts t JOIN rec
+             ON t.conv_id = rec.conv_id AND t.turn_idx = rec.turn_idx""")
+    },
 
     "q_grouping_by" -> Transcripts.oracle(
       """, s0 AS (SELECT conv_id, ts, turn_idx, tool,

@@ -108,6 +108,71 @@ object Correlation {
       .drop("rl_rn")
   }
 
+  /** patterndb action rate(N/quantum) — the token bucket gating rule
+    * actions (reference modules/correlation/patterndb.c:173-230
+    * `_is_action_within_rate_limit`, state struct pdb-ratelimit.h:31-38),
+    * keyed by the correlation scope key (here `keys`, which callers build
+    * as rule_id:action_id × scope columns, patterndb.c:188-189).
+    *
+    * Exact reference arithmetic, driven by event time (the reference's
+    * pseudo-time is message timestamps, correlation_state_get_time):
+    * the bucket starts FULL (`rate` tokens, patterndb.c:204-208); refill
+    * credits use 8-bit fixed point `(Δ<<8) / ((quantum<<8)/rate)`
+    * (patterndb.c:212) and `last_check` advances only when ≥1 credit
+    * lands (216-222); each passed action consumes one token (224-228).
+    * The fixed-point denominator underflows to zero when rate >
+    * 256·quantum (the reference would divide by zero there) — clamped
+    * to 1.
+    *
+    * Batch shape: one shuffle on `keys`, per-key sort + linear fold (an
+    * `aggregate` HOF over the collected event list — per-key state is a
+    * 3-field struct, never a driver loop), then a semi join returns the
+    * passing rows. `tieBreak` must be unique within a key (it is the
+    * deterministic processing order AND the join-back identity).
+    */
+  def actionRateLimit(
+      df: DataFrame,
+      keys: Seq[Column],
+      ts: Column,
+      rate: Int,
+      quantumSeconds: Int,
+      tieBreak: Seq[Column]): DataFrame = {
+    require(rate > 0 && quantumSeconds > 0, "rate(N/quantum) needs N>0, quantum>0")
+    require(tieBreak.nonEmpty, "actionRateLimit needs a deterministic tieBreak")
+    val den = math.max(1L, (quantumSeconds.toLong << 8) / rate)
+    val keyNames = keys.indices.map(i => s"__arl_k$i")
+    val tbNames = tieBreak.indices.map(i => s"__arl_b$i")
+    val base = df
+      .withColumn("__arl_t", unix_timestamp(ts))
+      .withColumns(keyNames.zip(keys).toMap)
+      .withColumns(tbNames.zip(tieBreak).toMap)
+    val ev = struct((col("__arl_t").as("t") +: tbNames.map(col)): _*)
+    val rl = lit(rate.toLong)
+    val passes = base.groupBy(keyNames.map(col): _*)
+      .agg(array_sort(collect_list(ev)).as("evs"))
+      .withColumn("state", aggregate(
+        col("evs"),
+        struct(rl.as("b"), lit(null).cast("long").as("last"),
+          slice(col("evs"), 1, 0).as("pass")), // empty array, element-typed
+        (acc, x) => {
+          val credits = ((x("t") - acc("last")) * 256).divide(lit(den)).cast("long")
+          val refilled = when(acc("last").isNull, rl)
+            .when(credits > 0, least(acc("b") + credits, rl))
+            .otherwise(acc("b"))
+          struct(
+            (refilled - when(refilled > 0, 1L).otherwise(0L)).as("b"),
+            when(acc("last").isNull || credits > 0, x("t"))
+              .otherwise(acc("last")).as("last"),
+            when(refilled > 0, array_append(acc("pass"), x))
+              .otherwise(acc("pass")).as("pass"))
+        }))
+      .select((keyNames.map(col) :+ explode(col("state.pass")).as("__arl_e")): _*)
+      .select((keyNames.map(col) :+ col("__arl_e.t").as("__arl_t")) ++
+        tbNames.map(n => col(s"__arl_e.$n").as(n)): _*)
+    base.join(passes, (keyNames :+ "__arl_t") ++ tbNames, "left_semi")
+      .drop(((keyNames :+ "__arl_t") ++ tbNames): _*)
+  }
+
   /** suppress(seconds) — duplicate elision in the writer (reference
     * lib/logwriter.c suppress logic): a message identical to the previous
     * one on the same key within the interval is suppressed; the survivor

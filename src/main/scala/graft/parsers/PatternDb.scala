@@ -44,7 +44,21 @@ object PatternDb {
       id: String,
       patterns: Seq[String],
       ruleClass: String = "system",
-      tags: Seq[String] = Nil)
+      tags: Seq[String] = Nil,
+      /** action `rate="N/quantum"` token bucket (reference pdb-action.c:52-74
+        * pdb_action_set_rate; gate = Correlation.actionRateLimit). None =
+        * unlimited (action->rate == 0, patterndb.c:185-186). */
+      actionRate: Option[(Int, Int)] = None)
+
+  /** Parse the action rate attribute: "N" or "N/quantum" (reference
+    * pdb-action.c:52-74; quantum 0 coerces to 1). */
+  def parseActionRate(s: String): Option[(Int, Int)] =
+    s.split("/", 2) match {
+      case _ if s.isEmpty     => None
+      case Array(n)           => Some((n.trim.toInt, 1))
+      case Array(n, q)        =>
+        Some((n.trim.toInt, math.max(1, q.trim.toInt)))
+    }
 
   sealed trait Tok
   final case class Lit(s: String) extends Tok
@@ -155,11 +169,17 @@ object PatternDb {
         val ns = e.getElementsByTagName(tag)
         (0 until ns.getLength).map(j => ns.item(j).getTextContent)
       }
+      val actions = e.getElementsByTagName("action")
+      val rate =
+        if (actions.getLength == 0) None
+        else parseActionRate(actions.item(0).asInstanceOf[org.w3c.dom.Element]
+          .getAttribute("rate"))
       PdbRule(
         id = e.getAttribute("id"),
         patterns = texts("pattern"),
         ruleClass = Option(e.getAttribute("class")).filter(_.nonEmpty).getOrElse("system"),
-        tags = texts("tag"))
+        tags = texts("tag"),
+        actionRate = rate)
     }
   }
 

@@ -58,6 +58,71 @@ class CorrelationSpec extends SparkSpec {
       ("b", 0), ("b", 1), ("b", 2)).sorted)
   }
 
+  test("patterndb action rate(N/quantum): reference token-bucket arithmetic") {
+    // rate 2/60 -> den = (60<<8)/2 = 7680; events on one key at seconds
+    // 0,10,20,40,70,130. Hand-walk of patterndb.c:173-230:
+    //   t0   first sighting: bucket full (2) -> PASS, b=1
+    //   t10  delta 10 -> credits 2560/7680 = 0 -> b=1 -> PASS, b=0
+    //   t20  delta 20 (last never advanced) -> credits 0 -> b=0 -> BLOCKED
+    //   t40  delta 40 -> credits 10240/7680 = 1 -> b=1, last=40 -> PASS, b=0
+    //   t70  delta 30 -> credits 7680/7680 = 1 -> b=1, last=70 -> PASS, b=0
+    //   t130 delta 60 -> credits 2 -> b=2, last=130 -> PASS, b=1
+    val df = Seq(0L, 10L, 20L, 40L, 70L, 130L).zipWithIndex
+      .map { case (t, i) => ("k1", i, t) }.toDF("key", "i", "secs")
+      .withColumn("ts", timestamp_millis(col("secs") * 1000L))
+    val got = Correlation.actionRateLimit(
+      df, keys = Seq(col("key")), ts = col("ts"),
+      rate = 2, quantumSeconds = 60, tieBreak = Seq(col("i")))
+      .select("secs").as[Long].collect().sorted
+    assert(got === Seq(0L, 10L, 40L, 70L, 130L))
+    // a second key has its own untouched bucket
+    val two = Correlation.actionRateLimit(
+      df.withColumn("key", when(col("i") < 3, lit("k1")).otherwise(lit("k2"))),
+      keys = Seq(col("key")), ts = col("ts"),
+      rate = 2, quantumSeconds = 60, tieBreak = Seq(col("i")))
+      .select("key", "secs").as[(String, Long)].collect().sorted
+    // k1: 0,10 pass then 20 blocked (b=0, credits 0); k2: fresh bucket at
+    // t40 -> 40,70 pass, t130 delta 60 -> credits 2 -> pass
+    assert(two === Seq(("k1", 0L), ("k1", 10L),
+      ("k2", 40L), ("k2", 70L), ("k2", 130L)).sorted)
+  }
+
+  test("patterndb XML action rate attribute parses and gates synthetic messages") {
+    import graft.parsers.PatternDb
+    val rules = PatternDb.loadXml(
+      """<patterndb version="4"><ruleset name="rs" id="rs1"><rules>
+        |<rule id="r-lim" class="system"><patterns>
+        |  <pattern>login @STRING:user@</pattern></patterns>
+        |  <actions><action rate="1/60" trigger="match">
+        |    <message><value name="MESSAGE">limited</value></message>
+        |  </action></actions></rule>
+        |<rule id="r-free" class="system"><patterns>
+        |  <pattern>logout @STRING:user@</pattern></patterns>
+        |  <actions><action trigger="match">
+        |    <message><value name="MESSAGE">unlimited</value></message>
+        |  </action></actions></rule>
+        |</rules></ruleset></patterndb>""".stripMargin)
+    assert(rules.map(r => r.id -> r.actionRate).toMap ===
+      Map("r-lim" -> Some((1, 60)), "r-free" -> None))
+    assert(PatternDb.parseActionRate("5") === Some((5, 1)))
+    assert(PatternDb.parseActionRate("3/0") === Some((3, 1))) // quantum 0 -> 1
+    // gate synthetic emission: 4 matches in one minute on one key, rate
+    // 1/60 -> only the first fires the action (patterndb.c:224-228)
+    val msgs = Seq(0L, 10L, 20L, 70L).zipWithIndex
+      .map { case (t, i) => ("h1", i, t, s"login u$i") }
+      .toDF("host", "i", "secs", "msg")
+      .withColumn("ts", timestamp_millis(col("secs") * 1000L))
+    val matched = PatternDb.annotate(msgs, "msg", rules)
+      .filter(col("pdb_rule") === "r-lim")
+    val fired = Correlation.actionRateLimit(
+      matched, keys = Seq(col("pdb_rule"), col("host")), ts = col("ts"),
+      rate = 1, quantumSeconds = 60, tieBreak = Seq(col("i")))
+      .select("secs").as[Long].collect().sorted
+    // t0 passes (full bucket), t10/t20 blocked (credits 0), t70 delta 70
+    // -> credits 70*256/15360 = 1 -> passes
+    assert(fired === Seq(0L, 70L))
+  }
+
   test("suppress: consecutive same-key duplicates within interval elided, repeated counted") {
     val msgs = Seq(
       ("h1", "up", 0L), ("h1", "up", 10L), ("h1", "up", 20L), // run of 3 -> 1 survivor, repeated=2
