@@ -295,13 +295,10 @@ object Correlation {
   /** messages start at prefix and close AFTER a suffix-matching line,
     * which is included (regexp-multi-line.c:38-44 consumes to suffix end). */
   final case class PrefixSuffix(prefix: String, suffix: String) extends MultiLineMode
-  /** recognize common language backtrace continuations (the curated
-    * subset of lib/multi-line/smart-multi-line.fsm: Java `at …`/`Caused
-    * by:`, Python `File "…"`/`Traceback`, plus indentation). */
+  /** the full multi-language backtrace FSM, table-driven from the shipped
+    * smart-multi-line.fsm (Java/Python/PHP/Go/Ruby/Dart/JS) — see
+    * [[SmartMultiLine]]. */
   case object Smart extends MultiLineMode
-
-  private val SmartContinuation =
-    """^([ \t]|at |Caused by:|\.\.\. \d+ more|File ")"""
 
   /** Multi-line reassembly with a mode (the full group-lines surface).
     * Same output shape as [[multiLine]]; PrefixGarbage drops its garbage
@@ -313,6 +310,16 @@ object Correlation {
       order: Column,
       text: Column,
       mode: MultiLineMode): DataFrame = {
+    mode match {
+      case Smart =>
+        // sequential FSM classification: the block ordinal comes out of
+        // the per-partition scan, so the block assembly needs no window
+        return SmartMultiLine.annotateStarts(df, key, order, text)
+          .groupBy(key.as("key"), col("__sml_block").as("block"))
+          .agg(Correlation.blockAggs(order, text).head,
+            Correlation.blockAggs(order, text).tail: _*)
+      case _ => ()
+    }
     val w = Window.partitionBy(key).orderBy(order.asc)
     val prev = lag(text, 1).over(w)
     val (isStart, excluded) = mode match {
@@ -322,7 +329,7 @@ object Correlation {
         (text.rlike(p) || prev.isNull || prev.rlike(g), text.rlike(g))
       case PrefixSuffix(p, sfx) =>
         (text.rlike(p) || prev.isNull || prev.rlike(sfx), lit(false))
-      case Smart             => (!text.rlike(SmartContinuation), lit(false))
+      case Smart => sys.error("unreachable")
     }
     df.withColumn("__ml_ex", excluded)
       .withColumn("block", sum(when(isStart, 1).otherwise(0)).over(w))

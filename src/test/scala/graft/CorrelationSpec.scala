@@ -208,22 +208,113 @@ class CorrelationSpec extends SparkSpec {
     assert(got === Seq("BEGIN x\nl1\nEND", "BEGIN y\nEND"))
   }
 
-  test("group-lines smart: java + python backtraces group under their heads") {
-    val got = blocks(Seq(
-      "Exception in thread main java.lang.NullPointerException",
-      "at com.example.Foo.bar(Foo.java:12)",
-      "at com.example.Main.main(Main.java:4)",
-      "... 3 more",
-      "plain log line",
+  // reference lib/multi-line/tests/test_smart_multi_line.c fixtures against
+  // the table-driven FSM (resources/graft/smart-multi-line.fsm)
+  test("group-lines smart: mixed python tracebacks split per Traceback head " +
+      "(feed_smart_multi_line_with_single_and_multi_line_messages)") {
+    def trace(n: String) = Seq(
       "Traceback (most recent call last):",
-      "File \"x.py\", line 1, in <module>",
-      "  raise ValueError",
-      "done"), Correlation.Smart)
-    assert(got.length === 4)
-    assert(got.head.startsWith("Exception") && got.head.contains("... 3 more"))
-    assert(got(1) === "plain log line")
-    assert(got(2).startsWith("Traceback") && got(2).contains("raise ValueError"))
-    assert(got(3) === "done")
+      s"File \"./lib/merge-grammar$n.py\", line 62, in <module>",
+      "  for line in fileinput.input(openhook=fileinput.hook_encoded(\"utf-8\")):",
+      "File \"/usr/lib/python3.8/fileinput.py\", line 248, in __next__",
+      "  line = self._readline()")
+    val got = blocks(
+      Seq("this is something unrelated",
+        "again something unrelated",
+        "yet again something unrelated, but 3 tracebacks are COMING") ++
+        trace("") ++ trace("2") ++ trace("3") ++ Seq("unrelated line here"),
+      Correlation.Smart)
+    assert(got.length === 7)
+    assert(got.take(3) === Seq("this is something unrelated",
+      "again something unrelated",
+      "yet again something unrelated, but 3 tracebacks are COMING"))
+    assert(got(3) === trace("").mkString("\n"))
+    assert(got(4) === trace("2").mkString("\n"))
+    assert(got(5) === trace("3").mkString("\n"))
+    assert(got(6) === "unrelated line here")
+  }
+
+  test("group-lines smart: python trailing exception text closes the trace " +
+      "(test_python_backtrace_with_tailing_exception_text)") {
+    val lines = Seq(
+      "Traceback (most recent call last):",
+      "File \"./lib/merge-grammar.py\", line 62, in <module>",
+      "  for line in fileinput.input(openhook=fileinput.hook_encoded(\"utf-8\")):",
+      "File \"/usr/lib/python3.8/fileinput.py\", line 368, in _readline",
+      "  return self._readline()",
+      "ValueError: whatever exception that happened")
+    assert(blocks(lines, Correlation.Smart) === Seq(lines.mkString("\n")))
+  }
+
+  test("group-lines smart: java Caused by / nested exception / '... N more' " +
+      "(test_java_backtrace)") {
+    val lines = Seq(
+      "java.lang.RuntimeException: javax.mail.SendFailedException: Invalid Addresses;",
+      "  nested exception is:",
+      "com.sun.mail.smtp.SMTPAddressFailedException: 550 5.7.1 denied",
+      "\tat com.example.crm.AutomaticEmailFacade.sendWithSmtp(AutomaticEmailFacade.java:236)",
+      "\tat java.util.Optional.ifPresent(Optional.java:159)",
+      "\tat java.base/java.lang.Thread.run(Thread.java:748)",
+      "Caused by: javax.mail.SendFailedException: Invalid Addresses;",
+      "  nested exception is:",
+      "com.sun.mail.smtp.SMTPAddressFailedException: 550 5.7.1 denied",
+      "\tat com.sun.mail.smtp.SMTPTransport.rcptTo(SMTPTransport.java:2064)",
+      "\t... 12 more",
+      "Caused by: com.sun.mail.smtp.SMTPAddressFailedException: 550 5.7.1 denied")
+    assert(blocks(lines, Correlation.Smart) === Seq(lines.mkString("\n")))
+  }
+
+  test("group-lines smart: go panic with goroutine dumps is ONE message " +
+      "(test_go_backtrace)") {
+    val lines = Seq(
+      "panic: my panic",
+      "",
+      "goroutine 4 [running]:",
+      "panic(0x45cb40, 0x47ad70)",
+      "\t/usr/local/go/src/runtime/panic.go:542 +0x46c fp=0xc42003f7b8",
+      "main.main.func1(0xc420024120)",
+      "\tfoo.go:6 +0x39 fp=0xc42003f7d8",
+      "created by main.main",
+      "\tfoo.go:5 +0x58",
+      "",
+      "goroutine 1 [chan receive]:",
+      "runtime.gopark(0x4739b8, 0xc420024178, 0x46fcd7, 0xc, 0xc420028e17, 0x3)",
+      "\t/usr/local/go/src/runtime/proc.go:280 +0x12c fp=0xc420053e30",
+      "runtime.goexit()",
+      "\t/usr/local/go/src/runtime/asm_amd64.s:2337 +0x1 fp=0xc420053fe8")
+    assert(blocks(lines, Correlation.Smart) === Seq(lines.mkString("\n")))
+  }
+
+  test("group-lines smart: two rails error traces split at the second head " +
+      "(test_ruby_backtrace)") {
+    val t1 = Seq(
+      " NoMethodError (undefined method `resursivewordload' for #<BooksController:0x007f8dd9a0c738>):",
+      "  app/controllers/books_controller.rb:69:in `recursivewordload'",
+      "  app/controllers/books_controller.rb:118:in `generror'",
+      "  config/error_reporting_logger.rb:62:in `tagged'")
+    val t2 = Seq(
+      " ActionController::RoutingError (No route matches [GET] \"/settings\"):",
+      "  ",
+      "  actionpack (5.1.4) lib/action_dispatch/middleware/debug_exceptions.rb:63:in `call'",
+      "  puma (3.10.0) lib/puma/thread_pool.rb:120:in `block in spawn_thread'")
+    assert(blocks(t1 ++ t2, Correlation.Smart)
+      === Seq(t1.mkString("\n"), t2.mkString("\n")))
+  }
+
+  test("group-lines smart: php + dart traces (test_php_backtrace/test_dart_backtrace shapes)") {
+    val php = Seq(
+      "PHP Fatal error:  Uncaught exception 'Exception' with message 'Custom exception' in /srv/index.php:17",
+      "Stack trace:",
+      "#0 {main}",
+      "  thrown in /srv/index.php on line 17")
+    val dart = Seq(
+      "Unhandled exception:",
+      "Exception: FOOBAR",
+      "#0      main (file:///path/to/code/dartFile.dart:29:3)",
+      "#1      _delayEntrypointInvocation.<anonymous closure> (dart:isolate-patch/isolate_patch.dart:297:19)",
+      "<asynchronous suspension>")
+    val got = blocks(php ++ Seq("plain line") ++ dart, Correlation.Smart)
+    assert(got === Seq(php.mkString("\n"), "plain line", dart.mkString("\n")))
   }
 
   test("grouping-by trigger + inject modes (test_grouping_by.c:65-150)") {
