@@ -350,31 +350,149 @@ object Similarity {
     * dot(q,v) = dot(q, c_coarse) + dot(q, residual) means one ADC table
     * per (query, codebook) pair; everything below is codegen'd expressions
     * + two broadcast hash joins, no UDFs, no driver data.
+    *
+    * One-shot composition of [[buildAnnIndex]] + [[annQuery]].
     */
   def ivfPqTopK(
       corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, kClusters: Int, nprobe: Int, m: Int, ks: Int,
-      rerank: Int, iters: Int = 5): DataFrame = {
-    val centroids = kmeans(corpus, corpusId, corpusVec, kClusters, iters)
-    val centLit = typedlit(centroids.map(_.toSeq).toSeq)
-    def residual(vn: Column, cluster: Column): Column =
-      zip_with(vn, element_at(centLit, cluster + 1), (a, b) => a - b)
+      rerank: Int, iters: Int = 5): DataFrame =
+    annQuery(buildAnnIndex(corpus, corpusId, corpusVec, kClusters, m, ks, iters),
+      queries, queryId, queryVec, k, nprobe, rerank)
+
+  // ------------------------------------------------- persisted ANN index
+
+  /** The IVF-PQ index as a persistable artifact — the ANN analog of
+    * Dedup.DedupIndex. Quantizers are FROZEN at build time (driver holds
+    * kClusters×D + m×ks×(D/m) doubles only); the distributed state is two
+    * tables:
+    *
+    *  - `coded` (vec_id, cluster, codes) — the compressed candidate scan;
+    *  - `vectors` (vec_id, vn) — unit-normalized true vectors, fetched only
+    *    for per-query re-rank survivors.
+    *
+    * [[annIncrement]] encodes a new shard against the frozen quantizers and
+    * appends — O(shard) work, the indexed corpus is never re-read. Vec ids
+    * must be globally unique across shards.
+    */
+  final case class AnnIndex(
+      centroids: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]],
+      coded: DataFrame,
+      vectors: DataFrame) {
+
+    /** Persist. Same staging-then-swap discipline as DedupIndex.save: after
+      * [[annIncrement]] the tables are lazy plans that may still read the
+      * parquet under a load directory, so each table materializes into a
+      * staging subdir first and only then swaps into place.
+      */
+    def save(dir: String): Unit = {
+      val spark = coded.sparkSession
+      import spark.implicits._
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val centDf = centroids.zipWithIndex.toSeq
+        .map { case (v, c) => (c, v.toSeq) }.toDF("cluster", "vec")
+      val cbDf = (for {
+        j <- codebook.indices; c <- codebook(j).indices
+      } yield (j, c, codebook(j)(c).toSeq)).toDF("sub", "code", "vec")
+      val tables = Seq("centroids" -> centDf, "codebook" -> cbDf,
+        "coded" -> coded, "vectors" -> vectors)
+      val staged = tables.map { case (name, df) =>
+        val tmp = s"$dir/_staging_$name"
+        df.write.mode("overwrite").parquet(tmp)
+        name -> tmp
+      }
+      staged.foreach { case (name, tmp) =>
+        val dst = new org.apache.hadoop.fs.Path(s"$dir/$name")
+        val src = new org.apache.hadoop.fs.Path(tmp)
+        val fs = dst.getFileSystem(hconf)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        require(fs.rename(src, dst), s"rename $tmp -> $dst failed")
+      }
+    }
+  }
+
+  object AnnIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): AnnIndex = {
+      val cents = spark.read.parquet(s"$dir/centroids")
+        .orderBy("cluster").collect()
+        .map(r => r.getSeq[Double](1).toArray)
+      val cbRows = spark.read.parquet(s"$dir/codebook").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+      val m = cbRows.keys.map(_._1).max + 1
+      val ks = cbRows.keys.map(_._2).max + 1
+      val cb = Array.tabulate(m)(j => Array.tabulate(ks)(c => cbRows((j, c))))
+      AnnIndex(cents, cb,
+        spark.read.parquet(s"$dir/coded"),
+        spark.read.parquet(s"$dir/vectors"))
+    }
+  }
+
+  /** residual = vn − centroid[cluster] (IVF-PQ quantizes residuals). */
+  private def residualOf(vn: Column, cluster: Column,
+      centroids: Array[Array[Double]]): Column =
+    zip_with(vn, element_at(typedlit(centroids.map(_.toSeq).toSeq), cluster + 1),
+      (a, b) => a - b)
+
+  /** Encode a corpus shard against FROZEN quantizers →
+    * (vec_id, cluster, codes) + (vec_id, vn). One scan, pure codegen. */
+  private def encodeShard(corpus: DataFrame, id: Column, vec: Column,
+      centroids: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]]): (DataFrame, DataFrame) = {
     val withRes = corpus
-      .select(corpusId.as("neighbor_id"), normalize(corpusVec).as("vn"))
+      .select(id.as("vec_id"), normalize(vec).as("vn"))
       .withColumn("cluster", assignCluster(col("vn"), centroids))
-      .withColumn("res", residual(col("vn"), col("cluster")))
-    val codebook = pqTrain(withRes, col("neighbor_id"), col("res"), m, ks, iters)
-    // the compressed index: this projection is ALL the candidate scan reads
-    val index = withRes.select(col("neighbor_id"), col("cluster"),
-      pqEncode(col("res"), codebook).as("codes"))
+      .withColumn("res", residualOf(col("vn"), col("cluster"), centroids))
+    (withRes.select(col("vec_id"), col("cluster"),
+      pqEncode(col("res"), codebook).as("codes")),
+      withRes.select("vec_id", "vn"))
+  }
+
+  /** Train quantizers on `corpus` and encode it. */
+  def buildAnnIndex(
+      corpus: DataFrame, id: Column, vec: Column,
+      kClusters: Int, m: Int, ks: Int, iters: Int = 5): AnnIndex = {
+    val centroids = kmeans(corpus, id, vec, kClusters, iters)
+    val withRes = corpus
+      .select(id.as("vec_id"), normalize(vec).as("vn"))
+      .withColumn("cluster", assignCluster(col("vn"), centroids))
+      .withColumn("res", residualOf(col("vn"), col("cluster"), centroids))
+    val codebook = pqTrain(withRes, col("vec_id"), col("res"), m, ks, iters)
+    val (coded, vectors) = encodeShard(corpus, id, vec, centroids, codebook)
+    AnnIndex(centroids, codebook, coded, vectors)
+  }
+
+  /** Append a new shard: encode against the index's FROZEN quantizers and
+    * union — the ANN analog of Dedup.dedupIncrement. Cost is O(shard): the
+    * indexed tables are unioned lazily, never recomputed or re-read beyond
+    * the query itself. (Quantizers are not retrained, so recall on the new
+    * shard depends on the training corpus being representative — the
+    * standard IVF-PQ freeze contract.)
+    */
+  def annIncrement(index: AnnIndex, newVecs: DataFrame,
+      id: Column, vec: Column): AnnIndex = {
+    val (coded, vectors) = encodeShard(newVecs, id, vec,
+      index.centroids, index.codebook)
+    index.copy(
+      coded = index.coded.unionByName(coded),
+      vectors = index.vectors.unionByName(vectors))
+  }
+
+  /** ADC-scan + exact-rerank top-k against a (possibly loaded) index. */
+  def annQuery(
+      index: AnnIndex, queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val centLit = typedlit(index.centroids.map(_.toSeq).toSeq)
     val q = queries.select(queryId.as("query_id"), normalize(queryVec).as("qn"),
-      explode(probeClusters(normalize(queryVec), centroids, nprobe)).as("cluster"))
-    val adc = index.join(broadcast(q), Seq("cluster"))
+      explode(probeClusters(normalize(queryVec), index.centroids, nprobe)).as("cluster"))
+    val adc = index.coded
+      .select(col("vec_id").as("neighbor_id"), col("cluster"), col("codes"))
+      .join(broadcast(q), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc_score",
         dot(col("qn"), element_at(centLit, col("cluster") + 1)) +
-          adcDot(col("qn"), col("codes"), codebook))
+          adcDot(col("qn"), col("codes"), index.codebook))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_score").desc, col("neighbor_id").asc)
     val candidates = adc.withColumn("r", row_number().over(wAdc))
@@ -382,7 +500,7 @@ object Similarity {
       .select("query_id", "neighbor_id", "qn")
     // exact re-rank: true vectors fetched ONLY for surviving candidates
     val exact = candidates.join(
-      corpus.select(corpusId.as("neighbor_id"), normalize(corpusVec).as("vn2")),
+      index.vectors.select(col("vec_id").as("neighbor_id"), col("vn").as("vn2")),
       Seq("neighbor_id"))
       .withColumn("score", dot(col("qn"), col("vn2")))
     topK(exact, k)

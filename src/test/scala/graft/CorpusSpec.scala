@@ -465,6 +465,70 @@ class CorpusSpec extends SparkSpec {
     assert(recall >= 0.9, s"planted-cluster recall $recall")
   }
 
+  test("ANN index: save -> load -> query equals in-memory; increment holds the recall floor") {
+    import graft.corpus.Similarity
+    // planted structure as in the clustered IVF-PQ test: 5 separated
+    // centers; shard A = first 150 vectors, shard B = last 50
+    val dim = 64
+    val rows = (0 until 200).map { i =>
+      val c = i % 5
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d >= c * 12 && d < c * 12 + 12) 1.0 else 0.0
+        center + 0.25 * math.sin(i * 997.0 + d * 31.0)
+      }
+      (i.toLong, v.toSeq)
+    }
+    val all = rows.toDF("vec_id", "embedding")
+    val shardA = all.filter(col("vec_id") < 150)
+    val shardB = all.filter(col("vec_id") >= 150)
+    val queries = all.limit(5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+    def resultsOf(ix: Similarity.AnnIndex) =
+      Similarity.annQuery(ix, queries, col("qid"), col("qv"),
+        k = 5, nprobe = 1, rerank = 20)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+
+    // 1. save -> load -> query is EXACTLY the in-memory result
+    val built = Similarity.buildAnnIndex(all, col("vec_id"), col("embedding"),
+      kClusters = 5, m = 8, ks = 16)
+    val inMem = resultsOf(built)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annix").toString
+    built.save(dir)
+    val loaded = Similarity.AnnIndex.load(spark, dir)
+    assert(loaded.centroids.map(_.toSeq).toSeq === built.centroids.map(_.toSeq).toSeq)
+    assert(loaded.codebook.map(_.map(_.toSeq).toSeq).toSeq
+      === built.codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(resultsOf(loaded) === inMem)
+
+    // 2. increment: encode shard B against shard A's FROZEN quantizers;
+    //    recall on the planted clusters >= the batch floor (0.9, same as
+    //    the clustered ivfPqTopK test)
+    val ixA = Similarity.buildAnnIndex(shardA, col("vec_id"), col("embedding"),
+      kClusters = 5, m = 8, ks = 16)
+    val ixAB = Similarity.annIncrement(ixA, shardB, col("vec_id"), col("embedding"))
+    assert(ixAB.coded.count() === 200 && ixAB.vectors.count() === 200)
+    val exact = Similarity.cosineTopK(
+      all, col("vec_id"), col("embedding"),
+      queries, col("qid"), col("qv"), k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = resultsOf(ixAB).map { case (q, _, n) => (q, n) }
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"increment recall $recall")
+
+    // 3. the in-place loop the staging swap exists for: save shard A's
+    //    index, LOAD it, increment with shard B (lazy plans still read the
+    //    parquet under dir), save back over the SAME dir, reload — results
+    //    match the all-in-memory increment
+    val dirA = java.nio.file.Files.createTempDirectory("graft-annix-a").toString
+    ixA.save(dirA)
+    val incOnLoaded = Similarity.annIncrement(
+      Similarity.AnnIndex.load(spark, dirA), shardB, col("vec_id"), col("embedding"))
+    incOnLoaded.save(dirA) // overwrites the parquet its own plans read from
+    assert(resultsOf(Similarity.AnnIndex.load(spark, dirA)) === resultsOf(ixAB))
+  }
+
   test("deterministic sampling: threshold hex, stable membership, stratified fractions") {
     import graft.corpus.Sampling
     assert(Sampling.thresholdHex(0.3) === "4ccccccc")
