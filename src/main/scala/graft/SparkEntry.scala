@@ -581,8 +581,12 @@ object SparkEntry {
           |elif (len($text) > 60) { $kind = 'long'; }
           |else { $kind = 'short'; };
           |$meta = {'role': "$role", 'kind': $kind, 'n': len($text)};
-          |$flag = $text =~ 'error' ? 'err' : 'ok';""".stripMargin)
-        .select("conv_id", "turn_idx", "role", "kind", "is_tool", "meta", "flag")
+          |$flag = $text =~ 'error' ? 'err' : 'ok';
+          |$bhex = string(bytes($role));
+          |$blen = len(bytes($text));
+          |$bjson = format_json({'r': bytes($role), 'k': $kind});""".stripMargin)
+        .select("conv_id", "turn_idx", "role", "kind", "is_tool", "meta", "flag",
+          "bhex", "blen", "bjson")
     }),
 
     // Comparison-mode semantics (expr-comparison.c): type-aware numeric
@@ -1134,7 +1138,13 @@ object SparkEntry {
              CASE WHEN role = 'tool' THEN 'T'
                   WHEN length(text) > 60 THEN 'long' ELSE 'short' END,
              '","n":', cast(length(text) AS varchar), '}') AS meta,
-           CASE WHEN regexp_matches(text, 'error') THEN 'err' ELSE 'ok' END AS flag
+           CASE WHEN regexp_matches(text, 'error') THEN 'err' ELSE 'ok' END AS flag,
+           lower(hex(role)) AS bhex,
+           cast(octet_length(encode(text)) AS bigint) AS blen,
+           concat('{"r":"', to_base64(encode(role)), '","k":"',
+             CASE WHEN role = 'tool' THEN 'T'
+                  WHEN length(text) > 60 THEN 'long' ELSE 'short' END,
+             '"}') AS bjson
          FROM transcripts WHERE role <> 'system'"""),
 
     "q_filterx_cmp" -> Transcripts.oracle(

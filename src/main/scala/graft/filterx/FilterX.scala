@@ -373,6 +373,10 @@ object FilterX {
   case object FxDatetime extends FxType
   /** JSON text in a string column; scalars read from it are dynamic. */
   case object FxJson extends FxType
+  /** Raw byte sequence (BinaryType column) — reference object-string.c
+    * bytes type: repr = lowercase hex (object-string.c:182-191),
+    * format_json/dict-store = base64 (filterx-format-json.c:126-152). */
+  case object FxBytes extends FxType
 
   sealed trait FxVal
   final case class FxScalar(c: Column, t: FxType) extends FxVal
@@ -396,6 +400,7 @@ object FilterX {
     case FxBool            => BooleanType
     case FxNull            => StringType
     case FxDatetime        => TimestampNTZType
+    case FxBytes           => BinaryType
   }
 
   // ------------------------------------------------- marshaling helpers
@@ -411,6 +416,7 @@ object FilterX {
     case FxScalar(c, FxBool)            => when(c, "true").otherwise("false")
     case FxScalar(_, FxNull)            => lit("null")
     case FxScalar(c, FxDatetime)        => date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+    case FxScalar(c, FxBytes)           => lower(hex(c)) // _bytes_repr hex
     case d: FxDict                      => jsonText(d)
     case l: FxList                      => listRepr(l)
   }
@@ -446,6 +452,7 @@ object FilterX {
     case FxScalar(c, FxBool)            => coalesce(c, lit(false))
     case FxScalar(_, FxNull)            => lit(false)
     case FxScalar(c, FxDatetime)        => c.isNotNull
+    case FxScalar(c, FxBytes)           => coalesce(length(c) > 0, lit(false))
     case FxDict(m)                      => lit(m.nonEmpty)
     case FxList(xs)                     => lit(xs.nonEmpty)
   }
@@ -840,6 +847,45 @@ object FilterX {
             case FxScalar(c, _) => FxScalar(c.cast(StringType), FxJson)
           }
         case "string"     => FxScalar(strRepr(arg0), FxString)
+        // bytes() typecast (object-string.c:236-261 filterx_typecast_bytes):
+        // identity on bytes, string → its UTF-8 bytes, everything else is a
+        // compile error (protobuf needs schema jars — declared out)
+        case "bytes" =>
+          arg0 match {
+            case b @ FxScalar(_, FxBytes)       => b
+            case FxScalar(c, FxString | FxJson) => FxScalar(c.cast(BinaryType), FxBytes)
+            case FxScalar(_, t) => sys.error(s"filterx: bytes() cannot cast $t")
+            case other => sys.error(s"filterx: bytes() cannot cast ${other.getClass.getSimpleName}")
+          }
+        // format_json (modules/json/filterx-format-json.c): render ANY value
+        // as a JSON literal string — dict/list via the same to_json marshal
+        // as dict stores (bytes fields render base64 there, matching
+        // _append_bytes), scalars per _format_and_append_value: strings
+        // JSON-escaped, bytes base64-quoted, bool/int literal, null "null".
+        // Doubles render via to_json (Jackson shortest-repr) — declared
+        // delta vs glib g_ascii_dtostr for the exponent format.
+        case "format_json" =>
+          val rendered = arg0 match {
+            case d: FxDict => jsonText(d)
+            case l: FxList => jsonText(l)
+            case FxScalar(c, FxJson)  => c
+            case FxScalar(c, FxBytes) => concat(lit("\""), base64(c), lit("\""))
+            case FxScalar(c, FxBool)  => when(c, "true").otherwise("false")
+            case FxScalar(c, FxInt)   => c.cast(StringType)
+            case FxScalar(_, FxNull)  => lit("null")
+            case s @ FxScalar(_, FxString | FxDouble | FxDatetime) =>
+              // JSON-escape a scalar: wrap in a 1-element array (to_json
+              // only takes containers) and strip the [ ] — the payload in
+              // between is exactly the JSON literal. Doubles keep their
+              // native numeric type so they render unquoted.
+              val inner = s match {
+                case FxScalar(c, FxDouble) => c
+                case other                 => strRepr(other)
+              }
+              val j = to_json(array(inner))
+              j.substr(lit(2), length(j) - 2)
+          }
+          FxScalar(rendered, FxJson)
         case "int" =>
           val (c, t) = materialize(arg0)
           val out = t match {
@@ -849,6 +895,7 @@ object FilterX {
             case FxString | FxJson => c.try_cast(DoubleType).cast(LongType)
             case FxDatetime        => unix_timestamp(c.cast(TimestampType))
             case FxNull            => lit(null).cast(LongType)
+            case FxBytes           => sys.error("filterx: int() cannot cast bytes")
           }
           FxScalar(out, FxInt)
         case "double" =>
@@ -865,6 +912,7 @@ object FilterX {
         case "len" =>
           arg0 match {
             case FxScalar(c, FxString) => FxScalar(length(c).cast(LongType), FxInt)
+            case FxScalar(c, FxBytes)  => FxScalar(length(c).cast(LongType), FxInt)
             case FxScalar(c, FxJson) =>
               FxScalar(coalesce(
                 json_array_length(c).cast(LongType),
@@ -884,6 +932,7 @@ object FilterX {
             case FxScalar(_, FxBool)     => lit("boolean")
             case FxScalar(_, FxNull)     => lit("null")
             case FxScalar(_, FxDatetime) => lit("datetime")
+            case FxScalar(_, FxBytes)    => lit("bytes")
             case FxDict(_)               => lit("json_object")
             case FxList(_)               => lit("json_array")
             case FxScalar(c, FxJson) =>

@@ -407,6 +407,52 @@ class FilterXSpec extends SparkSpec {
     } finally java.nio.file.Files.delete(p)
   }
 
+  // ---- bytes typecast (object-string.c:236-261, test_object_bytes.c) +
+  //      format_json (modules/json/filterx-format-json.c)
+
+  test("bytes(): identity on bytes, string -> utf8 bytes; hex repr; len; istype") {
+    // typecast_from_string: the bytes ARE the utf8 of the string, proven
+    // through the hex repr (string(bytes(x)) — _bytes_repr)
+    val out = FilterX(one,
+      """$h = string(bytes($s));
+        |$hh = string(bytes(bytes($s)));
+        |$n = len(bytes($s));
+        |$t = istype(bytes($s), 'bytes') ? 1 : 0;
+        |$truthy = bytes($s) ? 1 : 0;
+        |$falsy = bytes($empty) ? 1 : 0;""".stripMargin)
+    val r = out.select("h", "hh", "n", "t", "truthy", "falsy")
+      .as[(String, String, Long, Long, Long, Long)].head()
+    assert(r._1 === "616c6d61") // "alma" utf8 hex, lowercase
+    assert(r._2 === r._1)       // typecast_from_bytes: identity
+    assert(r._3 === 4L)         // byte length
+    assert(r._4 === 1L)
+    assert(r._5 === 1L && r._6 === 0L) // str_len>0 truthiness
+    // int(bytes) is a compile error like the reference's unsupported cast
+    assertThrows[RuntimeException](FilterX(one, "$x = int(bytes($s));"))
+  }
+
+  test("format_json: scalars, strings escaped, bytes base64, dict/list") {
+    val esc = Seq(("a\"b\\c", 7L)).toDF("s", "i")
+    val out = FilterX(esc,
+      """$js = format_json($s);
+        |$ji = format_json($i);
+        |$jb = format_json(true);
+        |$jn = format_json(null);
+        |$jby = format_json(bytes($s));
+        |$jd = format_json({'k': $s, 'n': $i, 'b': bytes('AB')});
+        |$jl = format_json(['x', 2]);""".stripMargin)
+    val r = out.select("js", "ji", "jb", "jn", "jby", "jd", "jl")
+      .as[(String, String, String, String, String, String, String)].head()
+    assert(r._1 === "\"a\\\"b\\\\c\"") // JSON-escaped quoted string
+    assert(r._2 === "7")
+    assert(r._3 === "true")
+    assert(r._4 === "null")
+    val b64 = java.util.Base64.getEncoder.encodeToString("a\"b\\c".getBytes("UTF-8"))
+    assert(r._5 === "\"" + b64 + "\"") // _append_bytes: base64 in quotes
+    assert(r._6 === s"""{"k":"a\\"b\\\\c","n":7,"b":"QUI="}""")
+    assert(r._7 === """["x","2"]""" || r._7 === """["x",2]""")
+  }
+
   test("drop-rate program over the transcripts fixture") {
     val df = graft.transcripts.Transcripts.load(spark, sfUnit)
     val total = df.count()
