@@ -968,6 +968,20 @@ object SparkEntry {
           col("meta.width").as("width"), col("meta.height").as("height"))
     }),
 
+    // real WAV/AIFF payloads (RIFF/FORM containers, PCM-16, 80-bit
+    // extended-float AIFF rate): the header-only chunk walk must recover
+    // the geometry the oracle re-derives from the text
+    "q_multimodal_audio" -> ((s, dir) => {
+      Multimodal.decodeAudio(Multimodal.withAudioPayload(documents(s, dir), "text"))
+        .select(col("doc_id"),
+          col("audio_meta.container").as("container"),
+          col("audio_meta.sample_rate").as("sample_rate"),
+          col("audio_meta.channels").as("channels"),
+          col("audio_meta.n_frames").as("n_frames"),
+          col("audio_meta.duration_ms").as("duration_ms"),
+          col("audio_meta.n_bytes").as("n_bytes"))
+    }),
+
     // real raster resize: decode → bilinear scale to an integer-exact
     // bounded geometry → re-encode; a SECOND header decode of the re-encoded
     // payload must report the target geometry the oracle recomputes
@@ -1980,6 +1994,22 @@ object SparkEntry {
            cast(16 + (ascii(substr(text, 1, 1)) % 8) * 4 AS int) AS width,
            cast(16 + (length(text) % 8) * 4 AS int) AS height
          FROM documents""",
+
+    "q_multimodal_audio" ->
+      """WITH geo AS (
+           SELECT doc_id,
+             CASE WHEN length(text) % 2 = 0 THEN 'wav' ELSE 'aiff' END AS container,
+             8000 + (ascii(substr(text, 1, 1)) % 4) * 4000 AS rate,
+             1 + length(text) % 2 AS channels,
+             cast(400 + (length(text) % 50) * 40 AS bigint) AS n_frames
+           FROM documents)
+         SELECT doc_id, container,
+           cast(rate AS int) AS sample_rate, cast(channels AS int) AS channels,
+           n_frames,
+           n_frames * 1000 // rate AS duration_ms,
+           cast(CASE WHEN container = 'wav' THEN 44 ELSE 54 END
+             + n_frames * channels * 2 AS bigint) AS n_bytes
+         FROM geo""",
 
     "q_multimodal_resize" ->
       """WITH geo AS (

@@ -293,6 +293,202 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // -------------------------------------------------- audio (WAV / AIFF)
+
+  val AudioMetaSchema: StructType = StructType(Seq(
+    StructField("container", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** Deterministic audio geometry derived from a document's text — the
+    * ground truth an oracle recomputes in SQL (code points + first code
+    * point, same portability rule as [[geometryOf]]):
+    * container = length%2 → wav/aiff, rate = 8000+(ascii(first)%4)*4000,
+    * channels = 1+length%2, frames = 400+(length%50)*40.
+    */
+  def audioGeometryOf(text: String): (String, Int, Int, Long) = {
+    val len = text.codePointCount(0, text.length)
+    val c0 = if (text.isEmpty) 0 else text.codePointAt(0)
+    val container = if (len % 2 == 0) "wav" else "aiff"
+    (container, 8000 + (c0 % 4) * 4000, 1 + len % 2, 400L + (len % 50) * 40L)
+  }
+
+  private def le16b(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32b(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def be16b(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32b(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** 80-bit IEEE 754 extended float (the AIFF COMM sample-rate field):
+    * sign(1) + exponent(15, bias 16383) + explicit-leading-1 mantissa(64).
+    * Exact for the integer rates audio uses.
+    */
+  private[graft] def extended80(rate: Long): Array[Byte] = {
+    if (rate == 0) return new Array[Byte](10)
+    var m = rate
+    var expon = 16383 + 63
+    while ((m & Long.MinValue) == 0) { m <<= 1; expon -= 1 } // normalize: bit63 = the explicit leading 1
+    be16b(expon) ++ be32b((m >>> 32).toInt) ++ be32b(m.toInt)
+  }
+
+  private[graft] def readExtended80(b: Array[Byte], i: Int): Long = {
+    val expon = be16(b, i) & 0x7fff
+    val hi = be32(b, i + 2).toLong & 0xffffffffL
+    val lo = be32(b, i + 6).toLong & 0xffffffffL
+    if (expon == 0 && hi == 0 && lo == 0) return 0L
+    val mant = (hi << 32) | lo
+    val shift = expon - 16383 - 63
+    if (shift >= 0) mant << shift else mant >>> -shift
+  }
+
+  /** Encode a real PCM-16 WAV: RIFF/WAVE + fmt + data chunks,
+    * deterministic sawtooth samples. */
+  def encodeWav(rate: Int, channels: Int, nFrames: Long, seed: Long): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataSize = (nFrames * blockAlign).toInt
+    val out = new ByteArrayOutputStream(44 + dataSize)
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32b(36 + dataSize))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le32b(16))
+    out.write(le16b(1)) // PCM
+    out.write(le16b(channels)); out.write(le32b(rate))
+    out.write(le32b(rate * blockAlign)); out.write(le16b(blockAlign))
+    out.write(le16b(16)) // bits per sample
+    out.write("data".getBytes("US-ASCII")); out.write(le32b(dataSize))
+    var f = 0L
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        out.write(le16b((((f * 37 + c * 11 + seed) % 65536) - 32768).toInt & 0xffff))
+        c += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Encode a real PCM-16 AIFF: FORM/AIFF + COMM (80-bit extended rate) +
+    * SSND chunks, deterministic samples (big-endian per the spec). */
+  def encodeAiff(rate: Int, channels: Int, nFrames: Long, seed: Long): Array[Byte] = {
+    val dataSize = (nFrames * channels * 2).toInt
+    val out = new ByteArrayOutputStream(54 + dataSize)
+    out.write("FORM".getBytes("US-ASCII"))
+    out.write(be32b(4 + 8 + 18 + 8 + 8 + dataSize))
+    out.write("AIFF".getBytes("US-ASCII"))
+    out.write("COMM".getBytes("US-ASCII")); out.write(be32b(18))
+    out.write(be16b(channels)); out.write(be32b(nFrames.toInt))
+    out.write(be16b(16)); out.write(extended80(rate.toLong))
+    out.write("SSND".getBytes("US-ASCII")); out.write(be32b(8 + dataSize))
+    out.write(be32b(0)); out.write(be32b(0)) // offset, blockSize
+    var f = 0L
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        out.write(be16b((((f * 37 + c * 11 + seed) % 65536) - 32768).toInt & 0xffff))
+        c += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Attach a REAL audio payload column whose container and geometry derive
+    * deterministically from the text ([[audioGeometryOf]]) — genuine
+    * WAV/AIFF files the decode stage must actually chunk-walk.
+    */
+  def withAudioPayload(docs: DataFrame, textCol: String): DataFrame = {
+    val inSchema = docs.schema
+    val outSchema = inSchema.add(StructField("payload", BinaryType, nullable = false))
+    val textIdx = inSchema.fieldIndex(textCol)
+    docs.mapPartitions { it =>
+      it.map { row =>
+        val text = row.getString(textIdx)
+        val (container, rate, channels, frames) = audioGeometryOf(text)
+        val bytes =
+          if (container == "wav") encodeWav(rate, channels, frames, text.length.toLong)
+          else encodeAiff(rate, channels, frames, text.length.toLong)
+        Row.fromSeq(row.toSeq :+ bytes)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Header-only audio metadata: a RIFF/FORM chunk WALK that reads fmt/COMM
+    * and the data/SSND size but never the sample bodies (the same
+    * never-decode-payload discipline as [[decodeMeta]]). duration_ms is
+    * integer math (frames*1000/rate) so an oracle recomputes it exactly.
+    * Unrecognized payloads → ("unknown", 0, 0, 0, 0, 0, n_bytes).
+    */
+  def decodeAudioMeta(b: Array[Byte]): (String, Int, Int, Int, Long, Long, Long) = {
+    val n = b.length.toLong
+    def unknown = ("unknown", 0, 0, 0, 0L, 0L, n)
+    // WAV: RIFF....WAVE, little-endian chunks
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      var i = 12
+      var rate = 0; var channels = 0; var bits = 0; var dataSize = -1L
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val size = le32(b, i + 4).toLong & 0xffffffffL
+        // corrupt payloads can declare sizes past the buffer (or >2^31,
+        // negative after toInt): reject the chunk and stop the walk
+        if (size > b.length - i - 8) return unknown
+        if (id == "fmt " && i + 8 + 16 <= b.length) {
+          channels = le16(b, i + 10); rate = le32(b, i + 12)
+          bits = le16(b, i + 22)
+        } else if (id == "data") dataSize = size
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      val bytesPerFrame = channels * (bits / 8)
+      if (rate <= 0 || channels <= 0 || bytesPerFrame <= 0 || dataSize < 0) return unknown
+      val frames = dataSize / bytesPerFrame
+      return ("wav", rate, channels, bits, frames, frames * 1000L / rate, n)
+    }
+    // AIFF: FORM....AIFF, big-endian chunks; COMM carries the geometry
+    if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F') {
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val size = be32(b, i + 4).toLong & 0xffffffffL
+        if (size > b.length - i - 8) return unknown
+        if (id == "COMM" && i + 8 + 18 <= b.length) {
+          val channels = be16(b, i + 8)
+          val frames = be32(b, i + 10).toLong & 0xffffffffL
+          val bits = be16(b, i + 14)
+          val rate = readExtended80(b, i + 16)
+          if (rate <= 0 || channels <= 0) return unknown
+          return ("aiff", rate.toInt, channels, bits, frames, frames * 1000L / rate, n)
+        }
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      return unknown
+    }
+    unknown
+  }
+
+  /** Per-partition header decode of the audio `payload` → `audio_meta`
+    * struct — streams at scan speed, never touches sample data. */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("audio_meta", AudioMetaSchema, nullable = false))
+    val payloadIdx = inSchema.fieldIndex("payload")
+    df.mapPartitions { it =>
+      it.map { row =>
+        val (c, r, ch, bits, frames, ms, n) = decodeAudioMeta(row.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(row.toSeq :+ Row(c, r, ch, bits, frames, ms, n))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** REAL visual feature: a `dim`-bucket grayscale histogram over the
     * decoded raster, normalized to sum 1 — the shape (fixed-dim float
     * vector per payload, one decoder per partition) of an embedding-model

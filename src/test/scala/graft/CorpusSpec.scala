@@ -379,6 +379,45 @@ class CorpusSpec extends SparkSpec {
     assert(vs.exists(_.count(_ > 0f) > 1))
   }
 
+  test("multimodal audio: WAV/AIFF header chunk walk recovers the encoded geometry") {
+    // 80-bit extended float (AIFF COMM rate) is exact for integer rates
+    Seq(8000L, 12000L, 16000L, 20000L, 44100L, 48000L, 1L).foreach { r =>
+      val enc = Multimodal.extended80(r)
+      assert(enc.length === 10)
+      assert(Multimodal.readExtended80(enc, 0) === r, s"extended80($r)")
+    }
+    // hand-walked roundtrips: encode real containers, decode headers only
+    val wav = Multimodal.encodeWav(16000, 2, 500L, seed = 3)
+    assert(Multimodal.decodeAudioMeta(wav) ===
+      (("wav", 16000, 2, 16, 500L, 500L * 1000 / 16000, wav.length.toLong)))
+    val aiff = Multimodal.encodeAiff(12000, 1, 777L, seed = 4)
+    assert(Multimodal.decodeAudioMeta(aiff) ===
+      (("aiff", 12000, 1, 16, 777L, 777L * 1000 / 12000, aiff.length.toLong)))
+    // malformed payloads are rows, not task failures
+    assert(Multimodal.decodeAudioMeta("not audio".getBytes)._1 === "unknown")
+    assert(Multimodal.decodeAudioMeta(wav.take(20))._1 === "unknown")
+    // a corrupt chunk declaring a size past the buffer (negative after
+    // toInt) must terminate the walk, not loop the executor
+    val corrupt = wav.take(44).toArray
+    corrupt(40) = 0xff.toByte; corrupt(41) = 0xff.toByte
+    corrupt(42) = 0xff.toByte; corrupt(43) = 0xff.toByte
+    assert(Multimodal.decodeAudioMeta(corrupt)._1 === "unknown")
+    // distributed path: decode == the generator's ground truth, and the
+    // byte count proves nothing decoded the sample bodies away
+    val d = Multimodal.decodeAudio(Multimodal.withAudioPayload(docs, "text"))
+    val got = d.select(col("text"), col("audio_meta.container"),
+      col("audio_meta.sample_rate"), col("audio_meta.channels"),
+      col("audio_meta.n_frames"), length(col("payload")).cast("long"),
+      col("audio_meta.n_bytes")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (container, rate, channels, frames) = Multimodal.audioGeometryOf(r.getString(0))
+      assert(r.getString(1) === container && r.getInt(2) === rate)
+      assert(r.getInt(3) === channels && r.getLong(4) === frames)
+      assert(r.getLong(5) === r.getLong(6))
+    }
+  }
+
   test("IVF-PQ: codes shape, determinism, and exact-rerank recall vs brute force") {
     import graft.corpus.Similarity
     val queries = embs.orderBy("vec_id").limit(5)
