@@ -72,6 +72,76 @@ object SparkEntry {
     s"(CASE WHEN list_sum([CASE WHEN $h >= '8' THEN 1 ELSE -1 END for t in $wExpr]) >= 0 THEN '1' ELSE '0' END)"
   }.mkString("concat(", ", ", ")")
 
+  /** q_text_repetition oracle: recomputes every RepetitionStats signal from
+    * first principles in DuckDB — lines/paragraphs via list comprehensions,
+    * n-grams via position-indexed unnest + group-by (the relational twin of
+    * the one-pass JVM hash maps), duplicated-gram coverage via a distinct
+    * position union joined back to word lengths.
+    */
+  private def repetitionOracle: String = {
+    // the same planted structure as the Spark query builds with concat()
+    val t2 =
+      """substr(text, 1, 40) || chr(10) || substr(text, 21, 30) || chr(10) ||
+         substr(text, 21, 30) || chr(10) || chr(10) || substr(text, 1, 40) ||
+         chr(10) || chr(10) || substr(text, 1, 40) || chr(10) || chr(10) || text"""
+    // (units - distinct)/units and beyond-first-occurrence char fraction
+    def unitFracs(l: String, prefix: String) =
+      s"""(len($l) - len(list_distinct($l)))::double / len($l)::double AS ${prefix}_frac,
+          CASE WHEN coalesce(list_sum([length(x) for x in $l]), 0) > 0
+               THEN coalesce(list_sum([(len(list_filter($l, y -> y = x)) - 1) * length(x)
+                                       for x in list_distinct($l)]), 0)::double
+                    / list_sum([length(x) for x in $l])::double
+               ELSE 0.0 END AS ${prefix}_char_frac"""
+    // position-indexed n-gram occurrences + per-gram counts
+    def gramCtes(n: Int) =
+      s"""g$n AS (SELECT doc_id, unnest([{'i': i, 'g': array_to_string(w[i:i+${n - 1}], ' ')}
+                                         for i in generate_series(1, len(w) - ${n - 1})]) AS og
+                  FROM units),
+          ge$n AS (SELECT doc_id, og.i AS i, og.g AS g FROM g$n),
+          c$n AS (SELECT doc_id, g, count(*) AS c FROM ge$n GROUP BY doc_id, g)"""
+    // top gram: max count, ties to the lexicographically smallest gram
+    def topCte(n: Int) =
+      s"""t$n AS (SELECT doc_id, first(c ORDER BY c DESC, g ASC) AS c,
+                         first(g ORDER BY c DESC, g ASC) AS g
+                  FROM c$n GROUP BY doc_id)"""
+    // chars of word positions covered by >= 1 duplicated-gram occurrence
+    def covCtes(n: Int) =
+      s"""d$n AS (SELECT doc_id, g FROM c$n WHERE c >= 2),
+          cp$n AS (SELECT DISTINCT doc_id, p FROM
+                     (SELECT e.doc_id AS doc_id, unnest(generate_series(e.i, e.i + ${n - 1})) AS p
+                      FROM ge$n e JOIN d$n d ON e.doc_id = d.doc_id AND e.g = d.g)),
+          cc$n AS (SELECT c.doc_id, sum(length(u.w[c.p])) AS chars
+                   FROM cp$n c JOIN units u ON c.doc_id = u.doc_id GROUP BY c.doc_id)"""
+    s"""WITH base AS (SELECT doc_id, $t2 AS t FROM documents),
+        units AS (SELECT doc_id, t,
+                    string_split(t, chr(10)) AS ls,
+                    string_split(t, chr(10) || chr(10)) AS ps,
+                    regexp_split_to_array(t, '\\s+') AS w,
+                    length(t)::double AS tc
+                  FROM base),
+        linep AS (SELECT doc_id, ${unitFracs("ls", "dup_line")}, ${unitFracs("ps", "dup_para")}
+                  FROM units),
+        ${gramCtes(2)}, ${topCte(2)},
+        ${gramCtes(3)}, ${topCte(3)},
+        ${gramCtes(4)}, ${topCte(4)},
+        ${gramCtes(5)}, ${covCtes(5)},
+        ${gramCtes(10)}, ${covCtes(10)}
+        SELECT u.doc_id,
+          l.dup_line_frac, l.dup_line_char_frac, l.dup_para_frac, l.dup_para_char_frac,
+          coalesce((t2.c * length(t2.g))::double / u.tc, 0.0) AS top_2gram_char_frac,
+          coalesce((t3.c * length(t3.g))::double / u.tc, 0.0) AS top_3gram_char_frac,
+          coalesce((t4.c * length(t4.g))::double / u.tc, 0.0) AS top_4gram_char_frac,
+          coalesce(cc5.chars::double / u.tc, 0.0) AS dup_5gram_char_frac,
+          coalesce(cc10.chars::double / u.tc, 0.0) AS dup_10gram_char_frac
+        FROM units u
+        JOIN linep l ON u.doc_id = l.doc_id
+        LEFT JOIN t2 ON u.doc_id = t2.doc_id
+        LEFT JOIN t3 ON u.doc_id = t3.doc_id
+        LEFT JOIN t4 ON u.doc_id = t4.doc_id
+        LEFT JOIN cc5 ON u.doc_id = cc5.doc_id
+        LEFT JOIN cc10 ON u.doc_id = cc10.doc_id"""
+  }
+
   /** sequential-fold cosine (matches Similarity.cosine). */
   private val COSINE =
     """list_sum(list_transform(list_zip(qv, cv), x -> CAST(x[1] AS double) * CAST(x[2] AS double))) /
@@ -895,6 +965,32 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, dir) => {
       documents(s, dir).select(col("doc_id"),
         TextStats.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // repetition signals (Gopher rule family): the documents carry no line
+    // structure, so the query PLANTS it deterministically in both engines
+    // (duplicate lines — q twice; duplicate single-line paragraphs — p
+    // twice) on top of the naturally repetitive word stream. The
+    // explode(array(..)) wrap is a Generate barrier: without it
+    // CollapseProject would inline the struct expression into one copy per
+    // extracted field and the one-pass expression would run 9×
+    "q_text_repetition" -> ((s, dir) => {
+      val p = substring(col("text"), 1, 40)
+      val q = substring(col("text"), 21, 30)
+      val nl = lit("\n")
+      val t2 = concat(p, nl, q, nl, q, nl, nl, p, nl, nl, p, nl, nl, col("text"))
+      documents(s, dir)
+        .select(col("doc_id"), explode(array(TextStats.repetition(t2))).as("r"))
+        .select(col("doc_id"),
+          col("r.dup_line_frac").as("dup_line_frac"),
+          col("r.dup_line_char_frac").as("dup_line_char_frac"),
+          col("r.dup_para_frac").as("dup_para_frac"),
+          col("r.dup_para_char_frac").as("dup_para_char_frac"),
+          col("r.top_2gram_char_frac").as("top_2gram_char_frac"),
+          col("r.top_3gram_char_frac").as("top_3gram_char_frac"),
+          col("r.top_4gram_char_frac").as("top_4gram_char_frac"),
+          col("r.dup_5gram_char_frac").as("dup_5gram_char_frac"),
+          col("r.dup_10gram_char_frac").as("dup_10gram_char_frac"))
     }),
 
     // benchmark decontamination: the "benchmark" is every 17th doc's text,
@@ -1881,6 +1977,8 @@ object SparkEntry {
            CASE WHEN len(s) > 0 THEN list_min([md5('fp:' || g) for g in s])
                 ELSE md5('fp:' || text) END AS fingerprint
          FROM sh""",
+
+    "q_text_repetition" -> repetitionOracle,
 
     "q_contamination" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -104,6 +104,17 @@ object TextStats {
       (acc, p) => acc + ceil(length(p).cast("double") / 4.0).cast("int"))
   }
 
+  /** Repetition-based quality signals (Gopher/MassiveText rule family):
+    * duplicate line/paragraph fractions (count + char), top-{2,3,4}-gram
+    * char fractions, duplicated-{5..10}-gram coverage char fractions — a
+    * struct of 13 doubles from ONE scan-stage pass per row (see
+    * [[graft.functions.RepetitionStats]] for the exact definitions). The
+    * standard pretraining repetition filter gates on these
+    * (e.g. dup_line_frac > 0.3 or top_2gram_char_frac > 0.2 → drop).
+    */
+  def repetition(text: Column): Column =
+    graft.functions.GraftFunctions.repetition_stats(text)
+
   /** Document fingerprint: the minimum seeded md5 over word 3-shingles — a
     * 1-hash MinHash, stable under shingle reordering; docs sharing a
     * fingerprint are near-dup candidates (winnowing's min-sampling step).

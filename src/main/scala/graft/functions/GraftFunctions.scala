@@ -338,6 +338,162 @@ object WordShingles {
   }
 }
 
+/** Repetition-based quality signals (the Gopher/MassiveText rule family,
+  * Rae et al. 2021 Table A1) in ONE per-row pass — a scan-stage expression,
+  * no shuffle, no explode-to-word-rows (an exploded groupBy(doc, gram)
+  * would shuffle ~10 gram rows per word at 100 TB for a per-document
+  * scalar). Same static-helper idiom as [[WordShingles]].
+  *
+  * Signals (13 doubles, engine-portable integer-ratio math):
+  *  - dup_line_frac / dup_para_frac: (units − distinct units) / units,
+  *    lines split on "\n", paragraphs on "\n\n"
+  *  - dup_line_char_frac / dup_para_char_frac: chars in unit occurrences
+  *    BEYOND the first / total unit chars
+  *  - top_{2,3,4}gram_char_frac: count(top gram) × chars(top gram) /
+  *    text chars; ties break to the lexicographically smallest gram
+  *  - dup_{5..10}gram_char_frac: chars of words covered by ≥1 occurrence
+  *    of a gram appearing ≥2 times (position-union, each word counted
+  *    once) / text chars
+  *
+  * Words split on `\s+` (Gopher's whitespace tokens — NOT the single-space
+  * [[TextStats]] convention, because the planted line structure introduces
+  * newlines); lengths are code points (DuckDB length() parity). Null or
+  * empty text → all-zero row.
+  */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = RepetitionStats.schema
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    RepetitionStats.compute(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  val fieldNames: Seq[String] =
+    Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac") ++
+      Seq(2, 3, 4).map(n => s"top_${n}gram_char_frac") ++
+      (5 to 10).map(n => s"dup_${n}gram_char_frac")
+
+  val schema: StructType =
+    StructType(fieldNames.map(StructField(_, DoubleType, nullable = false)))
+
+  private def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  /** (dup unit frac, dup unit char frac) for lines or paragraphs. */
+  private def dupUnitStats(units: Array[String]): (Double, Double) = {
+    if (units.length == 0) return (0.0, 0.0)
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < units.length) {
+      counts.merge(units(i), 1, (a, b) => Integer.valueOf(a + b)); i += 1
+    }
+    var dupChars = 0L
+    var totChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val len = cp(e.getKey)
+      totChars += len * e.getValue
+      if (e.getValue >= 2) dupChars += len * (e.getValue - 1)
+    }
+    ((units.length - counts.size).toDouble / units.length,
+      if (totChars > 0) dupChars.toDouble / totChars else 0.0)
+  }
+
+  private def grams(words: Array[String], n: Int): Array[String] = {
+    if (words.length < n) return Array.empty
+    val out = new Array[String](words.length - n + 1)
+    var i = 0
+    while (i + n <= words.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
+  private def gramCounts(g: Array[String]): java.util.HashMap[String, Int] = {
+    val counts = new java.util.HashMap[String, Int](g.length * 2)
+    var i = 0
+    while (i < g.length) { counts.merge(g(i), 1, (a, b) => Integer.valueOf(a + b)); i += 1 }
+    counts
+  }
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val out = new Array[Any](fieldNames.length)
+    java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], java.lang.Double.valueOf(0.0))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+    if (text == null) return row
+    val s = text.toString
+    if (s.isEmpty) return row
+    val totalChars = cp(s).toDouble
+
+    val (dlf, dlcf) = dupUnitStats(s.split("\n", -1))
+    val (dpf, dpcf) = dupUnitStats(s.split("\n\n", -1))
+    out(0) = dlf; out(1) = dlcf; out(2) = dpf; out(3) = dpcf
+
+    val words = s.split("\\s+", -1)
+    val wordChars = words.map(cp) // memoized: covered-position sums reuse it
+
+    // top n-gram char fraction, n = 2..4
+    var n = 2
+    while (n <= 4) {
+      val g = grams(words, n)
+      if (g.nonEmpty) {
+        val counts = gramCounts(g)
+        var bestCount = 0
+        var bestGram: String = null
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > bestCount ||
+              (e.getValue == bestCount && e.getKey.compareTo(bestGram) < 0)) {
+            bestCount = e.getValue; bestGram = e.getKey
+          }
+        }
+        out(4 + (n - 2)) = bestCount * cp(bestGram).toDouble / totalChars
+      }
+      n += 1
+    }
+
+    // duplicated n-gram coverage char fraction, n = 5..10
+    n = 5
+    while (n <= 10) {
+      val g = grams(words, n)
+      if (g.nonEmpty) {
+        val counts = gramCounts(g)
+        val covered = new Array[Boolean](words.length)
+        var i = 0
+        while (i < g.length) {
+          if (counts.get(g(i)) >= 2) {
+            var j = i
+            while (j < i + n) { covered(j) = true; j += 1 }
+          }
+          i += 1
+        }
+        var chars = 0L
+        i = 0
+        while (i < words.length) { if (covered(i)) chars += wordChars(i); i += 1 }
+        out(7 + (n - 5)) = chars.toDouble / totalChars
+      }
+      n += 1
+    }
+    row
+  }
+}
+
 /** `sdata-parser()` — one SDATA-shaped string (quoted or unquoted param
   * values) to `struct<sdata_ids: array<string>, sdata: map<string,string>>`
   * with `id.param` map keys, null when the value is not SDATA (the
@@ -374,6 +530,9 @@ object GraftFunctions {
 
   def sdata_parse(str: Column): Column =
     Bridge.column(SdataParse(Bridge.expression(str)))
+
+  def repetition_stats(text: Column): Column =
+    Bridge.column(RepetitionStats(Bridge.expression(text)))
 
   def format_fixed(d: Column, precision: Int): Column =
     Bridge.column(FormatFixed(Bridge.expression(d), precision))

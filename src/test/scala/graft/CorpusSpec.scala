@@ -379,6 +379,46 @@ class CorpusSpec extends SparkSpec {
     assert(vs.exists(_.count(_ > 0f) > 1))
   }
 
+  test("repetition stats: hand-computed Gopher signals, one-pass expression") {
+    import graft.corpus.TextStats
+    def repOf(text: String): Map[String, Double] = {
+      val df = spark.range(1).select(TextStats.repetition(lit(text)).as("r"))
+      val row = df.select(col("r.*")).collect()(0)
+      graft.functions.RepetitionStats.fieldNames.zipWithIndex
+        .map { case (f, i) => f -> row.getDouble(i) }.toMap
+    }
+    // lines: [w1 w2, w1 w2, "", w1 w2] -> 4 lines, 2 distinct; chars 15, 10 dup
+    // paras: [w1 w2\nw1 w2, w1 w2] -> no dup
+    // words: w1 w2 w1 w2 w1 w2; text chars 18
+    // 2-grams: "w1 w2"x3 (len 5) -> 15/18; 3-grams tie 2/2 -> smallest
+    // "w1 w2 w1" (len 8) -> 16/18; 4-grams "w1 w2 w1 w2"x2 (len 11) -> 22/18
+    // (overlapping occurrences CAN push the top fraction past 1 — unclamped,
+    // like the published rule family); 5+ grams all unique -> 0
+    val r1 = repOf("w1 w2\nw1 w2\n\nw1 w2")
+    assert(r1("dup_line_frac") === 0.5)
+    assert(r1("dup_line_char_frac") === 10.0 / 15.0)
+    assert(r1("dup_para_frac") === 0.0)
+    assert(r1("dup_para_char_frac") === 0.0)
+    assert(r1("top_2gram_char_frac") === 15.0 / 18.0)
+    assert(r1("top_3gram_char_frac") === 16.0 / 18.0)
+    assert(r1("top_4gram_char_frac") === 22.0 / 18.0)
+    assert((5 to 10).forall(n => r1(s"dup_${n}gram_char_frac") === 0.0))
+    // planted duplicated 5-gram: covered word positions {0..5, 7..12} =
+    // 12 of 13 one-char words; text chars 25
+    val r2 = repOf("a b c d e f g a b c d e f")
+    assert(r2("dup_5gram_char_frac") === 12.0 / 25.0)
+    assert(r2("dup_6gram_char_frac") === 12.0 / 25.0) // abcdef/bcdefx2? no:
+    // 6-grams: abcdef(0), bcdefg, cdefga, defgab, efgabc, fgabcd, gabcde,
+    // abcdef(7) -> "a b c d e f" twice, covers 0..5 and 7..12 = same 12
+    assert(r2("dup_line_frac") === 0.0)
+    // null / empty -> all-zero rows, never nulls
+    val rNull = spark.range(1)
+      .select(TextStats.repetition(lit(null).cast("string")).as("r"))
+      .select(col("r.*")).collect()(0)
+    (0 until 13).foreach(i => assert(rNull.getDouble(i) === 0.0))
+    assert(repOf("").values.forall(_ === 0.0))
+  }
+
   test("multimodal audio: WAV/AIFF header chunk walk recovers the encoded geometry") {
     // 80-bit extended float (AIFF COMM rate) is exact for integer rates
     Seq(8000L, 12000L, 16000L, 20000L, 44100L, 48000L, 1L).foreach { r =>
