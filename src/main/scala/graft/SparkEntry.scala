@@ -142,6 +142,22 @@ object SparkEntry {
         LEFT JOIN cc10 ON u.doc_id = cc10.doc_id"""
   }
 
+  /** DuckDB Luhn checksum over the digits of expression `c` (mirrors
+    * [[graft.corpus.Pii.luhnValid]]: strip non-digits, double every second
+    * digit from the right, −9 on two-digit products, total ≡ 0 mod 10,
+    * 13–19 digits). Inlined because DuckDB lambdas can't bind locals. */
+  private def luhnSql(c: String): String = {
+    val d = s"regexp_replace($c, '[^0-9]', '', 'g')"
+    s"""(CASE WHEN length($d) BETWEEN 13 AND 19 THEN
+         list_sum([CASE WHEN (length($d) - i) % 2 = 1
+                        THEN CASE WHEN substr($d, i, 1)::int * 2 > 9
+                                  THEN substr($d, i, 1)::int * 2 - 9
+                                  ELSE substr($d, i, 1)::int * 2 END
+                        ELSE substr($d, i, 1)::int END
+                   for i in generate_series(1, length($d))]) % 10 = 0
+         ELSE false END)"""
+  }
+
   /** sequential-fold cosine (matches Similarity.cosine). */
   private val COSINE =
     """list_sum(list_transform(list_zip(qv, cv), x -> CAST(x[1] AS double) * CAST(x[2] AS double))) /
@@ -965,6 +981,51 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, dir) => {
       documents(s, dir).select(col("doc_id"),
         TextStats.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // PII scrub: every doc gets a deterministic planted email/IP/SSN/card/
+    // phone tail in BOTH engines; every second card Luhn-validates, so the
+    // n_cc vs n_cc_luhn split proves the checksum, and the redacted text
+    // itself is hash-compared
+    "q_pii_redact" -> ((s, dir) => {
+      val cc = when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("4539 1488 0343 6467")).otherwise(lit("4539 1488 0343 6468"))
+      val t2 = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0.1 ssn 123-45-6789 card "), cc,
+        lit(" phone (555) 867-5309 alt 212-555-0123"))
+      val d = graft.corpus.Pii.detect(t2)
+      documents(s, dir).select(col("doc_id"),
+        graft.corpus.Pii.redact(t2).as("redacted"),
+        d.getField("n_email").as("n_email"),
+        d.getField("n_ipv4").as("n_ipv4"),
+        d.getField("n_ssn").as("n_ssn"),
+        d.getField("n_phone").as("n_phone"),
+        d.getField("n_cc").as("n_cc"),
+        d.getField("n_cc_luhn").as("n_cc_luhn"))
+    }),
+
+    // composite Gopher quality rules (non-repetition subset): planted
+    // variants exercise the short-doc / bullet-line / ellipsis-line gates
+    // in BOTH engines; all signals are scan-stage builtins
+    "q_text_gopher" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(5))
+      val t2 = when(m === 1, lit("too short"))
+        .when(m === 2, concat(lit("- bullet one\n- bullet two\n"), col("text")))
+        .when(m === 3, concat(col("text"), lit(" trailing dots...\nanother line...")))
+        .otherwise(col("text"))
+      documents(s, dir)
+        .select(col("doc_id"), explode(array(TextStats.gopherQuality(t2))).as("g"))
+        .select(col("doc_id"),
+          col("g.n_words").as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.bullet_line_frac").as("bullet_line_frac"),
+          col("g.ellipsis_line_frac").as("ellipsis_line_frac"),
+          col("g.alpha_word_frac").as("alpha_word_frac"),
+          col("g.stopword_hits").as("stopword_hits"),
+          col("g.pass").as("pass"))
     }),
 
     // repetition signals (Gopher rule family): the documents carry no line
@@ -1977,6 +2038,64 @@ object SparkEntry {
            CASE WHEN len(s) > 0 THEN list_min([md5('fp:' || g) for g in s])
                 ELSE md5('fp:' || text) END AS fingerprint
          FROM sh""",
+
+    "q_pii_redact" -> {
+      import graft.corpus.Pii
+      s"""WITH base AS (SELECT doc_id, text ||
+             ' contact user' || doc_id || '@example.com from 10.' || (doc_id % 256) ||
+             '.0.1 ssn 123-45-6789 card ' ||
+             CASE WHEN doc_id % 2 = 0 THEN '4539 1488 0343 6467'
+                  ELSE '4539 1488 0343 6468' END ||
+             ' phone (555) 867-5309 alt 212-555-0123' AS t
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             '${Pii.EmailRe}', '<EMAIL>', 'g'),
+             '${Pii.CreditCardRe}', '<CREDIT_CARD>', 'g'),
+             '${Pii.SsnRe}', '<SSN>', 'g'),
+             '${Pii.Ipv4Re}', '<IP>', 'g'),
+             '${Pii.PhoneRe}', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(t, '${Pii.EmailRe}'))::bigint AS n_email,
+           len(regexp_extract_all(t, '${Pii.Ipv4Re}'))::bigint AS n_ipv4,
+           len(regexp_extract_all(t, '${Pii.SsnRe}'))::bigint AS n_ssn,
+           len(regexp_extract_all(t, '${Pii.PhoneRe}'))::bigint AS n_phone,
+           len(regexp_extract_all(t, '${Pii.CreditCardRe}'))::bigint AS n_cc,
+           len(list_filter(regexp_extract_all(t, '${Pii.CreditCardRe}'),
+                           c -> ${luhnSql("c")}))::bigint AS n_cc_luhn
+         FROM base"""
+    },
+
+    "q_text_gopher" ->
+      """WITH base AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 1 THEN 'too short'
+                  WHEN doc_id % 5 = 2 THEN '- bullet one' || chr(10) || '- bullet two' || chr(10) || text
+                  WHEN doc_id % 5 = 3 THEN text || ' trailing dots...' || chr(10) || 'another line...'
+                  ELSE text END AS t
+           FROM documents),
+         u AS (SELECT doc_id, t,
+             regexp_split_to_array(t, '\s+') AS w,
+             string_split(t, chr(10)) AS ls
+           FROM base),
+         m AS (SELECT doc_id,
+             len(w)::double AS nw,
+             coalesce(list_sum([length(x) for x in w]), 0)::double / len(w)::double AS mean_len,
+             (len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.')))::double
+               / len(w)::double AS symbol_ratio,
+             len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'))::double
+               / len(ls)::double AS bullet_frac,
+             len(list_filter(ls, l -> l LIKE '%...'))::double / len(ls)::double AS ellipsis_frac,
+             len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::double
+               / len(w)::double AS alpha_frac,
+             len(list_filter([lower(x) for x in w],
+                             x -> x IN ('the','be','to','of','and','that','have','with')))::bigint AS stop_hits
+           FROM u)
+         SELECT doc_id, cast(nw AS bigint) AS n_words, mean_len AS mean_word_len,
+           symbol_ratio, bullet_frac AS bullet_line_frac, ellipsis_frac AS ellipsis_line_frac,
+           alpha_frac AS alpha_word_frac, stop_hits AS stopword_hits,
+           (nw >= 50 AND nw <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0 AND
+            symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND
+            alpha_frac >= 0.8 AND stop_hits >= 2) AS pass
+         FROM m""",
 
     "q_text_repetition" -> repetitionOracle,
 

@@ -115,6 +115,49 @@ object TextStats {
   def repetition(text: Column): Column =
     graft.functions.GraftFunctions.repetition_stats(text)
 
+  /** Gopher's non-repetition stopword list (Rae et al. 2021 §A1.1): a doc
+    * must contain ≥2 of these to pass the composite filter. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Composite Gopher quality-rule signals (Rae et al. 2021 Table A1, the
+    * non-repetition subset — repetition gates live in [[repetition]]): word
+    * count, mean word length, symbol-to-word ratio (`#`/`...`), bullet-start
+    * and ellipsis-end line fractions, fraction of words with ≥1 alphabetic
+    * char, Gopher-stopword hits, and the conjunctive `pass`. One struct of
+    * builtins — evaluates inside the scan's WholeStageCodegen span. Words
+    * split on `\s+` (line-bearing text), lines on `\n`.
+    *
+    * Published gates: 50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10, symbol ratio
+    * ≤ 0.1, bullet lines ≤ 0.9, ellipsis lines ≤ 0.3, alpha-word fraction
+    * ≥ 0.8, stopword hits ≥ 2.
+    */
+  def gopherQuality(text: Column): Column = {
+    val words = split(text, "\\s+")
+    val nWords = size(words).cast("double")
+    val meanLen = aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / nWords
+    val nHash = size(regexp_extract_all(text, lit("#"), lit(0))).cast("double")
+    val nEllipsis = size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0))).cast("double")
+    val symbolRatio = (nHash + nEllipsis) / nWords
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletFrac = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l => l.endsWith("..."))).cast("double") / nLines
+    val alphaFrac = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nWords
+    val stopHits = size(filter(transform(words, w => lower(w)),
+      w => w.isin(GopherStopwords: _*))).cast("long")
+    val pass = nWords >= 50 && nWords <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      alphaFrac >= 0.8 && stopHits >= 2
+    struct(
+      nWords.cast("long").as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stopword_hits"), pass.as("pass"))
+  }
+
   /** Document fingerprint: the minimum seeded md5 over word 3-shingles — a
     * 1-hash MinHash, stable under shingle reordering; docs sharing a
     * fingerprint are near-dup candidates (winnowing's min-sampling step).

@@ -419,6 +419,55 @@ class CorpusSpec extends SparkSpec {
     assert(repOf("").values.forall(_ === 0.0))
   }
 
+  test("pii: luhn validation, redaction order, detect counts") {
+    import graft.corpus.Pii
+    def luhn(s: String): Boolean =
+      spark.range(1).select(Pii.luhnValid(lit(s))).collect()(0).getBoolean(0)
+    assert(luhn("4539148803436467")) // valid Visa test number
+    assert(luhn("4539 1488 0343 6467")) // separators stripped first
+    assert(!luhn("4539148803436468")) // off-by-one check digit
+    assert(luhn("4111111111111111"))
+    assert(!luhn("1234")) // too short for a PAN
+    assert(!luhn("")) // empty never validates
+
+    val t = "mail a@b.co card 4539 1488 0343 6467 ip 10.2.0.1 ssn 123-45-6789 ph (555) 867-5309"
+    val red = spark.range(1).select(Pii.redact(lit(t))).collect()(0).getString(0)
+    assert(red === "mail <EMAIL> card <CREDIT_CARD> ip <IP> ssn <SSN> ph <PHONE>")
+    val d = spark.range(1).select(Pii.detect(lit(t)).as("d")).select(col("d.*")).collect()(0)
+    assert(Seq(d.getLong(0), d.getLong(1), d.getLong(2), d.getLong(3), d.getLong(4), d.getLong(5))
+      === Seq(1L, 1L, 1L, 1L, 1L, 1L))
+    // invalid checksum: still redacted (conservative), not Luhn-counted
+    val t2 = "card 4539 1488 0343 6468 twice 4111111111111111"
+    val d2 = spark.range(1).select(Pii.detect(lit(t2)).as("d")).select(col("d.*")).collect()(0)
+    assert(d2.getLong(4) === 2L && d2.getLong(5) === 1L)
+    assert(spark.range(1).select(Pii.redact(lit(t2))).collect()(0).getString(0)
+      === "card <CREDIT_CARD> twice <CREDIT_CARD>")
+  }
+
+  test("gopher quality gates: hand-computed signals") {
+    def g(text: String) = {
+      val row = spark.range(1).select(TextStats.gopherQuality(lit(text)).as("g"))
+        .select(col("g.*")).collect()(0)
+      (row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3),
+        row.getDouble(4), row.getDouble(5), row.getLong(6), row.getBoolean(7))
+    }
+    // 50 words of mean length 3.96, two stopwords -> passes every gate
+    val good = (Seq("the", "and") ++ (1 to 48).map(i => f"word$i%02d")).mkString(" ")
+    val (n1, ml, sym, bul, ell, al, st, pass1) = g(good)
+    assert(n1 === 50L && st === 2L && pass1)
+    assert(ml === (3 + 3 + 48 * 6).toDouble / 50.0)
+    assert(sym === 0.0 && bul === 0.0 && ell === 0.0 && al === 1.0)
+    // 49 words -> fails the word-count floor alone
+    assert(!g(good.split(" ").drop(1).mkString(" "))._8)
+    // bullet/ellipsis line gates
+    val lines = (1 to 10).map(i => s"- item $i line...").mkString("\n")
+    val (_, _, _, bul2, ell2, _, _, pass2) = g(lines)
+    assert(bul2 === 1.0 && ell2 === 1.0 && !pass2)
+    // symbol gate: hashes count against words
+    val hashy = good + " " + ("#" * 10).split("").mkString(" ")
+    assert(g(hashy)._3 > 0.1 && !g(hashy)._8)
+  }
+
   test("multimodal audio: WAV/AIFF header chunk walk recovers the encoded geometry") {
     // 80-bit extended float (AIFF COMM rate) is exact for integer rates
     Seq(8000L, 12000L, 16000L, 20000L, 44100L, 48000L, 1L).foreach { r =>
