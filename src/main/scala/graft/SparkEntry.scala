@@ -878,6 +878,17 @@ object SparkEntry {
         bits = 64, bands = 4, maxHamming = 3)
     }),
 
+    // SemDeDup inner step with the ground-truth clustering (the label
+    // column): within-cluster pairwise cosine at the threshold — cluster-
+    // equality hash join + residual filter on both engines. The trained-
+    // quantizer end-to-end path (kmeans -> assign -> pairs -> CC ->
+    // survivors) is CorpusSpec-proven (k=1 ≡ brute force; planted copies)
+    "q_dedup_semantic" -> ((s, dir) => {
+      Similarity.semanticNearDupPairs(
+        embeddings(s, dir), col("vec_id"), col("embedding"), col("label"),
+        threshold = 0.3)
+    }),
+
     // ================= corpus: similarity search =================
     "q_embed_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -1080,6 +1091,21 @@ object SparkEntry {
         graft.corpus.SpanDedup.windowSpans(col("text2"), 16),
         delim = " ", minDocs = 2)
         .select(col("doc_id"), col("text_clean"), col("n_spans"), col("n_dropped"))
+    }),
+
+    // exact-substring dedup (Lee et al. ExactSubstr, word-window grain):
+    // the same boilerplate plant as q_dedup_spans, but SLIDING 8-word
+    // windows with keep-globally-first semantics — the first planted doc
+    // keeps the boilerplate, every later one loses exactly those words,
+    // and any organic cross/within-doc 8-word repeat is handled identically
+    // in both engines
+    "q_dedup_exact_substr" -> ((s, dir) => {
+      val d = documents(s, dir).withColumn("text2",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(SPAN_BOILER + " "), col("text"))).otherwise(col("text")))
+      graft.corpus.SpanDedup.exactSubstrDedup(
+        d, col("doc_id"), col("text2"), windowWords = 8, minCount = 2)
+        .select(col("doc_id"), col("text_clean"), col("n_words"), col("n_removed"))
     }),
 
     // token-budget document packing: per-shard window cumsum packing with
@@ -1908,6 +1934,13 @@ object SparkEntry {
                  FROM s)
          SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 3""",
 
+    "q_dedup_semantic" ->
+      s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS qv, label FROM embeddings)
+         , b AS (SELECT vec_id AS vec_b, embedding AS cv, label FROM embeddings)
+         , s AS (SELECT vec_a, vec_b, $COSINE AS cos
+                 FROM a JOIN b USING (label) WHERE vec_a < vec_b)
+         SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.3""",
+
     "q_embed_ivf" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5)
          , c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings)
@@ -2142,6 +2175,35 @@ object SparkEntry {
            cast(t.n_spans AS bigint) AS n_spans,
            cast(t.n_spans - coalesce(a.n_kept, 0) AS bigint) AS n_dropped
          FROM tot t LEFT JOIN agg a USING (doc_id)""",
+
+    "q_dedup_exact_substr" ->
+      s"""WITH base AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '$SPAN_BOILER ' || text
+                  ELSE text END AS t
+           FROM documents),
+         u AS (SELECT doc_id, string_split(t, ' ') AS w FROM base),
+         g AS (SELECT doc_id,
+                 unnest([{'i': i, 'h': md5(array_to_string(w[i:i+7], ' '))}
+                         for i in generate_series(1, len(w) - 7)]) AS og
+               FROM u WHERE len(w) >= 8),
+         ge AS (SELECT doc_id, og.i AS i, og.h AS h FROM g),
+         dup AS (SELECT h,
+                   first(doc_id ORDER BY doc_id, i) AS kd,
+                   first(i ORDER BY doc_id, i) AS ki
+                 FROM ge GROUP BY h HAVING count(*) >= 2),
+         rem0 AS (SELECT e.doc_id AS doc_id,
+                    unnest(generate_series(e.i, e.i + 7)) AS p
+                  FROM ge e JOIN dup d ON e.h = d.h
+                  WHERE NOT (e.doc_id = d.kd AND e.i = d.ki)),
+         drops AS (SELECT doc_id, list(DISTINCT p) AS ps FROM rem0 GROUP BY doc_id)
+         SELECT u.doc_id,
+           coalesce(array_to_string([w[i] for i in generate_series(1, len(w))
+                                     if NOT list_contains(coalesce(d.ps, CAST([] AS BIGINT[])), i)],
+                                    ' '), '') AS text_clean,
+           len(w)::bigint AS n_words,
+           coalesce(len(d.ps), 0)::bigint AS n_removed
+         FROM u LEFT JOIN drops d ON u.doc_id = d.doc_id""",
 
     "q_corpus_pack" ->
       """WITH sized AS (

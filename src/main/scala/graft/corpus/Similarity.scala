@@ -167,6 +167,64 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** Within-cluster embedding-cosine near-duplicate pairs: the inner step
+    * of SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — documents are
+    * compared ONLY against members of the same (given) cluster, turning the
+    * quadratic all-pairs scan into per-cluster blocks. The join shuffles on
+    * the cluster key, so each block is co-located; cost is Σ|cluster|², the
+    * published method's contract — size `kClusters` so corpus/k fits the
+    * per-task budget (SemDeDup uses k ≈ n/1000 at web scale, blocks of
+    * ~10³ → 10⁶ dot products per block, embarrassingly parallel). Norms
+    * are computed once per vector BEFORE the self-join (never per pair).
+    * A hot cluster (degenerate quantizer) is the skew case: re-train with
+    * larger k rather than salting — splitting a semantic cluster across
+    * salt slices would silently lose cross-slice pairs.
+    */
+  def semanticNearDupPairs(
+      corpus: DataFrame, id: Column, vec: Column, cluster: Column,
+      threshold: Double): DataFrame = {
+    val base = corpus.select(id.as("vec_id"), vec.as("v"), cluster.as("__cl"))
+      .withColumn("nrm", norm(col("v")))
+    val a = base.select(col("__cl"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("__cl"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("__cl"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** SemDeDup end-to-end: train the spherical k-means quantizer, assign
+    * every vector to its cluster, find within-cluster pairs at cosine ≥
+    * `threshold`, resolve duplicate groups to connected components and keep
+    * only each component's minimum-id survivor. Returns the surviving rows
+    * of `corpus`, schema unchanged — the semantic twin of
+    * [[Dedup.dedupCorpus]] (which catches lexical duplicates; SemDeDup
+    * catches paraphrases the shingle families cannot).
+    *
+    * Same caveat as the paper: pairs in DIFFERENT clusters are never
+    * compared (that approximation is the speedup) — recall against the
+    * brute-force oracle is a property of quantizer quality, tested in
+    * CorpusSpec on planted duplicate groups.
+    */
+  def semDedup(
+      corpus: DataFrame, id: Column, vec: Column,
+      kClusters: Int, threshold: Double, iters: Int = 5): DataFrame = {
+    val centroids = kmeans(corpus, id, vec, kClusters, iters)
+    val clustered = corpus.select(id.as("__sd_id"), vec.as("__sd_v"))
+      .withColumn("__cl", assignCluster(normalize(col("__sd_v")), centroids))
+    val pairs = semanticNearDupPairs(
+      clustered, col("__sd_id"), col("__sd_v"), col("__cl"), threshold)
+    val clusters = Dedup.resolveClusters(
+      corpus.select(id.as("member_id")), pairs, "vec_a", "vec_b")
+    corpus.join(
+      clusters.filter(col("member_id") === col("keep_id"))
+        .select(col("member_id").as("__keep")),
+      id === col("__keep"), "left_semi")
+  }
+
   // ------------------------------------------------------------ IVF index
 
   /** Deterministic spherical k-means (Lloyd) trained distributed: seeds =

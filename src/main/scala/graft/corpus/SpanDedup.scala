@@ -52,6 +52,68 @@ object SpanDedup {
   def spanHash(s: Column): Column =
     when(trim(s) === "" || s.isNull, lit(null)).otherwise(md5(lower(trim(s))))
 
+  /** Cross-document EXACT-SUBSTRING dedup (the ExactSubstr method of Lee
+    * et al. 2021, arXiv:2107.06499, word-window granularity): every
+    * `windowWords`-word SLIDING window is hashed; a window text occurring ≥
+    * `minCount` times in the whole corpus (within-doc repeats count, per the
+    * paper) keeps only its globally-FIRST occurrence — minimum (doc, pos) —
+    * and every other occurrence's word positions are removed from their
+    * documents, which are then reassembled in order. Differs from
+    * [[dedupSpans]] in all three choices that make it the paper's operator:
+    * sliding (not aligned) windows, total-occurrence (not distinct-doc)
+    * counting, and keep-first (not remove-everywhere) semantics.
+    *
+    * Scale shape: identical to [[dedupSpans]] — only (doc, pos, md5)
+    * postings shuffle (one row per word, the same posting volume as a
+    * shingle join), the keeper is a combinable min(struct(doc, pos))
+    * aggregate, and only documents that actually LOSE words appear on the
+    * build side of the reassembly join. A viral window (boilerplate in 10⁸
+    * docs) is one hash group whose occurrence rows join against a
+    * single-row build side — no window/collect of the group is ever
+    * materialized.
+    *
+    * @return input columns + `text_clean` (surviving words joined with a
+    *         single space), `n_words`, `n_removed`
+    */
+  def exactSubstrDedup(
+      docs: DataFrame, id: Column, text: Column,
+      windowWords: Int, minCount: Int = 2): DataFrame = {
+    require(windowWords >= 1, s"window must be >= 1 word, got $windowWords")
+    require(minCount >= 2, s"minCount < 2 would remove unique text (got $minCount)")
+    val base = docs.withColumn("__doc_id", id).withColumn("__words", split(text, " "))
+    val nw = size(col("__words"))
+    // postings: (doc, 0-based window start, md5 of the window text); docs
+    // shorter than the window emit none
+    val posts = base.select(col("__doc_id").as("doc_id"),
+      posexplode(
+        when(nw >= windowWords,
+          transform(sequence(lit(0), nw - windowWords),
+            i => md5(array_join(slice(col("__words"), i + 1, lit(windowWords)), " "))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "wh")))
+    val dup = posts.groupBy(col("wh"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("keeper"))
+      .filter(col("n_occ") >= minCount)
+    // every non-keeper occurrence surrenders its word positions
+    val removed = posts.join(dup, Seq("wh"))
+      .filter(!(col("doc_id") === col("keeper.doc_id") &&
+        col("pos") === col("keeper.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + windowWords - 1)).as("p"))
+    val dropIdx = removed.groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("__drop"))
+      .withColumnRenamed("doc_id", "__drop_doc")
+    base.join(dropIdx, col("__doc_id") === col("__drop_doc"), "left")
+      .withColumns(Map(
+        "text_clean" -> array_join(
+          filter(col("__words"),
+            (w, i) => !coalesce(array_contains(col("__drop"), i), lit(false))),
+          " "),
+        "n_words" -> size(col("__words")).cast("long"),
+        "n_removed" -> coalesce(size(col("__drop")), lit(0)).cast("long")))
+      .drop("__doc_id", "__words", "__drop", "__drop_doc")
+  }
+
   /** Remove spans duplicated across ≥ `minDocs` distinct documents.
     *
     * @param docs      corpus frame

@@ -419,6 +419,58 @@ class CorpusSpec extends SparkSpec {
     assert(repOf("").values.forall(_ === 0.0))
   }
 
+  test("exactSubstrDedup: keep-first, within-doc repeats, sliding windows") {
+    import graft.corpus.SpanDedup
+    val d = Seq(
+      (1L, "a b c d e"), // holds the globally-first "a b c"
+      (2L, "x a b c y"), // loses its copy -> "x y"
+      (3L, "p q r p q r p q"), // within-doc repeats: keeps first period only
+      (4L, "u v w")) // unique, untouched
+      .toDF("doc_id", "text")
+    val got = SpanDedup.exactSubstrDedup(d, col("doc_id"), col("text"), windowWords = 3)
+      .select("doc_id", "text_clean", "n_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, "a b c d e", 0L)))
+    assert(got(1) === ((2L, "x y", 3L)))
+    // windows at pos 3..5 repeat pos 0..2 -> positions 3..7 removed
+    assert(got(2) === ((3L, "p q r", 5L)))
+    assert(got(3) === ((4L, "u v w", 0L)))
+    // doc shorter than the window emits no postings and survives whole
+    val short = SpanDedup.exactSubstrDedup(
+      Seq((9L, "a b")).toDF("doc_id", "text"), col("doc_id"), col("text"), 3)
+      .select("text_clean", "n_removed").as[(String, Long)].collect()(0)
+    assert(short === (("a b", 0L)))
+  }
+
+  test("semDedup k=1 (one cluster = exhaustive) equals brute-force dedup") {
+    val survivors = Similarity.semDedup(
+      embs, col("vec_id"), col("embedding"), kClusters = 1, threshold = 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    val bfPairs = Similarity.bruteForceNearDupPairs(
+      embs, col("vec_id"), col("embedding"), threshold = 0.3)
+    val bfSurvivors = Dedup.resolveClusters(
+      embs.select(col("vec_id").as("member_id")), bfPairs, "vec_a", "vec_b")
+      .filter(col("member_id") === col("keep_id"))
+      .select("member_id").as[Long].collect().toSet
+    assert(survivors === bfSurvivors)
+    assert(survivors.size < embs.count()) // something was actually dropped
+  }
+
+  test("semDedup trained quantizer drops planted exact copies, keeps originals") {
+    // identical vectors always share a cluster (argmax of the same dots),
+    // so planted copies are guaranteed recall regardless of quantizer fit
+    val base = embs.filter(col("vec_id") < 400)
+    val copies = embs.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"), col("label"))
+    val survivors = Similarity.semDedup(
+      base.unionByName(copies), col("vec_id"), col("embedding"),
+      kClusters = 8, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert((0L until 10L).forall(survivors.contains)) // originals kept (min id)
+    assert((1000L until 1010L).forall(id => !survivors.contains(id))) // copies dropped
+    assert(survivors.size === 400) // nothing else was near-identical at 0.999
+  }
+
   test("pii: luhn validation, redaction order, detect counts") {
     import graft.corpus.Pii
     def luhn(s: String): Boolean =
