@@ -994,6 +994,18 @@ object SparkEntry {
         TextStats.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // CCNet-shaped perplexity gate: char-trigram counts trained on the
+    // English slice, every doc scored by add-α cross-entropy — the model
+    // broadcasts to both score joins, the candidate corpus never shuffles
+    "q_text_perplexity" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val model = graft.corpus.LanguageModel.charNgramCounts(
+        d.filter(col("lang") === "en"), col("text"), n = 3)
+      graft.corpus.LanguageModel.crossEntropy(
+        d, col("doc_id"), col("text"), model, n = 3)
+        .select(col("doc_id"), col("cross_entropy"), col("n_grams"), col("perplexity"))
+    }),
+
     // PII scrub: every doc gets a deterministic planted email/IP/SSN/card/
     // phone tail in BOTH engines; every second card Luhn-validates, so the
     // n_cc vs n_cc_luhn split proves the checksum, and the redacted text
@@ -2071,6 +2083,28 @@ object SparkEntry {
            CASE WHEN len(s) > 0 THEN list_min([md5('fp:' || g) for g in s])
                 ELSE md5('fp:' || text) END AS fingerprint
          FROM sh""",
+
+    "q_text_perplexity" ->
+      """WITH tg AS (SELECT unnest([substr(text, i, 3)
+                                    for i in generate_series(1, length(text) - 2)]) AS gram
+                     FROM documents WHERE lang = 'en' AND length(text) >= 3),
+         m3 AS (SELECT gram, count(*)::bigint AS cg FROM tg GROUP BY gram),
+         m2 AS (SELECT substr(gram, 1, 2) AS ctx, sum(cg)::bigint AS cc FROM m3 GROUP BY 1),
+         v AS (SELECT count(DISTINCT substr(gram, 3, 1))::double AS vs FROM m3),
+         sg AS (SELECT doc_id, unnest([substr(text, i, 3)
+                                       for i in generate_series(1, length(text) - 2)]) AS gram
+                FROM documents WHERE length(text) >= 3),
+         j AS (SELECT doc_id,
+                 ln((coalesce(m3.cg, 0) + 0.1) / (coalesce(m2.cc, 0) + 0.1 * v.vs)) AS lp
+               FROM sg LEFT JOIN m3 USING (gram)
+                       LEFT JOIN m2 ON substr(sg.gram, 1, 2) = m2.ctx
+                       CROSS JOIN v),
+         a AS (SELECT doc_id, -sum(lp) / ln(2.0) / count(*) AS cross_entropy,
+                      count(*)::bigint AS n_grams
+               FROM j GROUP BY doc_id)
+         SELECT doc_id, cross_entropy, n_grams,
+                power(2.0, cross_entropy) AS perplexity
+         FROM a""",
 
     "q_pii_redact" -> {
       import graft.corpus.Pii

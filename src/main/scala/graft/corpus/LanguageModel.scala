@@ -1,0 +1,72 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based character n-gram language model for perplexity filtering —
+  * the CCNet quality gate (Wenzek et al. 2020, arXiv:1911.00359): train a
+  * small LM on a high-quality corpus (their Wikipedia; here any frame),
+  * score every candidate document by cross-entropy, keep the low-perplexity
+  * band. KenLM's Kneser–Ney is substituted by add-α smoothing over raw
+  * counts (declared divergence: no trained-model artifact can ship here and
+  * α-smoothing is engine-portable to the SQL oracle; the pipeline shape —
+  * train counts → broadcast → score-join → per-doc aggregate — is the
+  * production shape either way).
+  *
+  * Model definition (all counts over code points):
+  *  - c_n(g): occurrences of n-gram g in the training text
+  *  - c_ctx(ctx) = Σ_c c_n(ctx·c) — derived from c_n, so the conditional
+  *    P(c|ctx) = (c_n + α)/(c_ctx + α·V) is properly normalized
+  *  - V: distinct final characters across observed n-grams
+  *  - cross-entropy H(doc) = −(1/T) Σ_t log₂ P(c_t|ctx_t), T = len−n+1;
+  *    perplexity = 2^H. Docs shorter than n score no grams and drop out.
+  *
+  * Scale shape: training is one explode + combinable count aggregate
+  * (char-level vocab is bounded — |Σ|ⁿ grams at most, megabytes for n=3);
+  * scoring broadcasts the model to both joins, so the candidate corpus
+  * never shuffles — (doc, gram) rows flow scan → broadcast-hash-join →
+  * partial agg. At 100 TB the only wide op is the per-doc sum, keyed by
+  * doc_id (no skew: every doc contributes len−n+1 rows).
+  */
+object LanguageModel {
+
+  /** Positions 1..len−n+1 → the n-gram starting there. Empty for short text. */
+  private def ngrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Train: n-gram counts from `corpus.text`. Returns (gram, cnt). */
+  def charNgramCounts(corpus: DataFrame, text: Column, n: Int): DataFrame = {
+    require(n >= 2, s"need n >= 2 for a conditional model, got $n")
+    corpus.select(explode(ngrams(text, n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Score: cross-entropy (bits/char) + perplexity per document under the
+    * model counts, add-α smoothed. `model` is [[charNgramCounts]] output
+    * (or any (gram, cnt) frame of the same n).
+    */
+  def crossEntropy(
+      docs: DataFrame, id: Column, text: Column,
+      model: DataFrame, n: Int, alpha: Double = 0.1): DataFrame = {
+    val m3 = model.select(col("gram"), col("cnt").as("cg"))
+    val mCtx = model.groupBy(substring(col("gram"), 1, n - 1).as("ctx"))
+      .agg(sum(col("cnt")).as("cc"))
+    val vocab = model.agg(
+      countDistinct(substring(col("gram"), n, 1)).cast("double").as("v"))
+    val grams = docs.select(id.as("doc_id"), explode(ngrams(text, n)).as("gram"))
+    grams
+      .join(broadcast(m3), Seq("gram"), "left")
+      .join(broadcast(mCtx), substring(col("gram"), 1, n - 1) === col("ctx"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((coalesce(col("cg"), lit(0L)) + alpha) /
+          (coalesce(col("cc"), lit(0L)) + lit(alpha) * col("v"))).as("lp"))
+      .groupBy("doc_id")
+      .agg((-sum(col("lp")) / log(lit(2.0)) / count(lit(1))).as("cross_entropy"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("perplexity", pow(lit(2.0), col("cross_entropy")))
+  }
+}

@@ -419,6 +419,30 @@ class CorpusSpec extends SparkSpec {
     assert(repOf("").values.forall(_ === 0.0))
   }
 
+  test("char-trigram LM: hand-computed smoothed entropy; en-trained model prefers en") {
+    import graft.corpus.LanguageModel
+    val train = Seq("abab").toDF("text")
+    val model = LanguageModel.charNgramCounts(train, col("text"), 3)
+    assert(model.as[(String, Long)].collect().toMap === Map("aba" -> 1L, "bab" -> 1L))
+    val scored = LanguageModel.crossEntropy(
+      Seq((1L, "aba"), (2L, "zzz")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), model, 3)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    // "aba": seen gram, ctx "ab" has count 1, V = |{a,b}| = 2
+    assert(math.abs(scored(1L) - -math.log(1.1 / 1.2) / math.log(2)) < 1e-12)
+    // "zzz": unseen gram AND ctx -> alpha/(alpha*V) = 0.5 -> exactly 1 bit
+    assert(math.abs(scored(2L) - 1.0) < 1e-12)
+    // fixture semantics: perplexity gate separates languages
+    val m = LanguageModel.charNgramCounts(
+      docs.filter(col("lang") === "en"), col("text"), 3)
+    val byLang = LanguageModel.crossEntropy(docs, col("doc_id"), col("text"), m, 3)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang").agg(avg("cross_entropy").as("h"))
+      .as[(String, Double)].collect().toMap
+    assert(byLang("en") < byLang("zh"))
+    assert(byLang("en") < byLang("de"))
+  }
+
   test("exactSubstrDedup: keep-first, within-doc repeats, sliding windows") {
     import graft.corpus.SpanDedup
     val d = Seq(
