@@ -994,6 +994,18 @@ object SparkEntry {
         TextStats.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // DSIR importance resampling toward the English slice: hashed
+    // uni+bigram bucket models for target/source, per-doc log importance
+    // weight, deterministic md5-Gumbel top-k selection — model broadcasts,
+    // corpus never shuffles, boundary via distributed top-k (no global rank)
+    "q_corpus_dsir" -> ((s, dir) => {
+      val d = documents(s, dir)
+      graft.corpus.Dsir.select(d, col("doc_id"), col("text"),
+        d.filter(col("lang") === "en"), col("text"), k = 100, buckets = 512)
+        .select(col("doc_id"), col("log_weight"), col("n_feats"),
+          col("gumbel"), col("selected"))
+    }),
+
     // CCNet-shaped perplexity gate: char-trigram counts trained on the
     // English slice, every doc scored by add-α cross-entropy — the model
     // broadcasts to both score joins, the candidate corpus never shuffles
@@ -2083,6 +2095,33 @@ object SparkEntry {
            CASE WHEN len(s) > 0 THEN list_min([md5('fp:' || g) for g in s])
                 ELSE md5('fp:' || text) END AS fingerprint
          FROM sh""",
+
+    "q_corpus_dsir" ->
+      """WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         feats AS (SELECT doc_id, lang, unnest(list_concat(
+             [w[i] for i in generate_series(1, len(w))],
+             [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)])) AS g
+           FROM words),
+         fb AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS bucket FROM feats),
+         tgt AS (SELECT bucket, count(*)::bigint AS tc FROM fb WHERE lang = 'en' GROUP BY bucket),
+         src AS (SELECT bucket, count(*)::bigint AS sc FROM fb GROUP BY bucket),
+         tot AS (SELECT (SELECT sum(tc)::double FROM tgt) AS tt,
+                        (SELECT sum(sc)::double FROM src) AS ts),
+         lw AS (SELECT doc_id,
+                  sum(ln((coalesce(tc, 0) + 0.1) / (tt + 0.1 * 512))
+                      - ln((coalesce(sc, 0) + 0.1) / (ts + 0.1 * 512))) AS log_weight,
+                  count(*)::bigint AS n_feats
+                FROM fb LEFT JOIN tgt USING (bucket) LEFT JOIN src USING (bucket)
+                        CROSS JOIN tot
+                GROUP BY doc_id),
+         gk AS (SELECT doc_id, log_weight, n_feats,
+                  -ln(-ln((('0x' || substr(md5('gum:' || doc_id), 1, 13))::BIGINT + 0.5)
+                          / 4503599627370496.0)) AS gumbel
+                FROM lw),
+         rk AS (SELECT *, row_number() OVER (ORDER BY log_weight + gumbel DESC, doc_id ASC) AS r
+                FROM gk)
+         SELECT doc_id, log_weight, n_feats, gumbel, (r <= 100) AS selected FROM rk""",
 
     "q_text_perplexity" ->
       """WITH tg AS (SELECT unnest([substr(text, i, 3)

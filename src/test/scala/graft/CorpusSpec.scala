@@ -419,6 +419,31 @@ class CorpusSpec extends SparkSpec {
     assert(repOf("").values.forall(_ === 0.0))
   }
 
+  test("dsir: importance weights separate target-like docs; gumbel top-k deterministic") {
+    import graft.corpus.Dsir
+    // controlled: target speaks 'aa', source is mixed -> 'aa' docs weigh more
+    val tgt = Seq("aa aa aa aa").toDF("text")
+    val src = Seq((1L, "aa aa aa"), (2L, "bb bb bb")).toDF("doc_id", "text")
+    val lw = Dsir.logWeights(src, col("doc_id"), col("text"),
+      Dsir.fitBuckets(tgt, col("text"), 64),
+      Dsir.fitBuckets(src, col("text"), 64), buckets = 64)
+      .select("doc_id", "log_weight").as[(Long, Double)].collect().toMap
+    assert(lw(1L) > lw(2L))
+    // fixture: resampling toward the en slice over-selects en docs
+    val sel = Dsir.select(docs, col("doc_id"), col("text"),
+      docs.filter(col("lang") === "en"), col("text"), k = 100, buckets = 512)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    assert(sel.filter(col("selected")).count() === 100L)
+    val enSelected = sel.filter(col("selected") && col("lang") === "en").count()
+    val enBase = docs.filter(col("lang") === "en").count().toDouble / docs.count()
+    assert(enSelected.toDouble / 100.0 > enBase) // 43.6% baseline must be beaten
+    // deterministic: same inputs, same selection set
+    val again = Dsir.select(docs, col("doc_id"), col("text"),
+      docs.filter(col("lang") === "en"), col("text"), k = 100, buckets = 512)
+      .filter(col("selected")).select("doc_id").as[Long].collect().toSet
+    assert(again === sel.filter(col("selected")).select("doc_id").as[Long].collect().toSet)
+  }
+
   test("char-trigram LM: hand-computed smoothed entropy; en-trained model prefers en") {
     import graft.corpus.LanguageModel
     val train = Seq("abab").toDF("text")
