@@ -994,6 +994,19 @@ object SparkEntry {
         TextStats.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // leakage-safe train/valid/test split: the split key is the NEAR-DUP
+    // CLUSTER id (minhash-LSH -> CC), so duplicate groups never straddle
+    // splits — a near-copy of a training doc cannot leak into test
+    "q_corpus_split" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val clusters = Dedup.resolveClusters(
+        d.select(col("doc_id").as("member_id")),
+        Dedup.minhashLsh(d, col("doc_id"), col("text")), "doc_a", "doc_b")
+      clusters.select(col("member_id"), col("cluster_id"),
+        graft.corpus.Sampling.splitLabel(col("cluster_id"),
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)).as("split"))
+    }),
+
     // DSIR importance resampling toward the English slice: hashed
     // uni+bigram bucket models for target/source, per-doc log importance
     // weight, deterministic md5-Gumbel top-k selection — model broadcasts,
@@ -2095,6 +2108,37 @@ object SparkEntry {
            CASE WHEN len(s) > 0 THEN list_min([md5('fp:' || g) for g in s])
                 ELSE md5('fp:' || text) END AS fingerprint
          FROM sh""",
+
+    "q_corpus_split" -> {
+      // replicate splitLabel's normalization bit-for-bit so the hex
+      // thresholds cannot diverge by a ulp at the 8-hex-digit truncation
+      import graft.corpus.Sampling.thresholdHex
+      val ws = Seq(0.8, 0.1, 0.1)
+      val total = ws.sum
+      val cum = ws.map(_ / total).scanLeft(0.0)(_ + _).tail
+      val (t1, t2) = (thresholdHex(cum(0)), thresholdHex(cum(1)))
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in generate_series(1, len(w) - 2)]) AS s
+                FROM tok),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s))::double /
+                      len(list_distinct(list_concat(a.s, b.s)))::double >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                   UNION SELECT doc_b, doc_a FROM pr),
+         walk(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
+         cl AS (SELECT id AS member_id, min(lab) AS cluster_id FROM walk GROUP BY id)
+         SELECT member_id, cluster_id,
+           CASE WHEN substr(md5('split:' || cluster_id), 1, 8) < '$t1' THEN 'train'
+                WHEN substr(md5('split:' || cluster_id), 1, 8) < '$t2' THEN 'valid'
+                ELSE 'test' END AS split
+         FROM cl"""
+    },
 
     "q_corpus_dsir" ->
       """WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),

@@ -54,6 +54,25 @@ object Sampling {
     df.filter(substring(md5(key.cast("string")), 1, 8) < threshold)
   }
 
+  /** Leakage-safe dataset-split label ("train"/"valid"/"test" or any
+    * names + weights, normalized): decided by md5 of the KEY, so pass the
+    * near-dup CLUSTER id (from [[Dedup.resolveClusters]]) and every member
+    * of a duplicate cluster lands in the SAME split — a near-duplicate of
+    * a training document can never leak into test. One scan-stage CASE
+    * over fixed-width hex (same order-isomorphism argument as [[sample]]),
+    * engine-portable, zero shuffles beyond the clustering itself.
+    */
+  def splitLabel(key: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0),
+      s"splits need positive weights, got $splits")
+    val total = splits.map(_._2).sum
+    val cum = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val h = substring(md5(concat(lit("split:"), key.cast("string"))), 1, 8)
+    splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), c), acc) => when(h < lit(thresholdHex(c)), lit(name)).otherwise(acc)
+    }
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing at least `minHits`
     * distinct word k-shingles with any benchmark/eval doc (the n-gram
     * overlap check run before training on web-scale corpora). Posting-list

@@ -419,6 +419,30 @@ class CorpusSpec extends SparkSpec {
     assert(repOf("").values.forall(_ === 0.0))
   }
 
+  test("splitLabel: cluster members share a split; fractions near weights") {
+    import graft.corpus.Sampling
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    // members of one cluster ALWAYS land together (split keys on cluster id)
+    val clustered = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 4L))
+      .toDF("member_id", "cluster_id")
+      .withColumn("split", Sampling.splitLabel(col("cluster_id"), splits))
+    val byCluster = clustered.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n")).as[(Long, Long)].collect().toMap
+    assert(byCluster.values.forall(_ === 1L))
+    // proportions over many keys approach the weights
+    val counts = spark.range(10000)
+      .select(Sampling.splitLabel(col("id"), splits).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") / 10000.0 - 0.8) < 0.02)
+    assert(math.abs(counts("valid") / 10000.0 - 0.1) < 0.02)
+    assert(math.abs(counts("test") / 10000.0 - 0.1) < 0.02)
+    // deterministic across evaluations
+    val again = spark.range(10000)
+      .select(Sampling.splitLabel(col("id"), splits).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(again === counts)
+  }
+
   test("dsir: importance weights separate target-like docs; gumbel top-k deterministic") {
     import graft.corpus.Dsir
     // controlled: target speaks 'aa', source is mixed -> 'aa' docs weigh more
