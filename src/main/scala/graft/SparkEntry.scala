@@ -994,6 +994,19 @@ object SparkEntry {
         TextStats.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // URL-keyed dedup: deterministic planted URLs (two crawl-order/tracking
+    // variants per page) must canonicalize to the same form — lowercased
+    // authority, default port + www + fragment stripped, tracking params
+    // dropped, query sorted — and keep the minimum doc per canonical URL
+    "q_corpus_url_dedup" -> ((s, dir) => {
+      val url = concat(lit("HTTPS://WWW.Example"), col("source"),
+        lit(".com:443/Path/"), pmod(col("doc_id"), lit(7)).cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("/?utm_source=x&b=2&a=1#frag"))
+          .otherwise(lit("?a=1&b=2")))
+      graft.corpus.Url.urlDedup(documents(s, dir), col("doc_id"), url)
+        .select(col("doc_id"), col("canonical_url"), col("is_keeper"))
+    }),
+
     // leakage-safe train/valid/test split: the split key is the NEAR-DUP
     // CLUSTER id (minhash-LSH -> CC), so duplicate groups never straddle
     // splits — a near-copy of a training doc cannot leak into test
@@ -2108,6 +2121,35 @@ object SparkEntry {
            CASE WHEN len(s) > 0 THEN list_min([md5('fp:' || g) for g in s])
                 ELSE md5('fp:' || text) END AS fingerprint
          FROM sh""",
+
+    "q_corpus_url_dedup" ->
+      """WITH raw AS (SELECT doc_id,
+             'HTTPS://WWW.Example' || source || '.com:443/Path/' || (doc_id % 7) ||
+             CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=x&b=2&a=1#frag'
+                  ELSE '?a=1&b=2' END AS u
+           FROM documents),
+         c0 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS nf FROM raw),
+         c1 AS (SELECT doc_id,
+             lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) AS head,
+             regexp_replace(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
+           FROM c0),
+         c2 AS (SELECT doc_id,
+             regexp_replace(CASE WHEN head LIKE 'https://%' THEN regexp_replace(head, ':443$', '')
+                                 WHEN head LIKE 'http://%' THEN regexp_replace(head, ':80$', '')
+                                 ELSE head END, '://www\.', '://') AS h3,
+             regexp_replace(regexp_replace(rest, '\?.*$', ''), '/+$', '') AS path,
+             regexp_extract(rest, '\?(.*)$', 1) AS qs
+           FROM c1),
+         c3 AS (SELECT doc_id,
+             h3 || path || CASE WHEN len(ps) > 0
+                                THEN '?' || array_to_string(ps, '&') ELSE '' END AS canonical_url
+           FROM (SELECT doc_id, h3, path,
+                   list_sort(list_filter(string_split(qs, '&'),
+                     p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z]+|fbclid|gclid|ref)(=|$)'))) AS ps
+                 FROM c2)),
+         k AS (SELECT canonical_url, min(doc_id) AS keep FROM c3 GROUP BY 1)
+         SELECT c3.doc_id, c3.canonical_url, (c3.doc_id = k.keep) AS is_keeper
+         FROM c3 JOIN k USING (canonical_url)""",
 
     "q_corpus_split" -> {
       // replicate splitLabel's normalization bit-for-bit so the hex

@@ -419,6 +419,31 @@ class CorpusSpec extends SparkSpec {
     assert(repOf("").values.forall(_ === 0.0))
   }
 
+  test("url canonicalize: case, ports, www, fragments, tracking, sort, slashes") {
+    import graft.corpus.Url
+    def canon(u: String): String =
+      spark.range(1).select(Url.canonicalize(lit(u))).collect()(0).getString(0)
+    assert(canon("HTTPS://WWW.Example.COM:443/Path/?utm_source=x&b=2&a=1#frag")
+      === "https://example.com/Path?a=1&b=2")
+    assert(canon("http://example.com:80/a//") === "http://example.com/a")
+    assert(canon("http://example.com/") === "http://example.com")
+    // path case is significant; a non-default port survives
+    assert(canon("https://Example.com:8443/CaseY") === "https://example.com:8443/CaseY")
+    // only tracking params are dropped; empty query collapses entirely
+    assert(canon("https://e.com/p?utm_campaign=z&fbclid=1&gclid=2&ref=3")
+      === "https://e.com/p")
+    // non-URL strings pass through untouched
+    assert(canon("not a url") === "not a url")
+    val dup = Seq(
+      (1L, "https://www.a.com/x?b=2&a=1"),
+      (2L, "HTTPS://A.COM:443/x?a=1&b=2#top"),
+      (3L, "https://a.com/y"))
+      .toDF("doc_id", "url")
+    val got = Url.urlDedup(dup, col("doc_id"), col("url"))
+      .select("doc_id", "is_keeper").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("splitLabel: cluster members share a split; fractions near weights") {
     import graft.corpus.Sampling
     val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
