@@ -30,7 +30,10 @@ object Bench {
     "q_filterx", "q_enrich_geoip", "q1_agg",
     // round-3 operator families
     "q_grouping_by_trigger_salted", "q_text_lang", "q_contamination",
-    "q_corpus_pack", "q_dedup_increment", "q_multimodal_resize")
+    "q_corpus_pack", "q_dedup_increment", "q_multimodal_resize",
+    // round-4 corpus depth
+    "q_dedup_exact_substr", "q_dedup_semantic", "q_text_perplexity",
+    "q_text_repetition", "q_pii_redact", "q_corpus_dsir")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

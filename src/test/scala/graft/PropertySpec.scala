@@ -57,6 +57,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RepetitionStats expression ≡ naive Scala recompute (random line-bearing texts)") {
+    def naive(s: String): Seq[Double] = {
+      if (s == null || s.isEmpty) return Seq.fill(13)(0.0)
+      def cp(x: String) = x.codePointCount(0, x.length).toDouble
+      val total = cp(s)
+      def unitStats(units: Seq[String]): Seq[Double] = {
+        val byU = units.groupBy(identity)
+        val tot = units.map(cp).sum
+        val dup = byU.collect { case (u, os) if os.size >= 2 => cp(u) * (os.size - 1) }.sum
+        Seq((units.size - byU.size).toDouble / units.size, if (tot > 0) dup / tot else 0.0)
+      }
+      val words = s.split("\\s+", -1).toSeq
+      def grams(n: Int) =
+        if (words.size < n) Seq.empty[String] else words.sliding(n).map(_.mkString(" ")).toSeq
+      val tops = (2 to 4).map { n =>
+        val g = grams(n)
+        if (g.isEmpty) 0.0
+        else {
+          val counts = g.groupBy(identity).view.mapValues(_.size).toMap
+          val (bg, bc) = counts.toSeq.sortBy { case (k, c) => (-c, k) }.head._1 ->
+            counts.toSeq.sortBy { case (k, c) => (-c, k) }.head._2
+          bc * cp(bg) / total
+        }
+      }
+      val covs = (5 to 10).map { n =>
+        val g = grams(n)
+        if (g.isEmpty) 0.0
+        else {
+          val counts = g.groupBy(identity).view.mapValues(_.size).toMap
+          val covered = Array.fill(words.size)(false)
+          g.zipWithIndex.foreach { case (gr, i) =>
+            if (counts(gr) >= 2) (i until i + n).foreach(covered(_) = true)
+          }
+          words.indices.collect { case i if covered(i) => cp(words(i)) }.sum / total
+        }
+      }
+      unitStats(s.split("\n", -1).toSeq) ++ unitStats(s.split("\n\n", -1).toSeq) ++ tops ++ covs
+    }
+    val wordGen = Gen.oneOf("a", "b", "aa", "ab", "x", "yz")
+    val sepGen = Gen.frequency(6 -> Gen.const(" "), 3 -> Gen.const("\n"), 2 -> Gen.const("\n\n"))
+    val textGen = Gen.nonEmptyListOf(Gen.zip(wordGen, sepGen))
+      .map(_.map { case (w, sep) => w + sep }.mkString.trim)
+    val texts = samples(textGen, 250).filter(_.nonEmpty) ++ Seq("a", "a\na", "a b a b a b")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+      .select(col("id"), graft.corpus.TextStats.repetition(col("text")).as("r"))
+      .select(col("id"), array((0 until 13).map(i => col("r").getField(
+        graft.functions.RepetitionStats.fieldNames(i))): _*).as("v"))
+    val got = df.as[(Int, Seq[Double])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = naive(t)
+      got(i).zip(want).zipWithIndex.foreach { case ((g, w), f) =>
+        assert(math.abs(g - w) < 1e-12,
+          s"case $i field ${graft.functions.RepetitionStats.fieldNames(f)} text=${t.replace("\n", "\\n")}")
+      }
+    }
+  }
+
   test("json round trip: format-json ∘ json-parser = identity on (k, v) fields") {
     val vGen = Gen.zip(valGen, Gen.choose(0, 99999))
     val cases = samples(vGen, 150)
