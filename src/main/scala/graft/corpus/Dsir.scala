@@ -54,17 +54,22 @@ object Dsir {
       docs: DataFrame, id: Column, text: Column,
       target: DataFrame, source: DataFrame,
       buckets: Int, alpha: Double = 0.1): DataFrame = {
-    val totals = target.agg(sum(col("cnt")).cast("double").as("tt"))
-      .crossJoin(source.agg(sum(col("cnt")).cast("double").as("ts")))
-    val t = target.select(col("bucket"), col("cnt").as("tc"))
-    val s = source.select(col("bucket"), col("cnt").as("sc"))
+    // The two corpus totals are scalars of the (≤ buckets)-row count
+    // tables — persist those tables, collect the totals as literals, and
+    // let the broadcast dims read the cache. One fitting pass per corpus
+    // (down from two), and no 1-row BroadcastNestedLoopJoin in the plan.
+    val tp = target.persist()
+    val sp = source.persist()
+    val tt = tp.agg(coalesce(sum(col("cnt")), lit(0L)).cast("double")).head().getDouble(0)
+    val ts = sp.agg(coalesce(sum(col("cnt")), lit(0L)).cast("double")).head().getDouble(0)
+    val t = tp.select(col("bucket"), col("cnt").as("tc"))
+    val s = sp.select(col("bucket"), col("cnt").as("sc"))
     docs.select(id.as("doc_id"), explode(hashedBuckets(text, buckets)).as("bucket"))
       .join(broadcast(t), Seq("bucket"), "left")
       .join(broadcast(s), Seq("bucket"), "left")
-      .crossJoin(broadcast(totals))
       .select(col("doc_id"),
-        (log((coalesce(col("tc"), lit(0L)) + alpha) / (col("tt") + alpha * buckets)) -
-          log((coalesce(col("sc"), lit(0L)) + alpha) / (col("ts") + alpha * buckets))).as("lr"))
+        (log((coalesce(col("tc"), lit(0L)) + alpha) / lit(tt + alpha * buckets)) -
+          log((coalesce(col("sc"), lit(0L)) + alpha) / lit(ts + alpha * buckets))).as("lr"))
       .groupBy("doc_id")
       .agg(sum(col("lr")).as("log_weight"), count(lit(1)).as("n_feats"))
   }
@@ -96,12 +101,19 @@ object Dsir {
     val scored = logWeights(docs, id, text, target, source, buckets, alpha)
       .withColumn("gumbel", gumbelKey(col("doc_id")))
       .withColumn("__nk", -(col("log_weight") + col("gumbel")))
-    val boundary = scored
+    // The k-th boundary is ONE struct — collect it (TakeOrderedAndProject
+    // merges k per-partition rows on the driver; the head() sees one) and
+    // compare against a literal, rather than cross-joining a 1-row frame
+    // (a BroadcastNestedLoopJoin in every scored row's stage otherwise).
+    val b = scored
       .orderBy(col("__nk").asc, col("doc_id").asc).limit(k)
       .agg(max(struct(col("__nk"), col("doc_id"))).as("b"))
-    scored.crossJoin(broadcast(boundary))
-      .withColumn("selected",
-        coalesce(struct(col("__nk"), col("doc_id")) <= col("b"), lit(false)))
-      .drop("__nk", "b")
+      .head().getStruct(0)
+    val selected =
+      if (b == null) lit(false)
+      else coalesce(struct(col("__nk"), col("doc_id")) <=
+        struct(lit(b.get(0)).as("__nk"), lit(b.get(1)).as("doc_id")),
+        lit(false))
+    scored.withColumn("selected", selected).drop("__nk")
   }
 }

@@ -47,23 +47,31 @@ object LanguageModel {
   /** Score: cross-entropy (bits/char) + perplexity per document under the
     * model counts, add-α smoothed. `model` is [[charNgramCounts]] output
     * (or any (gram, cnt) frame of the same n).
+    *
+    * The vocabulary size V is a single scalar of the MODEL, not of the
+    * scored corpus — it is collected to the driver and inlined as a
+    * literal rather than cross-joined as a 1-row frame (which would plan a
+    * BroadcastNestedLoopJoin into every score row's stage). The model frame
+    * is persisted first, so the training plan runs ONCE and the two
+    * broadcast dims (+ the V scalar) all read the cached counts — one
+    * training pass total, down from two.
     */
   def crossEntropy(
       docs: DataFrame, id: Column, text: Column,
       model: DataFrame, n: Int, alpha: Double = 0.1): DataFrame = {
-    val m3 = model.select(col("gram"), col("cnt").as("cg"))
-    val mCtx = model.groupBy(substring(col("gram"), 1, n - 1).as("ctx"))
+    val m = model.persist()
+    val v = m.agg(countDistinct(substring(col("gram"), n, 1)))
+      .head().getLong(0).toDouble
+    val m3 = m.select(col("gram"), col("cnt").as("cg"))
+    val mCtx = m.groupBy(substring(col("gram"), 1, n - 1).as("ctx"))
       .agg(sum(col("cnt")).as("cc"))
-    val vocab = model.agg(
-      countDistinct(substring(col("gram"), n, 1)).cast("double").as("v"))
     val grams = docs.select(id.as("doc_id"), explode(ngrams(text, n)).as("gram"))
     grams
       .join(broadcast(m3), Seq("gram"), "left")
       .join(broadcast(mCtx), substring(col("gram"), 1, n - 1) === col("ctx"), "left")
-      .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
         log((coalesce(col("cg"), lit(0L)) + alpha) /
-          (coalesce(col("cc"), lit(0L)) + lit(alpha) * col("v"))).as("lp"))
+          (coalesce(col("cc"), lit(0L)) + lit(alpha * v))).as("lp"))
       .groupBy("doc_id")
       .agg((-sum(col("lp")) / log(lit(2.0)) / count(lit(1))).as("cross_entropy"),
         count(lit(1)).as("n_grams"))

@@ -876,4 +876,58 @@ class CorpusSpec extends SparkSpec {
       .as[String].head()
     assert(rt === "one two three four five")
   }
+
+  test("curate: composed pipeline attributes each drop to the right stage") {
+    import graft.corpus.Curate
+    // ≥50 words, mean word len ≥3, stopwords present → Gopher-clean scaffold
+    val stop = "the be to of and that have with"
+    def longDoc(seed: String): String =
+      (1 to 8).map(i => s"$stop $seed word$i alpha beta gamma delta").mkString(" ")
+    val textA = longDoc("orange")
+    val textB = longDoc("violet")
+    val d = Seq(
+      // 1,2: same page crawled twice (tracking params / default port / case)
+      (1L, textA, "HTTP://Example.com/page?utm_source=t&x=1", "en"),
+      (2L, textA, "http://example.com:80/page/?x=1", "en"),
+      // 3,4: distinct URLs, near-identical text → one near-dup cluster
+      (3L, textB, "https://a.example/3", "en"),
+      (4L, textB + " extra", "https://a.example/4", "en"),
+      // 5: quality fail (too short)
+      (5L, "tiny doc", "https://a.example/5", "en"),
+      // 6: quality-clean but out-of-distribution trigrams, excluded from LM
+      (6L, longDoc("qzxjvkwq"), "https://a.example/6", "xx"),
+      // 7: PII plant — redacted_md5 must hash the REDACTED text
+      (7L, longDoc("lemon") + " contact bob@example.com now", "https://a.example/7", "en")
+    ).toDF("doc_id", "text", "url", "lang")
+
+    def run(cap: Double) = Curate.curate(
+        d, col("doc_id"), col("text"), col("url"), col("lang"), ceCap = cap)
+      .as[(Long, Boolean, Boolean, Boolean, Double, String, String, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+
+    val got = run(cap = 1e9)
+    assert(got.size === 7) // audit shape: one row per INPUT doc
+    assert(got(1L)._2 && !got(2L)._2, "url keeper = min id of the canonical group")
+    assert((3L to 7L).forall(got(_)._2))
+    assert(got(3L)._3 && !got(4L)._3, "near-dup keeper = min id of the cluster")
+    assert(!got(2L)._3, "a url-dropped doc never holds dedup keeper-ship")
+    assert(Seq(1L, 5L, 6L, 7L).forall(got(_)._3)) // singletons keep themselves
+    assert(!got(5L)._4 && Seq(1L, 3L, 4L, 6L, 7L).forall(got(_)._4))
+    assert(got(3L)._7 === got(4L)._7, "cluster members share a split — no leakage")
+    assert(Seq(1L, 3L, 6L, 7L).forall(got(_)._8))
+    assert(Seq(2L, 4L, 5L).forall(!got(_)._8))
+
+    // redacted_md5 hashes the text AFTER redaction
+    val expected = got(7L)._6
+    val redacted = (longDoc("lemon") + " contact <EMAIL> now").getBytes("UTF-8")
+    val md = java.security.MessageDigest.getInstance("MD5").digest(redacted)
+    assert(expected === md.map("%02x".format(_)).mkString)
+
+    // the perplexity gate: doc 6's unseen trigrams score above every
+    // en-trained doc; a cap in the gap drops exactly doc 6
+    val ceEn = Seq(1L, 3L, 7L).map(got(_)._5).max
+    assert(got(6L)._5 > ceEn)
+    val gated = run(cap = (ceEn + got(6L)._5) / 2)
+    assert(!gated(6L)._8 && gated(1L)._8 && gated(3L)._8)
+  }
 }
