@@ -976,6 +976,35 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // domain-blocklist URL filter: hosts planted per doc_id%4 — two blocked
+    // (exact + subdomain), one a LOOK-ALIKE suffix string that must survive
+    // ("nottracker.net" is not ".tracker.net"), one clean; the anti-join is
+    // a broadcast hash join on the registrable domain with the
+    // equals-or-dot-suffix residual — no explode, no nested loop
+    "q_corpus_urlfilter" -> ((s, dir) => {
+      import s.implicits._
+      val url = concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("ads.tracker.net"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit("sub.ads.tracker.net"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit("nottracker.net"))
+          .otherwise(lit("docs.good.org")),
+        lit("/p/"), col("doc_id").cast("string"))
+      val block = Seq("tracker.net", "bad.example").toDF("domain")
+      graft.corpus.Url.filterBlockedDomains(documents(s, dir), url, block, col("domain"))
+        .select(col("doc_id"), col("url_host"))
+    }),
+
+    // temperature-flattened source mixing (mT5/Pile recipe): per-lang keep
+    // rates r_s = min(1, target·q_s/n_s) with q_s ∝ (n_s/N)^(1/τ), decided
+    // per row by the md5 threshold — rare languages keep more than the
+    // uniform 0.5, the dominant one less
+    "q_corpus_mixture" -> ((s, dir) => {
+      graft.corpus.Sampling.temperatureMixture(
+        documents(s, dir), col("doc_id"), col("lang"),
+        temperature = 2.0, targetFraction = 0.5)
+        .select(col("doc_id"), col("lang"), col("mix_rate"), col("mix_keep"))
+    }),
+
     "q_corpus_vocab" -> ((s, dir) => {
       graft.corpus.Sampling.vocabulary(documents(s, dir), col("text"), 50)
     }),
@@ -1103,6 +1132,36 @@ object SparkEntry {
           col("g.alpha_word_frac").as("alpha_word_frac"),
           col("g.stopword_hits").as("stopword_hits"),
           col("g.pass").as("pass"))
+    }),
+
+    // C4 line+page cleaning rules over a deterministically PLANTED page
+    // (documents carry no line structure): line 1 always survives and
+    // carries 5 sentence marks, line 2 lacks terminal punctuation, line 3
+    // is under 3 words, line 4 is the javascript boilerplate on doc_id%5=0,
+    // line 5 plants brace + lorem ipsum on doc_id%7=0; 'vector' in the
+    // word salad exercises the bad-word page gate on natural data
+    "q_text_c4" -> ((s, dir) => {
+      val page = concat_ws("\n",
+        concat(substring(col("text"), 1, 80), lit(". Yes. It is. Good. Fine.")),
+        lit("no terminal punctuation here"),
+        lit("Ok."),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("Please enable JavaScript to view the comments."))
+          .otherwise(lit("another good sentence right here!")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("config { lorem ipsum }"))
+          .otherwise(lit("is this the final word?")))
+      documents(s, dir)
+        .select(col("doc_id"),
+          explode(array(TextStats.c4(page, badWords = Seq("vector", "quartz")))).as("c"))
+        .select(col("doc_id"),
+          col("c.clean_text").as("clean_text"),
+          col("c.n_lines").as("n_lines"),
+          col("c.n_lines_kept").as("n_lines_kept"),
+          col("c.n_sentences").as("n_sentences"),
+          col("c.has_lorem_ipsum").as("has_lorem_ipsum"),
+          col("c.has_brace").as("has_brace"),
+          col("c.has_bad_word").as("has_bad_word"),
+          col("c.pass").as("pass"))
     }),
 
     // repetition signals (Gopher rule family): the documents carry no line
@@ -2103,6 +2162,33 @@ object SparkEntry {
                      WHEN 'de' THEN 'b3333333'
                      ELSE 'g' END""",
 
+    "q_corpus_urlfilter" ->
+      """WITH u AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN 'ads.tracker.net'
+                  WHEN doc_id % 4 = 1 THEN 'sub.ads.tracker.net'
+                  WHEN doc_id % 4 = 2 THEN 'nottracker.net'
+                  ELSE 'docs.good.org' END AS h
+           FROM documents)
+         SELECT doc_id, h AS url_host FROM u
+         WHERE NOT (h = 'tracker.net' OR h LIKE '%.tracker.net'
+                 OR h = 'bad.example' OR h LIKE '%.bad.example')""",
+
+    "q_corpus_mixture" ->
+      // replicate temperatureMixture's arithmetic: q_s ∝ (n_s/N)^(1/τ),
+      // r_s = min(1, 0.5·N·q_s/n_s); the Spark side compares fixed-width
+      // hex against thresholdHex(r) = floor(r·2^32) formatted — numerically
+      // identical to comparing the hex value against floor(r·2^32)
+      """WITH n AS (SELECT lang, count(*)::double AS ns FROM documents GROUP BY lang),
+         t AS (SELECT sum(ns) AS nn FROM n),
+         w AS (SELECT lang, ns, pow(ns / t.nn, 0.5) AS ws FROM n CROSS JOIN t),
+         r AS (SELECT lang,
+                 least(1.0, 0.5 * (SELECT nn FROM t) * (ws / (SELECT sum(ws) FROM w)) / ns) AS mix_rate
+               FROM w)
+         SELECT d.doc_id, d.lang, r.mix_rate,
+           (('0x' || substr(md5('mix:' || d.doc_id), 1, 8))::BIGINT <
+            floor(r.mix_rate * 4294967296.0)::BIGINT) AS mix_keep
+         FROM documents d JOIN r USING (lang)""",
+
     "q_corpus_vocab" ->
       """SELECT token, count(*)::bigint AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -2420,6 +2506,37 @@ object SparkEntry {
             symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND
             alpha_frac >= 0.8 AND stop_hits >= 2) AS pass
          FROM m""",
+
+    "q_text_c4" ->
+      """WITH base AS (SELECT doc_id,
+             substr(text, 1, 80) || '. Yes. It is. Good. Fine.' ||
+             chr(10) || 'no terminal punctuation here' ||
+             chr(10) || 'Ok.' ||
+             chr(10) || CASE WHEN doc_id % 5 = 0
+                             THEN 'Please enable JavaScript to view the comments.'
+                             ELSE 'another good sentence right here!' END ||
+             chr(10) || CASE WHEN doc_id % 7 = 0 THEN 'config { lorem ipsum }'
+                             ELSE 'is this the final word?' END AS t
+           FROM documents),
+         f AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+             list_filter(string_split(t, chr(10)), x ->
+               regexp_matches(rtrim(x), '[.!?"]$')
+               AND (CASE WHEN length(trim(x)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(x), '\s+')) END) >= 3
+               AND NOT contains(lower(x), 'javascript')) AS kept
+           FROM base),
+         c AS (SELECT doc_id, t, ls, kept,
+             coalesce(array_to_string(kept, chr(10)), '') AS clean FROM f)
+         SELECT doc_id, clean AS clean_text,
+           len(ls)::bigint AS n_lines, len(kept)::bigint AS n_lines_kept,
+           len(regexp_extract_all(clean, '[.!?]'))::bigint AS n_sentences,
+           contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+           contains(t, '{') AS has_brace,
+           regexp_matches(lower(t), '\b(?:vector|quartz)\b') AS has_bad_word,
+           (len(regexp_extract_all(clean, '[.!?]')) >= 5
+            AND NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{')
+            AND NOT regexp_matches(lower(t), '\b(?:vector|quartz)\b')) AS pass
+         FROM c""",
 
     "q_text_repetition" -> repetitionOracle,
 

@@ -136,6 +136,49 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Temperature-flattened source mixing (the mT5 / Pile recipe, Xue et
+    * al. 2021 §3.1): given per-source natural shares p_s = n_s/N, the
+    * target mixture is q_s ∝ p_s^(1/τ) — τ>1 flattens the distribution,
+    * up-weighting rare sources. Realized by SUBSAMPLING only (no
+    * duplication): per-source keep rate r_s = min(1, τ-adjusted target
+    * count / n_s), decided per row by the md5 threshold (deterministic,
+    * scan-stage, engine-portable — same contract as [[sample]]).
+    *
+    * The per-source counts are collected to the driver — `source` must be
+    * a bounded enum (language, domain bucket, crawl id: thousands at
+    * most), which is what a mixture IS; the result is a literal CASE over
+    * the source column, a pure scan filter at any corpus size.
+    *
+    * Output: input + (mix_rate double, mix_keep boolean). Keep-all rates
+    * (r ≥ 1) genuinely keep all rows (see [[thresholdHex]]).
+    */
+  def temperatureMixture(
+      df: DataFrame, key: Column, source: Column,
+      temperature: Double, targetFraction: Double): DataFrame = {
+    require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in (0,1], got $targetFraction")
+    val src = source.cast("string")
+    val counts = df.groupBy(src.as("__src")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble)
+      .sortBy(_._1) // deterministic summation order for the double Σw
+    val n = counts.map(_._2).sum // integer-valued doubles: exact in any order
+    val ws = counts.map { case (s, c) => s -> math.pow(c / n, 1.0 / temperature) }
+    val wSum = ws.map(_._2).sum
+    val rates = ws.zip(counts).map { case ((s, w), (_, c)) =>
+      s -> math.min(1.0, targetFraction * n * (w / wSum) / c)
+    }.toMap
+    val rate = rates.foldLeft(lit(Double.NaN)) {
+      case (acc, (s, r)) => when(src === s, lit(r)).otherwise(acc)
+    }
+    val threshold = rates.foldLeft(lit("")) {
+      case (acc, (s, r)) => when(src === s, lit(thresholdHex(r))).otherwise(acc)
+    }
+    df.withColumn("mix_rate", rate)
+      .withColumn("mix_keep",
+        substring(md5(concat(lit("mix:"), key.cast("string"))), 1, 8) < threshold)
+  }
+
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with
     * deterministic ties (count desc, token asc). One explode + one
     * map-side-combinable hash aggregate + a k-row ordered take — the

@@ -158,6 +158,56 @@ object TextStats {
       stopHits.as("stopword_hits"), pass.as("pass"))
   }
 
+  /** C4 cleaning rules (Raffel et al. 2020 §2.2, the "Colossal Clean
+    * Crawled Corpus" line+page filters) as one scan-stage struct — the
+    * line-level companion to the page-level [[gopherQuality]] gate:
+    *
+    * Line rules (a line survives iff ALL hold):
+    *  - ends, after right-trim, in terminal punctuation `. ! ?` or a
+    *    closing double quote;
+    *  - has ≥ 3 whitespace-delimited words;
+    *  - does not contain the word "javascript" (case-insensitive substring
+    *    — C4 drops cookie/JS boilerplate lines).
+    *
+    * Page rules (on the ORIGINAL text, flags in the struct):
+    *  - `has_lorem_ipsum`: lowercased text contains "lorem ipsum";
+    *  - `has_brace`: text contains `{` (code, not prose);
+    *  - `has_bad_word`: any of `badWords` matches at word boundaries
+    *    (C4's public blocklist is substituted by a caller-supplied list;
+    *    words must be plain `[a-z0-9]+` — they are spliced into a portable
+    *    regex);
+    *  - `pass`: ≥ 5 sentences in the CLEANED text (sentence ≈ one `[.!?]`
+    *    mark, C4's heuristic) and none of the three page flags.
+    *
+    * `clean_text` is the surviving lines re-joined with `\n` — empty (not
+    * null) when nothing survives. Pure builtins: runs inside the scan's
+    * WholeStageCodegen span, no shuffle, no UDF.
+    */
+  def c4(text: Column, badWords: Seq[String] = Nil): Column = {
+    badWords.foreach(w => require(w.matches("[a-z0-9]+"),
+      s"badWords must be plain lowercase words (spliced into a regex): '$w'"))
+    val lines = split(text, "\n")
+    def words(l: Column): Column =
+      when(length(trim(l)) === 0, lit(0)).otherwise(size(split(trim(l), "\\s+")))
+    val kept = filter(lines, l =>
+      rtrim(l).rlike("[.!?\"]$") && words(l) >= 3 &&
+        !contains(lower(l), lit("javascript")))
+    val clean = array_join(kept, "\n")
+    val nSent = size(regexp_extract_all(clean, lit("[.!?]"), lit(0)))
+    val hasLorem = contains(lower(text), lit("lorem ipsum"))
+    val hasBrace = contains(text, lit("{"))
+    val hasBad =
+      if (badWords.isEmpty) lit(false)
+      else lower(text).rlike(badWords.mkString("\\b(?:", "|", ")\\b"))
+    val pass = nSent >= 5 && !hasLorem && !hasBrace && !hasBad
+    struct(clean.as("clean_text"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_lines_kept"),
+      nSent.cast("long").as("n_sentences"),
+      hasLorem.as("has_lorem_ipsum"), hasBrace.as("has_brace"),
+      hasBad.as("has_bad_word"), pass.as("pass"))
+  }
+
   /** Document fingerprint: the minimum seeded md5 over word 3-shingles — a
     * 1-hash MinHash, stable under shingle reordering; docs sharing a
     * fingerprint are near-dup candidates (winnowing's min-sampling step).

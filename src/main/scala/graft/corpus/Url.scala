@@ -45,6 +45,54 @@ object Url {
     when(head === "", u).otherwise(concat(h3, path, cq))
   }
 
+  /** Lowercased host of a URL: authority minus userinfo and port. Empty
+    * string for non-URLs (no `scheme://`). */
+  def host(u: Column): Column =
+    lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+
+  /** True iff the URL's host equals a blocked domain or is a subdomain of
+    * one. Literal-list form for small blocklists: one scan-stage exists()
+    * over a literal array, no join at all. For web-scale blocklists use
+    * [[filterBlockedDomains]].
+    */
+  def domainBlocked(u: Column, blocked: Seq[String]): Column = {
+    val h = host(u)
+    val arr = array(blocked.map(b => lit(b.toLowerCase)): _*)
+    exists(arr, b => h === b || h.endsWith(concat(lit("."), b)))
+  }
+
+  /** Drop documents whose URL host matches (equals or is a subdomain of)
+    * any domain in the `block` frame — the UT1/domain-blocklist filter of a
+    * web corpus, built for blocklists too big for a literal array.
+    *
+    * Scale shape: a suffix match is only possible when the REGISTRABLE
+    * domain (last two labels) of host and blocked domain agree, so the
+    * anti-join is a broadcast HASH join on that key with the exact
+    * equals-or-dot-suffix residual — the corpus side never shuffles, never
+    * explodes, and no nested-loop join appears for the non-equi part.
+    * Blocked domains must carry ≥ 2 labels (single-label TLD blocks are
+    * not meaningful blocklist entries and would need a different key).
+    *
+    * Output: surviving docs + `url_host`.
+    */
+  def filterBlockedDomains(
+      docs: DataFrame, url: Column, block: DataFrame, domain: Column): DataFrame = {
+    def regKey(h: Column): Column = {
+      val ls = split(h, "\\.")
+      array_join(slice(ls, greatest(size(ls) - 1, lit(1)), lit(2)), ".")
+    }
+    val b = block.select(lower(domain).as("__dom"))
+      .withColumn("__bkey", regKey(col("__dom")))
+    val withHost = docs.withColumn("url_host", host(url))
+      .withColumn("__hkey", regKey(col("url_host")))
+    withHost.join(broadcast(b),
+      col("__hkey") === col("__bkey") &&
+        (col("url_host") === col("__dom") ||
+          col("url_host").endsWith(concat(lit("."), col("__dom")))),
+      "left_anti")
+      .drop("__hkey")
+  }
+
   /** Per-document canonical URL + keeper flag (minimum id per canonical
     * URL survives). One combinable min aggregate + a hash join back — a
     * viral URL (one page fetched 10⁸ times) is a single group row, never a

@@ -930,4 +930,111 @@ class CorpusSpec extends SparkSpec {
     val gated = run(cap = (ceEn + got(6L)._5) / 2)
     assert(!gated(6L)._8 && gated(1L)._8 && gated(3L)._8)
   }
+
+  test("url blocklist: host extraction, equals-or-subdomain match, hash anti-join plan") {
+    import graft.corpus.Url
+    val docs = Seq(
+      (1L, "https://ads.tracker.net/x"),
+      (2L, "https://user:pw@Tracker.NET:8443/y?q=1"), // userinfo + port + case
+      (3L, "https://nottracker.net/z"),               // look-alike suffix survives
+      (4L, "https://deep.sub.ads.tracker.net/w"),
+      (5L, "https://good.org/ok"),
+      (6L, "not a url at all"),
+      (7L, "https://bad.example/e#frag")
+    ).toDF("doc_id", "url")
+    val blocked = Seq("tracker.net", "bad.example")
+
+    val hosts = docs.select(col("doc_id"), Url.host(col("url")))
+      .as[(Long, String)].collect().toMap
+    assert(hosts(2L) === "tracker.net", "userinfo and port stripped, host lowercased")
+    assert(hosts(6L) === "", "non-URL -> empty host")
+
+    val flags = docs.select(col("doc_id"), Url.domainBlocked(col("url"), blocked))
+      .as[(Long, Boolean)].collect().toMap
+    assert(Seq(1L, 2L, 4L, 7L).forall(flags), "exact + subdomain hosts blocked")
+    assert(Seq(3L, 5L, 6L).forall(!flags(_)), "look-alike/clean/non-URL survive")
+
+    val frame = Url.filterBlockedDomains(
+      docs, col("url"), blocked.toDF("domain"), col("domain"))
+    assert(frame.select(col("doc_id")).as[Long].collect().sorted ===
+      Array(3L, 5L, 6L), "frame variant agrees with the literal variant")
+
+    val p = frame.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected a broadcast hash anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "residual must ride the hash join")
+  }
+
+  test("mixture: temperature flattens source shares; keep-all rates keep all") {
+    import graft.corpus.Sampling
+    val docs = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "src")
+    val out = Sampling.temperatureMixture(
+        docs, col("doc_id"), col("src"), temperature = 2.0, targetFraction = 0.5)
+      .select(col("src"), col("mix_rate"), col("mix_keep"))
+      .as[(String, Double, Boolean)].collect()
+
+    // closed form at τ=2: q ∝ √p; N=100, target 50
+    val (wb, ws) = (math.sqrt(0.8), math.sqrt(0.2))
+    val rBig = 50.0 * (wb / (wb + ws)) / 80.0
+    val rSmall = 50.0 * (ws / (wb + ws)) / 20.0
+    assert(out.filter(_._1 == "big").forall(_._2 === rBig))
+    assert(out.filter(_._1 == "small").forall(_._2 === rSmall))
+    assert(rSmall > 0.5 && 0.5 > rBig, "τ>1 up-weights the rare source")
+
+    // τ=1 degenerates to the uniform fraction for every source
+    val flat = Sampling.temperatureMixture(
+        docs, col("doc_id"), col("src"), temperature = 1.0, targetFraction = 0.5)
+      .select(col("mix_rate")).as[Double].collect()
+    assert(flat.forall(r => math.abs(r - 0.5) < 1e-12))
+
+    // a rate clamped at 1.0 keeps EVERY row of that source
+    val all = Sampling.temperatureMixture(
+        docs, col("doc_id"), col("src"), temperature = 2.0, targetFraction = 0.9)
+      .filter(col("src") === "small")
+      .select(col("mix_rate"), col("mix_keep")).as[(Double, Boolean)].collect()
+    assert(all.forall(_._1 === 1.0) && all.forall(_._2) && all.length === 20)
+
+    // deterministic: a second run reproduces the identical kept set
+    val again = Sampling.temperatureMixture(
+        docs, col("doc_id"), col("src"), temperature = 2.0, targetFraction = 0.5)
+      .filter(col("mix_keep")).select(col("doc_id")).as[Long].collect().sorted
+    val first = Sampling.temperatureMixture(
+        docs, col("doc_id"), col("src"), temperature = 2.0, targetFraction = 0.5)
+      .filter(col("mix_keep")).select(col("doc_id")).as[Long].collect().sorted
+    assert(first.sameElements(again))
+  }
+
+  test("c4: line rules drop non-terminal/short/javascript lines, page rules gate") {
+    val good = "This sentence is long enough and terminates properly."
+    val docs = Seq(
+      // 5 clean sentences → pass; the three bad lines vanish from clean_text
+      (1L, Seq(good, good, good, good, good,
+        "no terminal punctuation here",
+        "Ok.",
+        "Please enable JavaScript to view this page.").mkString("\n")),
+      (2L, Seq(good, good, good, good).mkString("\n")), // only 4 sentences
+      (3L, Seq(good, good, good, good, good, "function f() { return 1; }").mkString("\n")),
+      (4L, (good + " ").repeat(5) + "But lorem ipsum dolor sit amet."),
+      (5L, Seq(good, good, good, good, good, "the word spamword appears.").mkString("\n")),
+      (6L, Seq(good, good, good, good, good, "spamwords is a different word.").mkString("\n")),
+      (7L, "He said \"stop right there\"") // ends in closing quote → line kept
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextStats.c4(col("text"), badWords = Seq("spamword")).as("c"))
+      .select(col("doc_id"), col("c.*"))
+      .as[(Long, String, Long, Long, Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+
+    assert(got(1L)._2 === Seq(good, good, good, good, good).mkString("\n"),
+      "bad lines removed, good lines re-joined in order")
+    assert(got(1L)._3 === 8L && got(1L)._4 === 5L && got(1L)._5 === 5L)
+    assert(got(1L)._9, "5 sentences, no page flags -> pass")
+    assert(!got(2L)._9 && got(2L)._5 === 4L, "under 5 sentences -> fail")
+    assert(got(3L)._7 && !got(3L)._9, "brace page flag")
+    assert(got(4L)._6 && !got(4L)._9, "lorem ipsum page flag")
+    assert(got(5L)._8 && !got(5L)._9, "bad word at word boundary")
+    assert(!got(6L)._8, "substring inside a longer word does not match")
+    assert(got(7L)._4 === 1L, "closing-quote terminal keeps the line")
+  }
 }
