@@ -1,0 +1,111 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warc
+
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def record(tpe: String, uri: String, date: String, body: String,
+      contentType: String = "text/plain"): Array[Byte] = {
+    val b = body.getBytes("UTF-8")
+    (s"WARC/1.0\r\n" +
+      s"WARC-Type: $tpe\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$tpe-${uri.hashCode}>\r\n" +
+      s"WARC-Date: $date\r\n" +
+      (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${b.length}\r\n" +
+      "\r\n").getBytes("UTF-8") ++ b ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  private val wet: Array[Byte] =
+    record("warcinfo", "", "2024-01-01T00:00:00Z", "software: test-crawler") ++
+      record("conversion", "https://a.example/1", "2024-01-02T03:04:05Z",
+        "the first extracted page text.") ++
+      record("conversion", "https://a.example/2", "2024-01-02T03:04:06Z",
+        "the second page\nwith two lines.")
+
+  private def gzMembers(recs: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    recs.foreach { r =>
+      val gz = new GZIPOutputStream(out)
+      gz.write(r); gz.finish()
+    }
+    out.toByteArray
+  }
+
+  test("warc: records parse, WET text view decodes, timestamps typed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc")
+    java.nio.file.Files.write(dir.resolve("shard.wet"), wet)
+    val df = Warc.read(spark, dir.toString + "/*.wet")
+    assert(df.count() === 3)
+    assert(df.filter(col("warc_type") === "warcinfo").count() === 1)
+
+    val texts = Warc.wetTexts(df)
+      .select(col("target_uri"), col("text"))
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(texts === Array(
+      "https://a.example/1" -> "the first extracted page text.",
+      "https://a.example/2" -> "the second page\nwith two lines."))
+
+    val ts = Warc.wetTexts(df).filter(col("target_uri") === "https://a.example/1")
+      .select(date_format(col("warc_date"), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].head()
+    assert(ts === "2024-01-02 03:04:05")
+  }
+
+  test("warc: multi-member gzip decodes to the same records") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcgz")
+    java.nio.file.Files.write(dir.resolve("shard.wet.gz"), gzMembers(Seq(
+      record("warcinfo", "", "2024-01-01T00:00:00Z", "software: test-crawler"),
+      record("conversion", "https://a.example/1", "2024-01-02T03:04:05Z",
+        "the first extracted page text."),
+      record("conversion", "https://a.example/2", "2024-01-02T03:04:06Z",
+        "the second page\nwith two lines."))))
+    val got = Warc.wetTexts(Warc.read(spark, dir.toString + "/*.gz"))
+      .select(col("target_uri"), col("text")).as[(String, String)].collect().sortBy(_._1)
+    val want = Warc.wetTexts(Warc.read(spark,
+      { val d = java.nio.file.Files.createTempDirectory("graft-warcp")
+        java.nio.file.Files.write(d.resolve("shard.wet"), wet); d.toString + "/*.wet" }))
+      .select(col("target_uri"), col("text")).as[(String, String)].collect().sortBy(_._1)
+    assert(got === want)
+  }
+
+  test("warc: corrupt record resyncs at the next magic; truncated tail dropped") {
+    val garbage = "WARC/1.0\r\nno colon header line\r\n\r\n".getBytes("UTF-8")
+    val truncated = record("conversion", "https://a.example/cut", "2024-01-03T00:00:00Z",
+      "this body never arrives").dropRight(12) // cut inside the body
+    val mixed = garbage ++
+      record("conversion", "https://a.example/ok", "2024-01-02T03:04:05Z", "good text.") ++
+      truncated
+    val recs = Warc.records(mixed)
+    assert(recs.length === 1)
+    assert(recs.head._2("WARC-Target-URI") === "https://a.example/ok")
+    assert(new String(recs.head._3, "UTF-8") === "good text.")
+
+    // malformed WARC-Date -> null timestamp, record still lands
+    val badDate = record("conversion", "https://a.example/d", "not-a-date", "x.")
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcbad")
+    java.nio.file.Files.write(dir.resolve("bad.wet"), badDate)
+    val row = Warc.read(spark, dir.toString + "/*.wet")
+      .select(col("warc_date").isNull, col("target_uri")).as[(Boolean, String)].head()
+    assert(row === (true, "https://a.example/d"))
+  }
+
+  test("warc: WET feeds the corpus operators end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcc")
+    java.nio.file.Files.write(dir.resolve("shard.wet"), wet ++
+      record("conversion", "https://b.example/dup", "2024-01-02T04:00:00Z",
+        "the first extracted page text.")) // exact dup of page 1
+    val docs = Warc.wetTexts(Warc.read(spark, dir.toString + "/*.wet"))
+    val deduped = graft.corpus.Dedup.exact(docs, col("target_uri"), col("text"))
+      .select(col("keep_id"), col("n_copies")).as[(String, Long)].collect().toMap
+    assert(deduped.size === 2, "exact dedup collapses the duplicated WET text")
+    assert(deduped("https://a.example/1") === 2L, "min-uri keeper holds both copies")
+  }
+}
