@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{CorpusStream, StreamDedup, StreamDoc}
+
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(86400000L + min * 60000L)
+
+  test("streaming dedup: first arrival wins across batches; in-batch order by (ts, id)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = CorpusStream.dedupStream(input.toDS())
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(1L, "alpha text", ts(0)),
+        StreamDoc(2L, "beta text", ts(1)),
+        StreamDoc(6L, "twin text", ts(3)), // same content, later ts ...
+        StreamDoc(5L, "twin text", ts(2))) // ... earlier ts wins in-batch
+      q.processAllAvailable()
+      input.addData(
+        StreamDoc(3L, "alpha text", ts(10)), // cross-batch duplicate
+        StreamDoc(4L, "gamma text", ts(11)))
+      q.processAllAvailable()
+      val got = spark.table("sdedup").as[StreamDedup].collect()
+        .map(d => d.doc_id -> d).toMap
+      assert(got(1L).is_first && got(1L).keeper_id === 1L)
+      assert(got(5L).is_first && got(5L).keeper_id === 5L, "ts order decides in-batch")
+      assert(!got(6L).is_first && got(6L).keeper_id === 5L && got(6L).n_seen_before === 1L)
+      assert(!got(3L).is_first && got(3L).keeper_id === 1L,
+        "duplicate content detected across micro-batches")
+      assert(got(3L).n_seen_before === 1L)
+      assert(got(4L).is_first)
+    } finally q.stop()
+  }
+
+  test("streaming dedup: state expires past watermark + ttl, then restarts as first") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = CorpusStream.dedupStream(input.toDS(),
+        watermark = "10 minutes", ttlSeconds = 600L)
+      .writeStream.format("memory").queryName("sdexp").outputMode("append").start()
+    try {
+      input.addData(StreamDoc(1L, "alpha text", ts(0)))
+      q.processAllAvailable()
+      // watermark jumps to min 90, far past alpha's timeout (min 10)
+      input.addData(StreamDoc(2L, "other text", ts(100)))
+      q.processAllAvailable()
+      input.addData(StreamDoc(3L, "padding", ts(101))) // lets the timeout fire
+      q.processAllAvailable()
+      input.addData(StreamDoc(4L, "alpha text", ts(102)))
+      q.processAllAvailable()
+      val alpha = spark.table("sdexp").as[StreamDedup].collect()
+        .filter(_.content_hash == spark.range(1)
+          .select(graft.corpus.Dedup.contentHash(lit("alpha text"))).as[String].head())
+      assert(alpha.length === 2)
+      assert(alpha.forall(_.is_first), "expired state restarts the chain as first")
+    } finally q.stop()
+  }
+
+  test("streaming gate: batch quality/PII columns run unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val stop = "the be to of and that have with"
+    val good = (1 to 8).map(i => s"$stop quality word$i alpha beta gamma delta")
+      .mkString(" ") + " mail bob@example.com"
+    val q = CorpusStream.gate(input.toDS().toDF())
+      .writeStream.format("memory").queryName("sgate").outputMode("append").start()
+    try {
+      input.addData(StreamDoc(1L, good, ts(0)), StreamDoc(2L, "tiny junk", ts(1)))
+      q.processAllAvailable()
+      val got = spark.table("sgate")
+        .select(col("doc_id"), col("quality_pass"), col("lang"), col("redacted_text"))
+        .as[(Long, Boolean, String, String)].collect().map(r => r._1 -> r).toMap
+      assert(got(1L)._2 && !got(2L)._2)
+      assert(got(1L)._3 === "en")
+      assert(got(1L)._4.contains("<EMAIL>") && !got(1L)._4.contains("bob@example.com"))
+    } finally q.stop()
+  }
+}
