@@ -931,6 +931,46 @@ class CorpusSpec extends SparkSpec {
     assert(!gated(6L)._8 && gated(1L)._8 && gated(3L)._8)
   }
 
+  test("bpe: trained merges match the hand-derived greedy sequence; encode applies by rank") {
+    import graft.corpus.Bpe
+    // Sennrich's worked multiset: low×5 lower×2 newest×6 widest×3
+    val corpus = Seq(
+      (("low " * 5) + ("lower " * 2)).trim,
+      (("newest " * 6) + ("widest " * 3)).trim
+    ).toDF("text")
+    val merges = Bpe.train(corpus, col("text"), numMerges = 5)
+    // pair counts: (e,s)=9 -> es; (es,t)=9 -> est; (est,</w>)=9; (l,o)=7; (lo,w)=7
+    assert(merges === Seq("e" -> "s", "es" -> "t", "est" -> "</w>",
+      "l" -> "o", "lo" -> "w"))
+
+    val toks = Seq(("lowest newest", 1)).toDF("text", "i")
+      .select(Bpe.encode(col("text"), merges)).as[Seq[String]].head()
+    assert(toks === Seq("low", "est</w>", "n", "e", "w", "est</w>"),
+      "merges apply lowest-rank-first and never cross word boundaries")
+
+    // unknown symbols fall through as code points (incl. non-BMP)
+    val uni = Seq(("x😀y", 1)).toDF("text", "i")
+      .select(Bpe.encode(col("text"), merges)).as[Seq[String]].head()
+    assert(uni === Seq("x", "😀", "y", "</w>"))
+
+    // the distributed expression equals the driver-side reference encode
+    val docs = spark.read.parquet(sfUnit + "/documents.parquet").limit(50)
+    val m2 = Bpe.train(docs, col("text"), numMerges = 40)
+    val dist = docs.select(col("doc_id"), Bpe.encode(col("text"), m2))
+      .as[(Long, Seq[String])].collect().toMap
+    val ranks = m2.zipWithIndex.toMap
+    val local = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq.flatMap(Bpe.encodeWord(_, ranks))
+      }.toMap
+    assert(dist === local)
+    // round trip: concatenated tokens minus the markers reproduce the text
+    val (someId, someToks) = dist.head
+    val text = docs.filter(col("doc_id") === someId).select(col("text")).as[String].head()
+    assert(someToks.mkString.replace(Bpe.EndOfWord, " ").trim ===
+      text.split("\\s+").filter(_.nonEmpty).mkString(" "))
+  }
+
   test("url blocklist: host extraction, equals-or-subdomain match, hash anti-join plan") {
     import graft.corpus.Url
     val docs = Seq(
