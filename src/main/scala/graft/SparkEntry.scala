@@ -976,6 +976,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // deterministic training-shard export assignment: md5-mod shard (id
+    // distribution never skews shards), an INDEPENDENT md5 order key for
+    // the within-shard shuffle, rank = one window per shard (parallelism =
+    // shard count, the export's own unit)
+    "q_corpus_shards" -> ((s, dir) => {
+      graft.corpus.Export.shardAssignment(documents(s, dir), col("doc_id"), 8)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))
+    }),
+
     // domain-blocklist URL filter: hosts planted per doc_id%4 — two blocked
     // (exact + subdomain), one a LOOK-ALIKE suffix string that must survive
     // ("nottracker.net" is not ".tracker.net"), one clean; the anti-join is
@@ -2161,6 +2170,15 @@ object SparkEntry {
            CASE lang WHEN 'en' THEN '4ccccccc'
                      WHEN 'de' THEN 'b3333333'
                      ELSE 'g' END""",
+
+    "q_corpus_shards" ->
+      """WITH a AS (SELECT doc_id,
+             (('0x' || substr(md5('shard:' || doc_id), 1, 8))::BIGINT % 8)::int AS shard,
+             ('0x' || substr(md5('order:' || doc_id), 1, 8))::BIGINT AS ok
+           FROM documents)
+         SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)::bigint AS shard_pos
+         FROM a""",
 
     "q_corpus_urlfilter" ->
       """WITH u AS (SELECT doc_id,

@@ -1,0 +1,81 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-shard export — the last step of a curation pipeline: a
+  * DETERMINISTIC global shuffle (training order must not correlate with
+  * crawl/source order, but stage retries and re-runs must reproduce the
+  * identical shards bit-for-bit, the repo's no-rand() rule), balanced
+  * shard assignment, and a manifest that makes the export verifiable and
+  * resumable.
+  *
+  *  - `shard` = first-8-md5-hex of the id mod `nShards` — uniform over
+  *    shards regardless of id distribution (sequential ids, skewed
+  *    sources), so shard sizes concentrate tightly around n/N;
+  *  - the within-shard order key is an INDEPENDENT md5 of the id
+  *    (different tag), so order within a shard is itself a uniform
+  *    shuffle, uncorrelated with the shard draw;
+  *  - `shard_pos` is the rank under that key — one window per shard; at
+  *    scale parallelism = `nShards` (exports use 2^10..2^14 shards, which
+  *    is also what bounds per-task sort memory);
+  *  - the manifest rows (shard, n_docs, checksum) use an ORDER-FREE
+  *    checksum (sum of the 32-bit order-key prefixes) so any engine can
+  *    recompute it from the written files without re-sorting.
+  *
+  * [[writeShards]] writes one directory per shard (partitionBy) with rows
+  * pre-sorted by the order key, plus `_manifest` parquet;
+  * [[verifyShards]] recomputes counts + checksums from the written files
+  * and reports per-shard agreement — the integrity check a resumable
+  * exporter runs before skipping completed work.
+  */
+object Export {
+
+  private def hex32(tag: String, id: Column): Column =
+    conv(substring(md5(concat(lit(tag), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Deterministic shard + order columns: (shard int, shard_pos long). */
+  def shardAssignment(docs: DataFrame, id: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumns(Map(
+        "shard" -> pmod(hex32("shard:", id), lit(nShards.toLong)).cast("int"),
+        "__ok" -> hex32("order:", id)))
+      .withColumn("shard_pos",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("__ok").asc, id.asc)).cast("long"))
+  }
+
+  /** Write shards + manifest. Returns the manifest frame (shard, n_docs,
+    * checksum). */
+  def writeShards(
+      docs: DataFrame, id: Column, nShards: Int, outDir: String): DataFrame = {
+    val assigned = shardAssignment(docs, id, nShards)
+    assigned
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ok"), id)
+      .drop("__ok")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/data")
+    val manifest = assigned
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ok")).as("checksum"))
+    manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
+    manifest
+  }
+
+  /** Recompute counts + checksums from the written files and compare to
+    * the manifest: (shard, n_docs, checksum, ok). A shard missing from the
+    * data side reports ok=false with null recomputed fields. */
+  def verifyShards(spark: SparkSession, id: Column, outDir: String): DataFrame = {
+    val manifest = spark.read.parquet(s"$outDir/_manifest")
+    val actual = spark.read.parquet(s"$outDir/data")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("__n"), sum(hex32("order:", id)).as("__ck"))
+    manifest.join(actual, Seq("shard"), "left")
+      .select(col("shard"), col("n_docs"), col("checksum"),
+        (col("__n").isNotNull && col("__n") === col("n_docs") &&
+          col("__ck") === col("checksum")).as("ok"))
+  }
+}

@@ -931,6 +931,45 @@ class CorpusSpec extends SparkSpec {
     assert(!gated(6L)._8 && gated(1L)._8 && gated(3L)._8)
   }
 
+  test("export: shard write + manifest verify; corruption detected; reruns identical") {
+    import graft.corpus.Export
+    val docs = spark.read.parquet(sfUnit + "/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+
+    val manifest = Export.writeShards(docs, col("doc_id"), nShards = 4, dir)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(manifest.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    val total = docs.count()
+    assert(manifest.map(_._2).sum === total)
+    // md5-mod balance: no shard dominates (within 2x of fair share)
+    assert(manifest.map(_._2).max <= 2 * total / 4)
+
+    val ok = Export.verifyShards(spark, col("doc_id"), dir)
+      .select(col("ok")).as[Boolean].collect()
+    assert(ok.length === 4 && ok.forall(identity))
+
+    // data files are pre-sorted by the order key: shard_pos is recoverable
+    // from file order without re-sorting
+    val s0 = spark.read.parquet(s"$dir/data/shard=0").select(col("doc_id")).as[Long].collect()
+    val expected = Export.shardAssignment(docs, col("doc_id"), 4)
+      .filter(col("shard") === 0).orderBy(col("shard_pos"))
+      .select(col("doc_id")).as[Long].collect()
+    assert(s0.toSeq === expected.toSeq)
+
+    // a re-run reproduces the identical manifest (no rand() anywhere)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-export2").toString
+    val manifest2 = Export.writeShards(docs, col("doc_id"), nShards = 4, dir2)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(manifest2.toSeq === manifest.toSeq)
+
+    // corrupt one shard -> its row flags false, others stay true
+    val f = new java.io.File(s"$dir/data/shard=3")
+    f.listFiles().filter(_.getName.endsWith(".parquet")).take(1).foreach(_.delete())
+    val after = Export.verifyShards(spark, col("doc_id"), dir)
+      .select(col("shard"), col("ok")).as[(Int, Boolean)].collect().toMap
+    assert(!after(3) && Seq(0, 1, 2).forall(after))
+  }
+
   test("bpe: trained merges match the hand-derived greedy sequence; encode applies by rank") {
     import graft.corpus.Bpe
     // Sennrich's worked multiset: low×5 lower×2 newest×6 widest×3
