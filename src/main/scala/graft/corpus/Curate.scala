@@ -55,15 +55,21 @@ object Curate {
       .join(clusters.select(col("member_id").as("doc_id"), col("cluster_id"),
         (col("member_id") === col("keep_id")).as("__dk")), Seq("doc_id"), "left")
       .join(ce, Seq("doc_id"), "left")
+      // explode(array(..)) is the repo's Generate barrier: without it
+      // CollapseProject inlines the quality struct into each consumer and
+      // the one-pass expression runs twice per row
+      .select(col("doc_id"), col("url_keeper"), col("__dk"), col("cluster_id"),
+        col("cross_entropy"), col("__text"),
+        explode(array(TextStats.gopherQuality(col("__text")).getField("pass")))
+          .as("__qp"))
       .select(col("doc_id"),
         col("url_keeper"),
         coalesce(col("__dk"), lit(false)).as("dedup_keeper"),
-        TextStats.gopherQuality(col("__text")).getField("pass").as("quality_pass"),
+        col("__qp").as("quality_pass"),
         col("cross_entropy"),
         md5(Pii.redact(col("__text"))).as("redacted_md5"),
         Sampling.splitLabel(coalesce(col("cluster_id"), col("doc_id")), splits).as("split"),
-        (col("url_keeper") && coalesce(col("__dk"), lit(false)) &&
-          TextStats.gopherQuality(col("__text")).getField("pass") &&
+        (col("url_keeper") && coalesce(col("__dk"), lit(false)) && col("__qp") &&
           coalesce(col("cross_entropy") <= ceCap, lit(false))).as("kept"))
   }
 }
