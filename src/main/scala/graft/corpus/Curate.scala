@@ -72,4 +72,34 @@ object Curate {
         (col("url_keeper") && coalesce(col("__dk"), lit(false)) && col("__qp") &&
           coalesce(col("cross_entropy") <= ceCap, lit(false))).as("kept"))
   }
+
+  /** [[curate]] with per-stage attrition counters attached via `observe`
+    * (no extra scans): on the next action over the returned frame, the
+    * session's [[graft.observe.Stats]] collector records
+    * corpus_in / url_dropped / dedup_dropped / quality_dropped /
+    * perplexity_dropped / kept under the given stage — the corpus face of
+    * the north rule's "metrics emitted to a stats table" (the log pipeline
+    * wires the same collector through its sink writes).
+    *
+    * Drop counters are attributed CUMULATIVELY in pipeline order: a doc
+    * counts against the FIRST stage that rejected it, so the counters sum:
+    * in = url + dedup + quality + perplexity + kept.
+    */
+  def curateObserved(
+      docs: DataFrame, id: Column, text: Column, url: Column, lang: Column,
+      stage: String = "curate",
+      targetLang: String = "en", ceCap: Double = 1.13,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val audited = curate(docs, id, text, url, lang, targetLang, ceCap, splits)
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    graft.observe.Stats.observed(audited, stage,
+      "url_dropped" -> cnt(!col("url_keeper")),
+      "dedup_dropped" -> cnt(col("url_keeper") && !col("dedup_keeper")),
+      "quality_dropped" -> cnt(col("url_keeper") && col("dedup_keeper") &&
+        !col("quality_pass")),
+      "perplexity_dropped" -> cnt(col("url_keeper") && col("dedup_keeper") &&
+        col("quality_pass") && !coalesce(col("cross_entropy") <= ceCap, lit(false))),
+      "kept" -> cnt(col("kept")))
+  }
 }

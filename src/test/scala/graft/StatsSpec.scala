@@ -98,4 +98,56 @@ class StatsSpec extends SparkSpec {
     assert(one.count() === t.filter(col("role") === "tool").count())
     assert(scanned.contains("PartitionFilters: [isnotnull(role"))
   }
+
+  test("curateObserved: attrition counters land in the stats table and sum to processed") {
+    import graft.corpus.Curate
+    val stop = "the be to of and that have with"
+    def longDoc(seed: String): String =
+      (1 to 8).map(i => s"$stop $seed word$i alpha beta gamma delta").mkString(" ")
+    val d = Seq(
+      (1L, longDoc("orange"), "HTTP://Example.com/page?utm_source=t&x=1", "en"),
+      (2L, longDoc("orange"), "http://example.com:80/page/?x=1", "en"), // url dup
+      (3L, longDoc("violet"), "https://a.example/3", "en"),
+      (4L, longDoc("violet") + " extra", "https://a.example/4", "en"),  // near-dup
+      (5L, "tiny doc", "https://a.example/5", "en"),                    // quality fail
+      (6L, longDoc("qzxjvkwq"), "https://a.example/6", "xx"),           // OOD trigram
+      (7L, longDoc("lemon"), "https://a.example/7", "en")
+    ).toDF("doc_id", "text", "url", "lang")
+
+    val collector = graft.observe.Stats.install(spark)
+    // observed metrics arrive via the (async) execution-listener bus: poll
+    def await(stage: String): Map[String, Long] = {
+      var snap = Map.empty[String, Long]
+      var tries = 0
+      while (!snap.contains("processed") && tries < 100) {
+        snap = collector.snapshot(spark).filter(col("stage") === stage)
+          .select("counter", "value").as[(String, Long)].collect().toMap
+        if (!snap.contains("processed")) Thread.sleep(50)
+        tries += 1
+      }
+      snap
+    }
+    collector.clear()
+    Curate.curateObserved(d, col("doc_id"), col("text"), col("url"), col("lang"),
+      stage = "curate_obs", ceCap = 1e9).count()
+    val snap = await("curate_obs")
+    assert(snap("processed") === 7L)
+    assert(snap("url_dropped") === 1L && snap("dedup_dropped") === 1L &&
+      snap("quality_dropped") === 1L && snap("perplexity_dropped") === 0L &&
+      snap("kept") === 4L)
+    assert(snap("url_dropped") + snap("dedup_dropped") + snap("quality_dropped") +
+      snap("perplexity_dropped") + snap("kept") === snap("processed"),
+      "first-rejecting-stage attribution makes the counters sum")
+
+    // a cap inside the en/OOD gap moves exactly one doc to perplexity_dropped
+    val ces = Curate.curate(d, col("doc_id"), col("text"), col("url"), col("lang"),
+        ceCap = 1e9)
+      .select(col("doc_id"), col("cross_entropy")).as[(Long, Double)].collect().toMap
+    val cap = (Seq(1L, 3L, 7L).map(ces).max + ces(6L)) / 2
+    collector.clear()
+    Curate.curateObserved(d, col("doc_id"), col("text"), col("url"), col("lang"),
+      stage = "curate_obs2", ceCap = cap).count()
+    val snap2 = await("curate_obs2")
+    assert(snap2("perplexity_dropped") === 1L && snap2("kept") === 3L)
+  }
 }
