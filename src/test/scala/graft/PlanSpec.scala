@@ -68,6 +68,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"parse pipeline should codegen:\n$p")
   }
 
+  test("round-4 corpus queries keep their scan-stage / single-shuffle shapes") {
+    // The documents() helper round-robin-repartitions (single-file parquet
+    // = one scan partition otherwise) — that Exchange is input spreading,
+    // not a key shuffle; these assertions count KEY shuffles only.
+    def keyShuffles(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).length
+    // C4 cleaning: a scan-stage projection — per-row, zero key shuffles
+    // (the line-rule lambdas are array HOFs, which evaluate interpreted and
+    // keep the projection outside WholeStageCodegen; still one pass)
+    val c4 = planOf("q_text_c4")
+    assert(keyShuffles(c4) === 0, s"c4 is a per-row projection, no key shuffle:\n$c4")
+    // temperature mixture: counts collected at plan time; the emitted plan
+    // is a pure scan projection (the CASE thresholds are literals)
+    val mix = planOf("q_corpus_mixture")
+    assert(keyShuffles(mix) === 0, s"mixture must not key-shuffle:\n$mix")
+    // shard assignment: exactly one key shuffle (the per-shard rank window)
+    val sh = planOf("q_corpus_shards")
+    assert(keyShuffles(sh) <= 1,
+      s"shard assignment should shuffle once (the window), saw ${keyShuffles(sh)}:\n$sh")
+  }
+
   test("query-side filter pushes down into the parquet scan") {
     // q_embed_topk's query set is `vec_id < 5` — that predicate must reach
     // the embeddings scan as a pushed filter, not run post-scan only.
