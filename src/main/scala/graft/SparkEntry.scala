@@ -1098,6 +1098,18 @@ object SparkEntry {
         .select(col("doc_id"), col("cross_entropy"), col("n_grams"), col("perplexity"))
     }),
 
+    // linear quality classifier APPLY path (training is spec-verified —
+    // iterative GD floats aren't oracle-stable): closed-form weights
+    // w[j] = (j%7)/7.0 − 0.4 over the 512-bucket dsir feature space, score
+    // = σ(bias + mean bucket weight) — a pure scan-stage expression
+    "q_text_classifier" -> ((s, dir) => {
+      val buckets = 512
+      val w = Array.tabulate(buckets)(j => (j % 7) / 7.0 - 0.4)
+      val model = graft.corpus.Classifier.Model(w, bias = 0.1, buckets = buckets)
+      documents(s, dir).select(col("doc_id"),
+        graft.corpus.Classifier.score(col("text"), model).as("score"))
+    }),
+
     // PII scrub: every doc gets a deterministic planted email/IP/SSN/card/
     // phone tail in BOTH engines; every second card Luhn-validates, so the
     // n_cc vs n_cc_luhn split proves the checksum, and the redacted text
@@ -2466,6 +2478,23 @@ object SparkEntry {
          SELECT doc_id, cross_entropy, n_grams,
                 power(2.0, cross_entropy) AS perplexity
          FROM a""",
+
+    "q_text_classifier" ->
+      // replicate hashedBuckets (the dsir feature CTE) at 512 buckets, the
+      // closed-form weight (bucket%7)/7.0−0.4, mean margin, sigmoid
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         feats AS (SELECT doc_id, unnest(list_concat(
+             [w[i] for i in generate_series(1, len(w))],
+             [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)])) AS g
+           FROM words),
+         fb AS (SELECT doc_id,
+                  ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS bucket FROM feats),
+         m AS (SELECT doc_id,
+                 sum((bucket % 7) / 7.0 - 0.4) / count(*) AS mean FROM fb GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(1.0 / (1.0 + exp(-(m.mean + 0.1))),
+                    1.0 / (1.0 + exp(-0.1))) AS score
+         FROM documents d LEFT JOIN m USING (doc_id)""",
 
     "q_pii_redact" -> {
       import graft.corpus.Pii

@@ -931,6 +931,58 @@ class CorpusSpec extends SparkSpec {
     assert(!gated(6L)._8 && gated(1L)._8 && gated(3L)._8)
   }
 
+  test("classifier: GD training separates labeled seeds; gradient pinned; apply scan-stage") {
+    import graft.corpus.Classifier
+    val good = (1 to 40).map(i =>
+      (i.toLong, s"helpful detailed informative answer number$i with clear reasoning", 1))
+    val bad = (41 to 80).map(i =>
+      (i.toLong, s"spam junk clickbait garbage text number$i buy now cheap", 0))
+    val docs = (good ++ bad).toDF("id", "text", "label")
+    // mean-of-onehot features keep per-step margins ~1/n_feats: a linear
+    // model on separable seeds wants a hot learning rate
+    val m = Classifier.train(docs, col("id"), col("text"), col("label"),
+      buckets = 256, iters = 60, lr = 30.0)
+    val scored = docs
+      .select(col("id"), col("label"), Classifier.score(col("text"), m).as("s"))
+      .as[(Long, Int, Double)].collect()
+    val gs = scored.filter(_._2 == 1).map(_._3)
+    val bs = scored.filter(_._2 == 0).map(_._3)
+    assert(gs.sum / gs.length > 0.8 && bs.sum / bs.length < 0.2,
+      s"classes must separate, got good=${gs.sum / gs.length} bad=${bs.sum / bs.length}")
+    assert(gs.min > bs.max, "separable vocab -> total order between classes")
+
+    // apply is a pure scan-stage expression: no shuffle in the plan
+    val p = docs.select(Classifier.score(col("text"), m))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"apply must not shuffle:\n$p")
+
+    // one GD step pinned against a naive driver-side recompute
+    def bucketsOf(text: String, B: Int): Seq[Int] = {
+      val ws = text.split(" ", -1)
+      val grams = ws.toSeq ++ ws.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      grams.map { g =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8"))
+        val hex = md.take(4).map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex, 16) % B).toInt
+      }
+    }
+    val tiny = Seq((1L, "aa bb cc", 1), (2L, "bb dd", 0), (3L, "aa cc", 1))
+    val B = 8
+    val got = Classifier.train(tiny.toDF("id", "text", "label"),
+      col("id"), col("text"), col("label"), buckets = B, iters = 1, lr = 2.0)
+    val wExp = new Array[Double](B)
+    var bExp = 0.0
+    tiny.foreach { case (_, t, y) =>
+      val f = bucketsOf(t, B)
+      val err = 0.5 - y // sigmoid(0) = 0.5 at zero-init weights
+      f.foreach(b => wExp(b) -= 2.0 * (err / f.length) / tiny.length)
+      bExp -= 2.0 * err / tiny.length
+    }
+    assert(math.abs(got.bias - bExp) < 1e-12)
+    got.weights.zip(wExp).foreach { case (a, e) => assert(math.abs(a - e) < 1e-12) }
+  }
+
   test("export: shard write + manifest verify; corruption detected; reruns identical") {
     import graft.corpus.Export
     val docs = spark.read.parquet(sfUnit + "/documents.parquet")
