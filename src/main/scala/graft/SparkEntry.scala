@@ -1098,6 +1098,25 @@ object SparkEntry {
         .select(col("doc_id"), col("cross_entropy"), col("n_grams"), col("perplexity"))
     }),
 
+    // NEAR-dup paragraph removal: every doc gets a unique paragraph (its
+    // own 60-char prefix) + a boilerplate banner in one of 3 VARIANTS
+    // (doc_id%3 changes the trailing version word — exact dedup can't see
+    // these as equal, J≈0.83 shingle overlap can); the one big cluster
+    // keeps only its globally-first member (doc 0's banner), every other
+    // page loses the banner and keeps its unique text
+    "q_dedup_paragraphs" -> ((s, dir) => {
+      val p0 = substring(col("text"), 1, 60)
+      val p1 = concat(
+        lit("cookie consent banner please accept our terms and privacy policy version v"),
+        pmod(col("doc_id"), lit(3)).cast("string"))
+      val page = concat(p0, lit("\n\n"), p1)
+      graft.corpus.SpanDedup.nearDedupSpans(
+        documents(s, dir).withColumn("__page", page),
+        col("doc_id"), graft.corpus.SpanDedup.paragraphSpans(col("__page"), "\n\n"),
+        delim = "\n\n")
+        .select(col("doc_id"), col("text_clean"), col("n_spans"), col("n_dropped"))
+    }),
+
     // linear quality classifier APPLY path (training is spec-verified —
     // iterative GD floats aren't oracle-stable): closed-form weights
     // w[j] = (j%7)/7.0 − 0.4 over the 512-bucket dsir feature space, score
@@ -2478,6 +2497,48 @@ object SparkEntry {
          SELECT doc_id, cross_entropy, n_grams,
                 power(2.0, cross_entropy) AS perplexity
          FROM a""",
+
+    "q_dedup_paragraphs" ->
+      // recompute the span clusters from ground truth: exact word-shingle
+      // Jaccard pairs over the planted paragraph units + recursive-CTE
+      // connected components, keep-first by the zero-padded (doc, idx) key
+      """WITH RECURSIVE base AS (SELECT doc_id,
+             substr(text, 1, 60) AS p0,
+             'cookie consent banner please accept our terms and privacy policy version v'
+               || (doc_id % 3) AS p1
+           FROM documents),
+         u AS (SELECT doc_id, 0 AS span_idx, p0 AS s FROM base
+               UNION ALL SELECT doc_id, 1, p1 FROM base),
+         uk AS (SELECT doc_id, span_idx, s,
+                  lpad(doc_id::varchar, 19, '0') || ':' ||
+                  lpad(span_idx::varchar, 9, '0') AS k
+                FROM u WHERE trim(s) <> ''),
+         tok AS (SELECT k, string_split(s, ' ') AS w FROM uk),
+         sh AS (SELECT k, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         for i in generate_series(1, len(w) - 2)]) AS g
+                FROM tok),
+         pr AS (SELECT a.k AS ka, b.k AS kb FROM sh a JOIN sh b ON a.k < b.k
+                WHERE len(list_intersect(a.g, b.g))::double /
+                      len(list_distinct(list_concat(a.g, b.g)))::double >= 0.5),
+         ed AS (SELECT ka AS a, kb AS b FROM pr UNION SELECT kb, ka FROM pr),
+         walk(id, lab) AS (
+           SELECT k, k FROM uk
+           UNION
+           SELECT e.b, w.lab FROM walk w JOIN ed e ON e.a = w.id),
+         cl AS (SELECT id AS k, min(lab) AS keep FROM walk GROUP BY id),
+         dr AS (SELECT uk.doc_id, uk.span_idx FROM uk JOIN cl ON uk.k = cl.k
+                WHERE uk.k <> cl.keep)
+         SELECT base.doc_id,
+           CASE WHEN d0.doc_id IS NULL AND d1.doc_id IS NULL
+                  THEN p0 || chr(10) || chr(10) || p1
+                WHEN d0.doc_id IS NULL THEN p0
+                WHEN d1.doc_id IS NULL THEN p1
+                ELSE '' END AS text_clean,
+           2::bigint AS n_spans,
+           ((d0.doc_id IS NOT NULL)::int + (d1.doc_id IS NOT NULL)::int)::bigint AS n_dropped
+         FROM base
+           LEFT JOIN (SELECT doc_id FROM dr WHERE span_idx = 0) d0 USING (doc_id)
+           LEFT JOIN (SELECT doc_id FROM dr WHERE span_idx = 1) d1 USING (doc_id)""",
 
     "q_text_classifier" ->
       // replicate hashedBuckets (the dsir feature CTE) at 512 buckets, the

@@ -114,6 +114,60 @@ object SpanDedup {
       .drop("__doc_id", "__words", "__drop", "__drop_doc")
   }
 
+  /** NEAR-duplicate span removal — the fuzzy sibling of [[dedupSpans]]:
+    * boilerplate that varies slightly between pages (cookie banners with
+    * different dates/versions, templated footers) never hashes equal, so
+    * the exact pass misses it. Here each non-blank span is a MinHash-LSH
+    * unit ([[Dedup.minhashLsh]] at word-shingle Jaccard ≥ `threshold`),
+    * clusters resolve by connected components ([[Dedup.resolveClusters]]),
+    * and each multi-span cluster keeps ONLY its globally-first member —
+    * minimum (doc_id, span_idx), encoded as a zero-padded sortable key so
+    * the min-label CC pass needs no struct ordering. Two near-identical
+    * paragraphs INSIDE one document also collapse (the later drops) —
+    * within-page boilerplate is boilerplate too.
+    *
+    * Scale shape: inherits the LSH contract — only (key, band-bucket) and
+    * shingle-hash postings shuffle, span text stays put; the reassembly
+    * join's build side is the duplicated fringe. `id` must be numeric
+    * (the zero-padded key needs a total order).
+    *
+    * @return input columns + `text_clean`, `n_spans`, `n_dropped` (same
+    *         contract as [[dedupSpans]])
+    */
+  def nearDedupSpans(
+      docs: DataFrame, id: Column, spans: Column,
+      delim: String = " ", shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val base = docs.withColumn("__doc_id", id).withColumn("__spans", spans)
+    val units = base
+      .select(col("__doc_id").as("doc_id"),
+        posexplode(col("__spans")).as(Seq("span_idx", "s")))
+      .filter(trim(col("s")) =!= "")
+      .withColumn("span_key",
+        format_string("%019d:%09d", col("doc_id"), col("span_idx")))
+    val pairs = Dedup.minhashLsh(units, col("span_key"), col("s"),
+      shingleK = shingleK, threshold = threshold)
+    val clusters = Dedup.resolveClusters(
+      units.select(col("span_key").as("member_id")), pairs, "doc_a", "doc_b")
+    val drops = units.join(
+        clusters.filter(col("member_id") =!= col("keep_id"))
+          .select(col("member_id")),
+        units("span_key") === col("member_id"))
+      .select(col("doc_id"), col("span_idx"))
+    val dropIdx = drops.groupBy(col("doc_id"))
+      .agg(collect_set(col("span_idx")).as("__drop"))
+      .withColumnRenamed("doc_id", "__drop_doc")
+    base
+      .join(dropIdx, col("__doc_id") === col("__drop_doc"), "left")
+      .withColumns(Map(
+        "text_clean" -> array_join(
+          filter(col("__spans"),
+            (s, i) => !coalesce(array_contains(col("__drop"), i), lit(false))),
+          delim),
+        "n_spans" -> size(col("__spans")).cast("long"),
+        "n_dropped" -> coalesce(size(col("__drop")), lit(0)).cast("long")))
+      .drop("__doc_id", "__spans", "__drop", "__drop_doc")
+  }
+
   /** Remove spans duplicated across ≥ `minDocs` distinct documents.
     *
     * @param docs      corpus frame

@@ -931,6 +931,30 @@ class CorpusSpec extends SparkSpec {
     assert(!gated(6L)._8 && gated(1L)._8 && gated(3L)._8)
   }
 
+  test("near-dup spans: varying boilerplate collapses to its first copy; unique text survives") {
+    import graft.corpus.SpanDedup
+    def banner(v: Int) =
+      s"cookie consent banner please accept our terms and privacy policy version v$v"
+    val docs = Seq(
+      (1L, s"alpha unique words one two three\n\n${banner(0)}"),
+      (2L, s"${banner(1)}\n\nbeta unique words four five six"),
+      (3L, s"gamma entirely different paragraph here\n\n${banner(2)}"),
+      // two banner VARIANTS inside one doc: both are late copies, both drop
+      (4L, s"${banner(0)}\n\n${banner(1)}\n\ndelta unique seven eight nine")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.nearDedupSpans(docs, col("doc_id"),
+        SpanDedup.paragraphSpans(col("text"), "\n\n"), delim = "\n\n")
+      .select(col("doc_id"), col("text_clean"), col("n_dropped"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === s"alpha unique words one two three\n\n${banner(0)}" &&
+      out(1L)._3 === 0L, "the globally-first banner copy survives in place")
+    assert(out(2L)._2 === "beta unique words four five six" && out(2L)._3 === 1L,
+      "a VARIANT banner (different trailing word) still clusters and drops")
+    assert(out(3L)._2 === "gamma entirely different paragraph here" && out(3L)._3 === 1L)
+    assert(out(4L)._2 === "delta unique seven eight nine" && out(4L)._3 === 2L,
+      "within-doc near-dup copies drop too")
+  }
+
   test("classifier: GD training separates labeled seeds; gradient pinned; apply scan-stage") {
     import graft.corpus.Classifier
     val good = (1 to 40).map(i =>
