@@ -31,30 +31,11 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  def curate(
-      docs: DataFrame, id: Column, text: Column, url: Column, lang: Column,
-      targetLang: String = "en", ceCap: Double = 1.13,
-      splits: Seq[(String, Double)] =
-        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)): DataFrame = {
-    val base = docs.select(id.as("doc_id"), text.as("__text"), url.as("__url"),
-      lang.as("__lang"))
-    val urlFlags = Url.urlDedup(base, col("doc_id"), col("__url"))
-      .select(col("doc_id"), col("is_keeper").as("url_keeper"), col("__text"))
-    val keepers = urlFlags.filter(col("url_keeper"))
-    val clusters = Dedup.resolveClusters(
-      keepers.select(col("doc_id").as("member_id")),
-      Dedup.minhashLsh(keepers, col("doc_id"), col("__text")),
-      "doc_a", "doc_b")
-    val model = LanguageModel.charNgramCounts(
-      base.filter(col("__lang") === targetLang), col("__text"), n = 3)
-    val ce = LanguageModel.crossEntropy(
-      base, col("doc_id"), col("__text"), model, n = 3)
-      .select(col("doc_id"), col("cross_entropy"))
-    base
-      .join(urlFlags.select(col("doc_id"), col("url_keeper")), Seq("doc_id"))
-      .join(clusters.select(col("member_id").as("doc_id"), col("cluster_id"),
-        (col("member_id") === col("keep_id")).as("__dk")), Seq("doc_id"), "left")
-      .join(ce, Seq("doc_id"), "left")
+  /** The shared audit projection over a frame carrying doc_id, url_keeper,
+    * __dk, cluster_id, cross_entropy, __text. */
+  private def auditSelect(
+      joined: DataFrame, ceCap: Double, splits: Seq[(String, Double)]): DataFrame =
+    joined
       // explode(array(..)) is the repo's Generate barrier: without it
       // CollapseProject inlines the quality struct into each consumer and
       // the one-pass expression runs twice per row
@@ -71,6 +52,150 @@ object Curate {
         Sampling.splitLabel(coalesce(col("cluster_id"), col("doc_id")), splits).as("split"),
         (col("url_keeper") && coalesce(col("__dk"), lit(false)) && col("__qp") &&
           coalesce(col("cross_entropy") <= ceCap, lit(false))).as("kept"))
+
+  /** @param lm optional FROZEN char-trigram counts ((gram, cnt), n = 3) to
+    *           score cross-entropy under; None (the default) trains on the
+    *           corpus's own `targetLang` slice. */
+  def curate(
+      docs: DataFrame, id: Column, text: Column, url: Column, lang: Column,
+      targetLang: String = "en", ceCap: Double = 1.13,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+      lm: Option[DataFrame] = None): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("__text"), url.as("__url"),
+      lang.as("__lang"))
+    val urlFlags = Url.urlDedup(base, col("doc_id"), col("__url"))
+      .select(col("doc_id"), col("is_keeper").as("url_keeper"), col("__text"))
+    val keepers = urlFlags.filter(col("url_keeper"))
+    val clusters = Dedup.resolveClusters(
+      keepers.select(col("doc_id").as("member_id")),
+      Dedup.minhashLsh(keepers, col("doc_id"), col("__text")),
+      "doc_a", "doc_b")
+    val model = lm.getOrElse(LanguageModel.charNgramCounts(
+      base.filter(col("__lang") === targetLang), col("__text"), n = 3))
+    val ce = LanguageModel.crossEntropy(
+      base, col("doc_id"), col("__text"), model, n = 3)
+      .select(col("doc_id"), col("cross_entropy"))
+    auditSelect(
+      base
+        .join(urlFlags.select(col("doc_id"), col("url_keeper")), Seq("doc_id"))
+        .join(clusters.select(col("member_id").as("doc_id"), col("cluster_id"),
+          (col("member_id") === col("keep_id")).as("__dk")), Seq("doc_id"), "left")
+        .join(ce, Seq("doc_id"), "left"),
+      ceCap, splits)
+  }
+
+  /** Persisted curation state — the incremental counterpart's memory:
+    * the near-dup [[Dedup.DedupIndex]] built over URL KEEPERS, the
+    * (canonical_url, keep_id) URL-keeper table, and the FROZEN char-trigram
+    * LM counts. Same staged-swap save discipline as the dedup index (the
+    * loaded tables are lazy plans over the load dir — never overwrite what
+    * you are still reading). */
+  final case class CurateIndex(
+      dedup: Dedup.DedupIndex, urlKeepers: DataFrame, lm: DataFrame) {
+    def save(dir: String): Unit = {
+      dedup.save(s"$dir/dedup")
+      val spark = urlKeepers.sparkSession
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val staged = Seq("url_keepers" -> urlKeepers, "lm" -> lm).map { case (n, df) =>
+        val tmp = s"$dir/_staging_$n"
+        df.write.mode("overwrite").parquet(tmp)
+        n -> tmp
+      }
+      staged.foreach { case (n, tmp) =>
+        val dst = new org.apache.hadoop.fs.Path(s"$dir/$n")
+        val src = new org.apache.hadoop.fs.Path(tmp)
+        val fs = dst.getFileSystem(hconf)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        require(fs.rename(src, dst), s"rename $tmp -> $dst failed")
+      }
+    }
+  }
+
+  object CurateIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): CurateIndex =
+      CurateIndex(
+        Dedup.DedupIndex.load(spark, s"$dir/dedup"),
+        spark.read.parquet(s"$dir/url_keepers"),
+        spark.read.parquet(s"$dir/lm"))
+  }
+
+  /** Build the curation index for an initial corpus: URL keepers, the
+    * dedup index over those keepers, and the LM trained on the corpus's
+    * `targetLang` slice (frozen from here on — CCNet's production
+    * semantics: the reference model does not drift with each shard). */
+  def buildIndex(
+      docs: DataFrame, id: Column, text: Column, url: Column, lang: Column,
+      targetLang: String = "en"): CurateIndex = {
+    val base = docs.select(id.as("doc_id"), text.as("__text"), url.as("__url"),
+      lang.as("__lang"))
+    val canon = base.withColumn("canonical_url", Url.canonicalize(col("__url")))
+    val urlKeepers = canon.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .localCheckpoint()
+    val keepers = canon.join(urlKeepers, Seq("canonical_url"))
+      .filter(col("doc_id") === col("keep_id"))
+    val dedupIdx = Dedup.buildIndex(keepers, col("doc_id"), col("__text"))
+    val lm = LanguageModel.charNgramCounts(
+      base.filter(col("__lang") === targetLang), col("__text"), n = 3)
+      .localCheckpoint()
+    CurateIndex(dedupIdx, urlKeepers, lm)
+  }
+
+  /** Curate a NEW shard against a persisted index without re-processing
+    * the indexed corpus: the audit rows for the shard equal what a batch
+    * [[curate]] over (indexed ∪ shard) with the index's frozen LM would
+    * emit for those docs, PROVIDED shard ids exceed every indexed id (the
+    * standard monotone-id contract — an older id arriving late could steal
+    * URL/cluster keeper-ship from docs already shipped).
+    *
+    *  - URL stage: the shard's canonical URLs min-merge into the keeper
+    *    table (touched URLs only — id-keyed join, never a rescan);
+    *  - near-dup stage: [[Dedup.dedupIncrement]] over the shard's URL
+    *    keepers (old×old never re-examined, affected clusters only);
+    *  - perplexity: scored under the FROZEN index LM;
+    *  - split: keyed on the post-increment cluster id, so duplicate groups
+    *    keep landing in one split even when a shard bridges clusters.
+    *
+    * Returns (audit rows for the shard, updated index).
+    */
+  def curateIncrement(
+      newDocs: DataFrame, id: Column, text: Column, url: Column, lang: Column,
+      index: CurateIndex, ceCap: Double = 1.13,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)): (DataFrame, CurateIndex) = {
+    val base = newDocs.select(id.as("doc_id"), text.as("__text"), url.as("__url"),
+      lang.as("__lang"))
+    val canon = base.withColumn("canonical_url", Url.canonicalize(col("__url")))
+    val newMin = canon.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("__new_min"))
+    val touched = newMin
+      .join(index.urlKeepers, Seq("canonical_url"), "left")
+      .select(col("canonical_url"),
+        when(col("keep_id").isNull, col("__new_min"))
+          .otherwise(least(col("keep_id"), col("__new_min"))).as("keep_id"))
+    val updatedUrlKeepers = index.urlKeepers
+      .join(touched.select(col("canonical_url")), Seq("canonical_url"), "left_anti")
+      .unionByName(touched)
+      .localCheckpoint()
+    val urlFlags = canon.join(touched, Seq("canonical_url"))
+      .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("url_keeper"),
+        col("__text"))
+    val shardKeepers = urlFlags.filter(col("url_keeper"))
+    val (assign, dedupIdx) = Dedup.dedupIncrement(
+      shardKeepers, col("doc_id"), col("__text"), index.dedup)
+    val ce = LanguageModel.crossEntropy(
+      base, col("doc_id"), col("__text"), index.lm, n = 3)
+      .select(col("doc_id"), col("cross_entropy"))
+    val audit = auditSelect(
+      base
+        .join(urlFlags.select(col("doc_id"), col("url_keeper")), Seq("doc_id"))
+        .join(assign.select(col("member_id").as("doc_id"),
+          col("keep_id").as("cluster_id"),
+          (col("member_id") === col("keep_id")).as("__dk")), Seq("doc_id"), "left")
+        .join(ce, Seq("doc_id"), "left"),
+      ceCap, splits)
+    (audit, CurateIndex(dedupIdx, updatedUrlKeepers, index.lm))
   }
 
   /** [[curate]] with per-stage attrition counters attached via `observe`

@@ -931,6 +931,64 @@ class CorpusSpec extends SparkSpec {
     assert(!gated(6L)._8 && gated(1L)._8 && gated(3L)._8)
   }
 
+  test("curateIncrement ≡ batch under the frozen LM; index save/load; keeper table grows") {
+    import graft.corpus.Curate
+    val stop = "the be to of and that have with"
+    def longDoc(seed: String): String =
+      (1 to 8).map(i => s"$stop $seed word$i alpha beta gamma delta").mkString(" ")
+    val cols = Seq("doc_id", "text", "url", "lang")
+    val shard1 = Seq(
+      (1L, longDoc("orange"), "https://a.example/1", "en"),
+      (2L, longDoc("violet"), "https://a.example/2", "en"),
+      (3L, longDoc("grape"), "https://a.example/3", "en"),
+      (4L, "tiny", "https://a.example/4", "en")
+    ).toDF(cols: _*)
+    val shard2 = Seq(
+      (11L, longDoc("mango"), "https://a.example/1?utm_source=x", "en"), // url dup
+      (12L, longDoc("violet") + " extra", "https://b.example/12", "en"), // near-dup of 2
+      (13L, longDoc("fresh"), "https://b.example/13", "en"),             // clean
+      (14L, "small junk", "https://b.example/14", "en"),                 // quality fail
+      (15L, longDoc("qzxjvkwq"), "https://b.example/15", "xx")           // OOD trigrams
+    ).toDF(cols: _*)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-curidx").toString
+    Curate.buildIndex(shard1, col("doc_id"), col("text"), col("url"), col("lang"))
+      .save(dir)
+    val loaded = Curate.CurateIndex.load(spark, dir)
+    val (audit, updated) = Curate.curateIncrement(shard2,
+      col("doc_id"), col("text"), col("url"), col("lang"), loaded, ceCap = 1e9)
+    val got = audit
+      .as[(Long, Boolean, Boolean, Boolean, Double, String, String, Boolean)].collect().map(r => r._1 -> r).toMap
+
+    // the batch reference: curate over (indexed ∪ shard) under the SAME
+    // frozen LM, restricted to the shard's rows
+    val batch = Curate.curate(shard1.union(shard2),
+        col("doc_id"), col("text"), col("url"), col("lang"),
+        ceCap = 1e9, lm = Some(loaded.lm))
+      .filter(col("doc_id") >= 11L)
+      .as[(Long, Boolean, Boolean, Boolean, Double, String, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === batch.keySet)
+    got.keySet.foreach { k =>
+      val (g, b) = (got(k), batch(k))
+      assert((g._2, g._3, g._4, g._6, g._7, g._8) === (b._2, b._3, b._4, b._6, b._7, b._8),
+        s"flags/split/hash for doc $k: increment=$g batch=$b")
+      assert(math.abs(g._5 - b._5) < 1e-9, s"cross-entropy for doc $k")
+    }
+    // semantics spot checks
+    assert(!got(11L)._2, "same canonical URL as an indexed doc -> not a keeper")
+    assert(got(12L)._2 && !got(12L)._3, "near-dup of an indexed text joins its cluster")
+    assert(got(13L)._2 && got(13L)._3 && got(13L)._8)
+    assert(!got(14L)._4, "quality gate")
+
+    // the updated keeper table remembers the shard: a later re-crawl of
+    // /13 (tracking-param variant) is a URL duplicate now
+    val shard3 = Seq(
+      (21L, longDoc("late"), "https://b.example/13?utm_source=y", "en")).toDF(cols: _*)
+    val (a3, _) = Curate.curateIncrement(shard3,
+      col("doc_id"), col("text"), col("url"), col("lang"), updated, ceCap = 1e9)
+    assert(!a3.select(col("url_keeper")).as[Boolean].head())
+  }
+
   test("near-dup spans: varying boilerplate collapses to its first copy; unique text survives") {
     import graft.corpus.SpanDedup
     def banner(v: Int) =
