@@ -146,6 +146,34 @@ object Bpe {
     * heuristic. */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(encode(text, merges))
+
+  /** Token-string → id table: id 0 is reserved for <unk> (a symbol outside
+    * the training character set), then the corpus's base code-point
+    * symbols + the `</w>` marker in sorted order, then the merge products
+    * in rank order — the GPT-2 vocabulary layout. One distributed
+    * distinct-characters pass over the training corpus. (Base extraction
+    * splits on UTF-16 units, so non-BMP code points land in <unk> unless a
+    * merge produced them — acceptable for the text corpora this targets.)
+    */
+  def vocab(
+      corpus: DataFrame, text: Column,
+      merges: Seq[(String, String)]): Map[String, Int] = {
+    val baseChars = corpus
+      .select(explode(split(text, "")).as("c"))
+      .filter(col("c") =!= "" && col("c") =!= " ")
+      .distinct().collect().map(_.getString(0))
+    val base = (baseChars.toSeq :+ EndOfWord).distinct.sorted
+    val products = merges.map { case (a, b) => a + b }
+    (("<unk>" +: base) ++ products).zipWithIndex.toMap
+  }
+
+  /** Token-id column: `array<int>` under `merges` + `vocab`; tokens
+    * outside the vocabulary map to id 0 (<unk>). */
+  def encodeIds(
+      text: Column, merges: Seq[(String, String)],
+      vocab: Map[String, Int]): Column =
+    Bridge.column(BpeEncodeIds(Bridge.expression(text),
+      merges.zipWithIndex.toMap, vocab))
 }
 
 /** Scan-stage BPE apply; the rank table rides the serialized plan. Null
@@ -156,6 +184,26 @@ case class BpeEncode(child: Expression, ranks: Map[(String, String), Int])
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any =
     Bpe.encodeText(child.eval(input).asInstanceOf[UTF8String], ranks)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** BPE apply + vocabulary lookup in one pass; unknown tokens → 0. */
+case class BpeEncodeIds(
+    child: Expression, ranks: Map[(String, String), Int], vocab: Map[String, Int])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input).asInstanceOf[UTF8String]
+    if (t == null) return new GenericArrayData(Array.empty[Any])
+    val words = t.toString.split("\\s+").filter(_.nonEmpty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    for (w <- words; tok <- Bpe.encodeWord(w, ranks))
+      out += Integer.valueOf(vocab.getOrElse(tok, 0))
+    new GenericArrayData(out.toArray)
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -198,6 +198,82 @@ object Curate {
     (audit, CurateIndex(dedupIdx, updatedUrlKeepers, index.lm))
   }
 
+  /** Versioned index store with an ATOMIC pointer commit — the metadata
+    * trick that makes streaming increments exactly-once on a plain
+    * filesystem: each commit writes the full index to a FRESH `v<batchId>`
+    * directory (never overwriting what a lazy plan may still read), then
+    * swings the single `CURRENT` pointer file by rename (atomic on POSIX
+    * and HDFS), then deletes superseded versions. A crash anywhere leaves
+    * either the old pointer (the batch replays against the old index) or
+    * the new one (the batch is recorded as done) — never a half-state.
+    * Single-writer by contract (one streaming query owns the store).
+    */
+  object CurateIndexStore {
+    private def pointer(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
+
+    /** Initialize with the index of the seed corpus as version `v-1`. */
+    def init(index: CurateIndex, dir: String): Unit = commitInternal(index, dir, -1L)
+
+    /** (index, lastBatchId) at the current pointer. */
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): (CurateIndex, Long) = {
+      val fs = pointer(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(pointer(dir))
+      val cur = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      val Array(ver, batch) = cur.split(":")
+      (CurateIndex.load(spark, s"$dir/$ver"), batch.toLong)
+    }
+
+    /** Record `batchId` as incorporated. Call AFTER the batch's audit
+      * output is durable — the pointer swing is the commit point. */
+    def commit(index: CurateIndex, dir: String, batchId: Long): Unit =
+      commitInternal(index, dir, batchId)
+
+    private def commitInternal(index: CurateIndex, dir: String, batchId: Long): Unit = {
+      val spark = index.urlKeepers.sparkSession
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val fs = pointer(dir).getFileSystem(hconf)
+      val ver = s"v$batchId"
+      index.save(s"$dir/$ver")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/CURRENT.tmp")
+      val out = fs.create(tmp, true)
+      out.write(s"$ver:$batchId".getBytes("UTF-8")); out.close()
+      val old: Option[String] =
+        if (fs.exists(pointer(dir))) {
+          val in = fs.open(pointer(dir))
+          val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+          Some(s.split(":")(0))
+        } else None
+      fs.delete(pointer(dir), false)
+      require(fs.rename(tmp, pointer(dir)), s"pointer swing failed for $ver")
+      old.filter(_ != ver).foreach(o =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$o"), true))
+    }
+  }
+
+  /** One streaming micro-batch = one [[curateIncrement]] shard, with
+    * exactly-once semantics over replays:
+    *  1. an already-committed batchId (≤ the pointer's) is a no-op — its
+    *     audit was durable before the pointer swung;
+    *  2. otherwise increment against the CURRENT index, overwrite the
+    *     batch's audit dir (idempotent), and only then commit the updated
+    *     index — a crash before the commit replays cleanly against the
+    *     unchanged index.
+    * The batch frame must carry (doc_id, text, url, lang).
+    */
+  def curateBatch(
+      batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
+      ceCap: Double = 1.13,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)): Unit = {
+    val spark = batch.sparkSession
+    val (idx, last) = CurateIndexStore.load(spark, indexDir)
+    if (batchId <= last) return
+    val (audit, updated) = curateIncrement(batch,
+      col("doc_id"), col("text"), col("url"), col("lang"), idx, ceCap, splits)
+    audit.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    CurateIndexStore.commit(updated, indexDir, batchId)
+  }
+
   /** [[curate]] with per-stage attrition counters attached via `observe`
     * (no extra scans): on the next action over the returned frame, the
     * session's [[graft.observe.Stats]] collector records

@@ -11,6 +11,9 @@ import graft.corpus.{Dedup, Pii, TextStats}
 /** One streamed document (arrival-ordered corpus intake). */
 final case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
 
+/** One streamed document with curation inputs (url + language). */
+final case class CurateDoc(doc_id: Long, text: String, url: String, lang: String)
+
 /** Dedup decision for one streamed document. */
 final case class StreamDedup(
     doc_id: Long,
@@ -49,6 +52,24 @@ object CorpusStream {
       "quality_pass" -> TextStats.gopherQuality(col("text")).getField("pass"),
       "lang" -> TextStats.langId(col("text")),
       "redacted_text" -> Pii.redact(col("text"))))
+
+  /** Streaming INCREMENTAL curation: each micro-batch is one
+    * [[graft.corpus.Curate.curateIncrement]] shard against the versioned
+    * [[graft.corpus.Curate.CurateIndexStore]] — audits land per batch
+    * under `outDir/batch=<id>`, the index advances by atomic pointer
+    * commit, and replayed batches are no-ops (exactly-once; see
+    * [[graft.corpus.Curate.curateBatch]]). The stream must carry
+    * (doc_id, text, url, lang); start with a checkpointLocation. */
+  def curateStream(
+      docs: DataFrame, indexDir: String, outDir: String,
+      ceCap: Double = 1.13,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.corpus.Curate.curateBatch(b.toDF(), id, indexDir, outDir, ceCap, splits)
+    }
 
   /** Cross-batch exact dedup over a document stream. State for a hash is
     * dropped once the watermark passes its last arrival + `ttlSeconds`. */

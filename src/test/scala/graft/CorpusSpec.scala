@@ -1142,6 +1142,20 @@ class CorpusSpec extends SparkSpec {
     val text = docs.filter(col("doc_id") === someId).select(col("text")).as[String].head()
     assert(someToks.mkString.replace(Bpe.EndOfWord, " ").trim ===
       text.split("\\s+").filter(_.nonEmpty).mkString(" "))
+
+    // vocab ids: <unk>=0, base symbols sorted, merges in rank order; id
+    // decode inverts token encode; out-of-vocabulary symbols hit <unk>
+    val voc = Bpe.vocab(corpus, col("text"), merges)
+    assert(voc("<unk>") === 0)
+    assert(voc(Bpe.EndOfWord) > 0 && voc("est</w>") > voc("es"),
+      "merge products follow base symbols in rank order")
+    val inv = voc.map(_.swap)
+    val ids = Seq(("lowest newest", 1)).toDF("text", "i")
+      .select(Bpe.encodeIds(col("text"), merges, voc)).as[Seq[Int]].head()
+    assert(ids.map(inv) === toks, "id stream decodes to the token stream")
+    val unk = Seq(("zebra", 1)).toDF("text", "i") // 'z','b','a' unseen in training
+      .select(Bpe.encodeIds(col("text"), merges, voc)).as[Seq[Int]].head()
+    assert(unk.count(_ == 0) === 3 && unk.last === voc(Bpe.EndOfWord))
   }
 
   test("url blocklist: host extraction, equals-or-subdomain match, hash anti-join plan") {

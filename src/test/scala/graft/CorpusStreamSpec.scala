@@ -64,6 +64,75 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation: micro-batches increment the index; replays are exactly-once") {
+    import graft.corpus.Curate
+    import graft.streaming.CurateDoc
+    implicit val sqlCtx = spark.sqlContext
+    val stop = "the be to of and that have with"
+    def longDoc(seed: String): String =
+      (1 to 8).map(i => s"$stop $seed word$i alpha beta gamma delta").mkString(" ")
+    val seed = Seq(
+      (1L, longDoc("orange"), "https://a.example/1", "en"),
+      (2L, longDoc("violet"), "https://a.example/2", "en")
+    ).toDF("doc_id", "text", "url", "lang")
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-custore").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cusink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cuckpt").toString
+    Curate.CurateIndexStore.init(
+      Curate.buildIndex(seed, col("doc_id"), col("text"), col("url"), col("lang")),
+      indexDir)
+
+    val input = MemoryStream[CurateDoc]
+    val q = graft.streaming.CorpusStream
+      .curateStream(input.toDF(), indexDir, outDir, ceCap = 1e9)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(
+        CurateDoc(11L, longDoc("mango"), "https://a.example/1?utm_source=x", "en"),
+        CurateDoc(12L, longDoc("fresh"), "https://b.example/12", "en"))
+      q.processAllAvailable()
+      input.addData(
+        CurateDoc(21L, longDoc("violet") + " extra", "https://b.example/21", "en"),
+        CurateDoc(22L, longDoc("fresh"), "https://b.example/12?utm_source=y", "en"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val b0 = spark.read.parquet(s"$outDir/batch=0")
+      .select(col("doc_id"), col("url_keeper"), col("dedup_keeper"), col("kept"))
+      .as[(Long, Boolean, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(!b0(11L)._2, "re-crawl of a SEED url is dropped in batch 0")
+    assert(b0(12L)._2 && b0(12L)._3 && b0(12L)._4)
+    val b1 = spark.read.parquet(s"$outDir/batch=1")
+      .select(col("doc_id"), col("url_keeper"), col("dedup_keeper"), col("kept"))
+      .as[(Long, Boolean, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(b1(21L)._2 && !b1(21L)._3,
+      "near-dup of a SEED text joins its cluster across batches")
+    assert(!b1(22L)._2, "url first seen in BATCH 0 dedups batch 1 against it")
+
+    // pointer advanced to the last batch; a manual replay of batch 1 is a
+    // no-op (audit untouched, pointer unchanged)
+    val (_, last) = Curate.CurateIndexStore.load(spark, indexDir)
+    assert(last === 1L)
+    val before = spark.read.parquet(s"$outDir/batch=1").count()
+    Curate.curateBatch(
+      Seq((21L, longDoc("violet") + " extra", "https://b.example/21", "en"))
+        .toDF("doc_id", "text", "url", "lang"),
+      batchId = 1L, indexDir, outDir, ceCap = 1e9)
+    val (_, lastAfter) = Curate.CurateIndexStore.load(spark, indexDir)
+    assert(lastAfter === 1L && spark.read.parquet(s"$outDir/batch=1").count() === before)
+
+    // crash-before-commit replay: a half-written audit for a NEW batch is
+    // recomputed and overwritten, then the pointer commits
+    val shard3 = Seq((31L, longDoc("late"), "https://c.example/31", "en"))
+      .toDF("doc_id", "text", "url", "lang")
+    spark.range(1).toDF("garbage").write.parquet(s"$outDir/batch=2") // the "crash" leftovers
+    Curate.curateBatch(shard3, batchId = 2L, indexDir, outDir, ceCap = 1e9)
+    val (_, last3) = Curate.CurateIndexStore.load(spark, indexDir)
+    assert(last3 === 2L)
+    val b2 = spark.read.parquet(s"$outDir/batch=2")
+    assert(b2.columns.contains("url_keeper") && b2.count() === 1)
+  }
+
   test("streaming gate: batch quality/PII columns run unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamDoc]
