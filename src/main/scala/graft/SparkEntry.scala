@@ -181,6 +181,12 @@ object SparkEntry {
     // ================= data model =================
     "q_transcripts" -> ((s, dir) => transcripts(s, dir)),
 
+    // transcript → SFT pairs: one sample per assistant turn, context = all
+    // prior turns of the conversation rendered "role: text" under the
+    // stable (conv_id, turn_idx) order — one bounded window per conv
+    "q_sft_pairs" -> ((s, dir) =>
+      graft.transcripts.Sft.pairs(transcripts(s, dir), "assistant")),
+
     // ================= §2.2/§2.3 parse stage =================
     "q_parse_syslog" -> ((s, dir) => {
       grokked(s, dir).filter(col("rule_id") === "syslog")
@@ -1443,6 +1449,18 @@ object SparkEntry {
   private def oracleBase: Map[String, String] = Map(
     "q_transcripts" -> Transcripts.oracle(
       "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
+
+    "q_sft_pairs" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           coalesce(string_agg(role || ': ' || text, chr(10))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '') AS context,
+           text AS target,
+           count(*) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)::bigint
+             AS n_context_turns
+         FROM transcripts
+         QUALIFY role = 'assistant'"""),
 
     "q_parse_syslog" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx,

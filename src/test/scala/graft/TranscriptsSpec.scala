@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.transcripts.Transcripts
+import graft.transcripts.{Sft, Transcripts}
 
 class TranscriptsSpec extends SparkSpec {
 
@@ -36,5 +36,32 @@ class TranscriptsSpec extends SparkSpec {
     assert(t.filter(col("role") =!= "tool" && col("tool").isNotNull).count() == 0)
     val roles = t.select("role").distinct().collect().map(_.getString(0)).toSet
     assert(roles == Set("user", "assistant", "system", "tool"))
+  }
+
+  test("sft pairs: ordered prior-turn context; maxContextTurns clips from the left") {
+    import spark.implicits._
+    val t = Seq(
+      ("c1", 0, "user", "hi"),
+      ("c1", 1, "assistant", "hello"),
+      ("c1", 2, "user", "how are you"),
+      ("c1", 3, "assistant", "fine"),
+      ("c2", 0, "assistant", "opener") // no prior context at all
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val p = Sft.pairs(t).as[(String, Int, String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(p(("c1", 1)) === (("c1", 1, "user: hi", "hello", 1L)))
+    assert(p(("c1", 3)) ===
+      (("c1", 3, "user: hi\nassistant: hello\nuser: how are you", "fine", 3L)))
+    assert(p(("c2", 0)) === (("c2", 0, "", "opener", 0L)))
+    assert(p.size === 3, "one sample per assistant turn, nothing else")
+
+    val clipped = Sft.pairs(t, maxContextTurns = 1)
+      .as[(String, Int, String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(clipped(("c1", 3)) === (("c1", 3, "user: how are you", "fine", 1L)),
+      "clip keeps the MOST RECENT k turns")
+    val none = Sft.pairs(t, maxContextTurns = 0)
+      .as[(String, Int, String, String, Long)].collect()
+    assert(none.forall(r => r._3 == "" && r._5 == 0L))
   }
 }
