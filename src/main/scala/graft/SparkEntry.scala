@@ -181,6 +181,13 @@ object SparkEntry {
     // ================= data model =================
     "q_transcripts" -> ((s, dir) => transcripts(s, dir)),
 
+    // conversation-level quality gate: one combinable aggregate per conv
+    "q_conv_quality" -> ((s, dir) =>
+      graft.transcripts.Sft.conversationStats(transcripts(s, dir))
+        .select(col("conv_id"), col("n_turns"), col("n_assistant"), col("n_tool"),
+          col("mean_turn_chars"), col("span_seconds"), col("assistant_frac"),
+          col("pass"))),
+
     // transcript → SFT pairs: one sample per assistant turn, context = all
     // prior turns of the conversation rendered "role: text" under the
     // stable (conv_id, turn_idx) order — one bounded window per conv
@@ -1449,6 +1456,19 @@ object SparkEntry {
   private def oracleBase: Map[String, String] = Map(
     "q_transcripts" -> Transcripts.oracle(
       "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
+
+    "q_conv_quality" -> Transcripts.oracle(
+      """SELECT conv_id,
+           count(*)::bigint AS n_turns,
+           sum((role = 'assistant')::int)::bigint AS n_assistant,
+           sum((role = 'tool')::int)::bigint AS n_tool,
+           avg(length(text)) AS mean_turn_chars,
+           date_diff('second', min(ts), max(ts))::bigint AS span_seconds,
+           sum((role = 'assistant')::int)::double / count(*)::double AS assistant_frac,
+           (count(*) >= 4 AND
+            sum((role = 'assistant')::int)::double / count(*)::double >= 0.2 AND
+            avg(length(text)) >= 10.0) AS pass
+         FROM transcripts GROUP BY conv_id"""),
 
     "q_sft_pairs" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx,

@@ -42,4 +42,28 @@ object Sft {
         col("text").as("target"),
         size(clipped).cast("long").as("n_context_turns")) // turns IN the emitted context
   }
+
+  /** Conversation-level quality gate — the transcript tier's analog of the
+    * document Gopher rules: agent-training sets drop degenerate
+    * conversations (too short, no assistant turns, trivial text) BEFORE
+    * pair extraction. One combinable aggregate per conversation:
+    * n_turns / n_assistant / n_tool / assistant_frac / mean_turn_chars /
+    * span_seconds + the conjunctive `pass`.
+    */
+  def conversationStats(
+      turns: DataFrame, minTurns: Int = 4,
+      minAssistantFrac: Double = 0.2, minMeanChars: Double = 10.0): DataFrame =
+    turns.groupBy(col("conv_id")).agg(
+      count(lit(1)).as("n_turns"),
+      sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
+      sum(when(col("role") === "tool", 1L).otherwise(0L)).as("n_tool"),
+      avg(length(col("text")).cast("double")).as("mean_turn_chars"),
+      (max(col("ts").cast("timestamp")).cast("long") -
+        min(col("ts").cast("timestamp")).cast("long")).as("span_seconds"))
+      .withColumn("assistant_frac",
+        col("n_assistant").cast("double") / col("n_turns").cast("double"))
+      .withColumn("pass",
+        col("n_turns") >= minTurns &&
+          col("assistant_frac") >= minAssistantFrac &&
+          col("mean_turn_chars") >= minMeanChars)
 }

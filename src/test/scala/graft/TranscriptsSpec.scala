@@ -64,4 +64,28 @@ class TranscriptsSpec extends SparkSpec {
       .as[(String, Int, String, String, Long)].collect()
     assert(none.forall(r => r._3 == "" && r._5 == 0L))
   }
+
+  test("conversation stats gate degenerate conversations") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(86400000L + m * 60000L)
+    val t = Seq(
+      ("good", 0, "user", "a sufficiently long opening turn", null, ts(0)),
+      ("good", 1, "assistant", "a sufficiently long reply here", null, ts(1)),
+      ("good", 2, "user", "another decent follow-up message", null, ts(2)),
+      ("good", 3, "assistant", "and a closing answer of length", null, ts(5)),
+      ("short", 0, "user", "only two turns in this conversation", null, ts(0)),
+      ("short", 1, "assistant", "so the min-turn gate rejects it", null, ts(1)),
+      ("noassist", 0, "user", "four turns but never an assistant", null, ts(0)),
+      ("noassist", 1, "user", "just the user talking to the void", null, ts(1)),
+      ("noassist", 2, "user", "and more of the same user text", null, ts(2)),
+      ("noassist", 3, "user", "still nobody answering anything", null, ts(3))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val s = Sft.conversationStats(t)
+      .select(col("conv_id"), col("n_turns"), col("assistant_frac"),
+        col("span_seconds"), col("pass"))
+      .as[(String, Long, Double, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(s("good")._5 && s("good")._2 === 4L && s("good")._4 === 300L)
+    assert(!s("short")._5, "min-turn gate")
+    assert(!s("noassist")._5 && s("noassist")._3 === 0.0, "assistant-fraction gate")
+  }
 }
