@@ -1343,6 +1343,21 @@ object SparkEntry {
           col("audio_meta.n_bytes").as("n_bytes"))
     }),
 
+    // MP4 box-tree header decode: deterministic ISO-BMFF payloads (real
+    // ftyp/moov/mvhd/tkhd boxes the walk must actually parse), geometry
+    // derived from text in both engines; mdat is never read
+    "q_multimodal_video" -> ((s, dir) => {
+      Multimodal.decodeVideo(Multimodal.withVideoPayload(documents(s, dir), "text"))
+        .select(col("doc_id"),
+          col("video_meta.container").as("container"),
+          col("video_meta.timescale").as("timescale"),
+          col("video_meta.duration_ticks").as("duration_ticks"),
+          col("video_meta.duration_ms").as("duration_ms"),
+          col("video_meta.width").as("width"),
+          col("video_meta.height").as("height"),
+          col("video_meta.n_bytes").as("n_bytes"))
+    }),
+
     // real raster resize: decode → bilinear scale to an integer-exact
     // bounded geometry → re-encode; a SECOND header decode of the re-encoded
     // payload must report the target geometry the oracle recomputes
@@ -2827,6 +2842,21 @@ object SparkEntry {
            cast(16 + (ascii(substr(text, 1, 1)) % 8) * 4 AS int) AS width,
            cast(16 + (length(text) % 8) * 4 AS int) AS height
          FROM documents""",
+
+    "q_multimodal_video" ->
+      """WITH geo AS (
+           SELECT doc_id,
+             600 * (1 + ascii(substr(text, 1, 1)) % 4) AS ts,
+             cast(1200 + (length(text) % 50) * 120 AS bigint) AS ticks,
+             160 + (length(text) % 8) * 16 AS w,
+             120 + (ascii(substr(text, 1, 1)) % 6) * 16 AS h
+           FROM documents)
+         SELECT doc_id, 'mp4' AS container,
+           cast(ts AS int) AS timescale, ticks AS duration_ticks,
+           cast(ticks * 1000 // ts AS bigint) AS duration_ms,
+           cast(w AS int) AS width, cast(h AS int) AS height,
+           cast(260 AS bigint) AS n_bytes
+         FROM geo""",
 
     "q_multimodal_audio" ->
       """WITH geo AS (

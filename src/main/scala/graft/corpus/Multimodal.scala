@@ -532,4 +532,124 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  // -------------------------------------------------- video (MP4 / ISO BMFF)
+
+  val VideoMetaSchema: StructType = StructType(Seq(
+    StructField("container", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration_ticks", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** Deterministic video geometry derived from a document's text (same
+    * oracle-portability rule as [[audioGeometryOf]]):
+    * timescale = 600·(1+c0%4), ticks = 1200+(len%50)·120,
+    * w = 160+(len%8)·16, h = 120+(c0%6)·16. */
+  def videoGeometryOf(text: String): (Int, Long, Int, Int) = {
+    val len = text.codePointCount(0, text.length)
+    val c0 = if (text.isEmpty) 0 else text.codePointAt(0)
+    (600 * (1 + c0 % 4), 1200L + (len % 50) * 120L,
+      160 + (len % 8) * 16, 120 + (c0 % 6) * 16)
+  }
+
+  /** Minimal valid ISO-BMFF file: ftyp + moov(mvhd v0 + trak(tkhd v0)) +
+    * a 16-byte mdat stub — 260 bytes total, every field the header walk
+    * reads is real. */
+  def encodeMp4(timescale: Int, durationTicks: Long, w: Int, h: Int): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32b(payload.length + 8) ++ tpe.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32b(0) ++
+      "isom".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", be32b(0) ++ be32b(0) ++ be32b(0) ++
+      be32b(timescale) ++ be32b(durationTicks.toInt) ++
+      be32b(0x00010000) ++ be16b(0x0100) ++ new Array[Byte](10) ++
+      matrixIdentity ++ new Array[Byte](24) ++ be32b(2))
+    val tkhd = box("tkhd", be32b(0) ++ be32b(0) ++ be32b(0) ++ be32b(1) ++
+      be32b(0) ++ be32b(durationTicks.toInt) ++ new Array[Byte](8) ++
+      be16b(0) ++ be16b(0) ++ be16b(0) ++ be16b(0) ++ matrixIdentity ++
+      be32b(w << 16) ++ be32b(h << 16))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val mdat = box("mdat", Array.fill[Byte](16)(0x5a))
+    ftyp ++ moov ++ mdat
+  }
+
+  private def matrixIdentity: Array[Byte] =
+    be32b(0x00010000) ++ be32b(0) ++ be32b(0) ++
+      be32b(0) ++ be32b(0x00010000) ++ be32b(0) ++
+      be32b(0) ++ be32b(0) ++ be32b(0x40000000)
+
+  /** Header-only MP4 metadata: a BOX-TREE WALK (ftyp sniff → moov → mvhd
+    * timescale/duration, first trak's tkhd width/height) that never reads
+    * mdat — the video face of the never-decode-payload discipline.
+    * Handles mvhd/tkhd version 1 (64-bit times) and `size==1` largesize
+    * boxes; anything malformed → ("unknown", 0, 0, 0, 0, 0, n_bytes).
+    */
+  def decodeVideoMeta(b: Array[Byte]): (String, Int, Long, Long, Int, Int, Long) = {
+    val n = b.length.toLong
+    def unknown = ("unknown", 0, 0L, 0L, 0, 0, n)
+    def be64(i: Int): Long = (be32(b, i).toLong << 32) | (be32(b, i + 4).toLong & 0xffffffffL)
+    // (boxStart, payloadStart, boxEnd) walk over [from, to)
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var i = lo
+        def hasNext: Boolean = i + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val size32 = be32(b, i).toLong & 0xffffffffL
+          val tpe = new String(b, i + 4, 4, "US-ASCII")
+          val (payload, end) =
+            if (size32 == 1 && i + 16 <= hi) (i + 16, i + be64(i + 8))
+            else if (size32 == 0) (i + 8, hi.toLong)
+            else (i + 8, i + size32)
+          if (end < payload || end > hi) { i = hi; ("", payload, hi) }
+          else { i = end.toInt; (tpe, payload, end.toInt) }
+        }
+      }
+    if (b.length < 12 || new String(b, 4, 4, "US-ASCII") != "ftyp") return unknown
+    var timescale = 0; var ticks = 0L; var w = 0; var h = 0
+    for ((tpe, p, e) <- boxes(0, b.length) if tpe == "moov") {
+      for ((c, cp, ce) <- boxes(p, e)) c match {
+        case "mvhd" if ce - cp >= 20 =>
+          if (b(cp) == 1 && ce - cp >= 28) { // v1: 8-byte times
+            timescale = be32(b, cp + 20); ticks = be64(cp + 24)
+          } else { timescale = be32(b, cp + 12); ticks = be32(b, cp + 16).toLong & 0xffffffffL }
+        case "trak" if w == 0 =>
+          for ((t, tp, te) <- boxes(cp, ce) if t == "tkhd") {
+            val off = if (b(tp) == 1) tp + 88 else tp + 76 // v1 widens 3 times
+            if (te - off >= 8) { w = be32(b, off) >>> 16; h = be32(b, off + 4) >>> 16 }
+          }
+        case _ => ()
+      }
+    }
+    if (timescale <= 0 || w <= 0 || h <= 0) return unknown
+    ("mp4", timescale, ticks, ticks * 1000L / timescale, w, h, n)
+  }
+
+  /** Attach a deterministic MP4 payload derived from `textCol`. */
+  def withVideoPayload(docs: DataFrame, textCol: String): DataFrame = {
+    val inSchema = docs.schema
+    val outSchema = inSchema.add(StructField("payload", BinaryType, nullable = false))
+    val textIdx = inSchema.fieldIndex(textCol)
+    docs.mapPartitions { it =>
+      it.map { row =>
+        val (ts, ticks, w, h) = videoGeometryOf(row.getString(textIdx))
+        Row.fromSeq(row.toSeq :+ encodeMp4(ts, ticks, w, h))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Per-partition header decode of the video `payload` → `video_meta`. */
+  def decodeVideo(df: DataFrame): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("video_meta", VideoMetaSchema, nullable = false))
+    val payloadIdx = inSchema.fieldIndex("payload")
+    df.mapPartitions { it =>
+      it.map { row =>
+        val (c, ts, ticks, ms, w, h, n) = decodeVideoMeta(row.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(row.toSeq :+ Row(c, ts, ticks, ms, w, h, n))
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -931,6 +931,39 @@ class CorpusSpec extends SparkSpec {
     assert(!gated(6L)._8 && gated(1L)._8 && gated(3L)._8)
   }
 
+  test("mp4: box-tree header decode incl. v1 boxes and largesize; corrupt -> unknown") {
+    import graft.corpus.Multimodal
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32((v >> 32).toInt) ++ be32(v.toInt)
+    def box(t: String, p: Array[Byte]) = be32(p.length + 8) ++ t.getBytes("US-ASCII") ++ p
+
+    val enc = Multimodal.encodeMp4(timescale = 1200, durationTicks = 3600L, w = 320, h = 240)
+    assert(enc.length === 260)
+    assert(Multimodal.decodeVideoMeta(enc) === (("mp4", 1200, 3600L, 3000L, 320, 240, 260L)))
+
+    // v1 mvhd/tkhd (64-bit times) + a LARGESIZE mdat: still parses
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(600) ++ be64(1500L) ++ be32(0x00010000) ++ new Array[Byte](12) ++
+      new Array[Byte](36) ++ new Array[Byte](24) ++ be32(2))
+    val tkhd1 = box("tkhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(1) ++ be32(0) ++ be64(1500L) ++ new Array[Byte](8) ++
+      new Array[Byte](8) ++ new Array[Byte](36) ++ be32(640 << 16) ++ be32(480 << 16))
+    val body = Array.fill[Byte](8)(1)
+    val largeMdat = be32(1) ++ "mdat".getBytes("US-ASCII") ++ be64(16L + body.length) ++ body
+    val v1 = box("ftyp", "isom".getBytes ++ be32(0)) ++
+      box("moov", mvhd1 ++ box("trak", tkhd1)) ++ largeMdat
+    val got = Multimodal.decodeVideoMeta(v1)
+    assert(got._1 === "mp4" && got._2 === 600 && got._3 === 1500L &&
+      got._4 === 2500L && got._5 === 640 && got._6 === 480)
+
+    assert(Multimodal.decodeVideoMeta("not a video at all".getBytes)._1 === "unknown")
+    // a moov whose declared child size overruns the buffer -> unknown
+    val bad = box("ftyp", "isom".getBytes ++ be32(0)) ++
+      box("moov", be32(9999) ++ "mvhd".getBytes ++ new Array[Byte](4))
+    assert(Multimodal.decodeVideoMeta(bad)._1 === "unknown")
+  }
+
   test("curateIncrement ≡ batch under the frozen LM; index save/load; keeper table grows") {
     import graft.corpus.Curate
     val stop = "the be to of and that have with"
