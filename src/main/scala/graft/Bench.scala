@@ -35,8 +35,10 @@ object Bench {
     "q_dedup_exact_substr", "q_dedup_semantic", "q_text_perplexity",
     "q_text_repetition", "q_pii_redact", "q_corpus_dsir",
     // round-4 composition tier: the end-to-end curation pipeline (the
-    // corpus flagship), C4 cleaning, shard-export assignment
-    "q_corpus_curate", "q_text_c4", "q_corpus_shards")
+    // corpus flagship), C4 cleaning, shard-export assignment, span-level
+    // near-dup, and the transcript-tier SFT extraction
+    "q_corpus_curate", "q_text_c4", "q_corpus_shards",
+    "q_dedup_paragraphs", "q_sft_pairs")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
