@@ -168,12 +168,12 @@ object Sampling {
     val rates = ws.zip(counts).map { case ((s, w), (_, c)) =>
       s -> math.min(1.0, targetFraction * n * (w / wSum) / c)
     }.toMap
-    val rate = rates.foldLeft(lit(Double.NaN)) {
-      case (acc, (s, r)) => when(src === s, lit(r)).otherwise(acc)
-    }
-    val threshold = rates.foldLeft(lit("")) {
-      case (acc, (s, r)) => when(src === s, lit(thresholdHex(r))).otherwise(acc)
-    }
+    // map LITERALS, not a per-source when-chain: a mixture over thousands
+    // of sources (domains, crawls) would otherwise build a thousands-deep
+    // CASE expression; element_at on a literal map is one hash lookup
+    val rate = element_at(typedlit(rates), src)
+    val threshold = element_at(
+      typedlit(rates.map { case (s, r) => s -> thresholdHex(r) }), src)
     df.withColumn("mix_rate", rate)
       .withColumn("mix_keep",
         substring(md5(concat(lit("mix:"), key.cast("string"))), 1, 8) < threshold)
