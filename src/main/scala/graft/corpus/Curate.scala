@@ -67,9 +67,12 @@ object Curate {
     val urlFlags = Url.urlDedup(base, col("doc_id"), col("__url"))
       .select(col("doc_id"), col("is_keeper").as("url_keeper"), col("__text"))
     val keepers = urlFlags.filter(col("url_keeper"))
+    // corpusEdges, not raw minhashLsh: URL-distinct pages with IDENTICAL
+    // text are common (mirrors), and banding a viral exact-dup group is
+    // quadratic; the collapsed edge set clusters identically
     val clusters = Dedup.resolveClusters(
       keepers.select(col("doc_id").as("member_id")),
-      Dedup.minhashLsh(keepers, col("doc_id"), col("__text")),
+      Dedup.corpusEdges(keepers, col("doc_id"), col("__text")),
       "doc_a", "doc_b")
     val model = lm.getOrElse(LanguageModel.charNgramCounts(
       base.filter(col("__lang") === targetLang), col("__text"), n = 3))

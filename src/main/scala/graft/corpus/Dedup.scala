@@ -239,30 +239,53 @@ object Dedup {
     * O(log diameter) component rounds, and one final semi-join of
     * survivors back to the corpus.
     */
+  /** LSH near-dup pairs among the distinct-content REPRESENTATIVES (min
+    * doc_id per content hash) only. Identical texts have identical MinHash
+    * signatures, so banding every member of an exact-duplicate group makes
+    * the band join QUADRATIC in the group size — a 10⁸-copy viral page is
+    * 10¹⁶ candidate pairs. Banding one representative per distinct text is
+    * provably lossless for the clustering: any member-member band collision
+    * is signature-determined, so it exists iff the rep-rep collision does,
+    * and the content star edges ([[exactEdges]]) carry the members.
+    */
+  private def repNearPairs(
+      docs: DataFrame, id: Column, text: Column, hashed: DataFrame,
+      shingleK: Int, threshold: Double): DataFrame = {
+    val repIds = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("__rep_id"))
+      .select(col("__rep_id"))
+    val repDocs = docs.withColumn("__did", id)
+      .join(repIds, col("__did") === col("__rep_id"), "left_semi")
+      .drop("__did")
+    minhashLsh(repDocs, id, text, shingleK, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** The viral-duplicate-safe edge set for near-dup clustering: content
+    * star edges ∪ LSH pairs among distinct-content representatives — feed
+    * to [[resolveClusters]]. Same components as banding every doc (see
+    * [[repNearPairs]]), without the quadratic band join on exact-duplicate
+    * groups.
+    */
+  def corpusEdges(
+      docs: DataFrame, id: Column, text: Column,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val hashed = docs.select(id.as("doc_id"), contentHash(text).as("h"))
+    exactEdges(hashed, hashed)
+      .unionByName(repNearPairs(docs, id, text, hashed, shingleK, threshold))
+  }
+
   def dedupCorpus(
       docs: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // exact-dup pairs: every doc in a content group pairs with the group's
-    // keeper (star edges are enough for connectivity). Keeper-JOIN, not
-    // collect_set (a viral duplicate — 10^8 copies of one text — must not
-    // materialize its id set into one row) and not a window-min (the viral
-    // group would land on one task). Trade-off: the text column is scanned
-    // and hashed on both sides; persist the (doc_id, h) projection when a
-    // second scan of the corpus is the more expensive side. NULL-text docs
-    // never join (NULL keys drop) and so are never deduplicated — same as
-    // SQL-engine null-join semantics.
-    val hashed = docs.select(id.as("doc_id"), contentHash(text).as("h"))
-    val keepers = exact(docs, id, text)
-      .filter(col("n_copies") > 1)
-      .select(col("content_hash").as("h"), col("keep_id").as("doc_a"))
-    val exactPairs = hashed.join(keepers, Seq("h"))
-      .filter(col("doc_id") =!= col("doc_a"))
-      .select(col("doc_a"), col("doc_id").as("doc_b"))
-    val nearPairs = minhashLsh(docs, id, text, shingleK, threshold = threshold)
-      .select("doc_a", "doc_b")
+    // the edge set is viral-duplicate-safe end to end: content star edges
+    // keeper-JOIN (never collect_set or a window-min — a 10^8-copy group
+    // must neither materialize its id set into one row nor land on one
+    // task) and the LSH bands only distinct-content representatives
+    // (corpusEdges). NULL-text docs never join (NULL keys drop) and so are
+    // never deduplicated — same as SQL-engine null-join semantics.
     val clusters = resolveClusters(
       docs.select(id.as("member_id")),
-      exactPairs.unionByName(nearPairs), "doc_a", "doc_b")
+      corpusEdges(docs, id, text, shingleK, threshold), "doc_a", "doc_b")
     docs.join(
       clusters.filter(col("member_id") === col("keep_id"))
         .select(col("member_id").as("__keep")),
@@ -442,7 +465,16 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DedupIndex = {
     val content = docs.select(id.as("doc_id"), contentHash(text).as("h"))
-    val sh = shingleTable(docs, id, text, shingleK)
+    // the index's bands/shingles hold only distinct-content REPRESENTATIVES
+    // (min id per hash) — identical texts band identically, so banding a
+    // viral group is quadratic for nothing; exactEdges carries the members
+    // (same lossless argument as corpusEdges)
+    val repIds = content.groupBy(col("h")).agg(min(col("doc_id")).as("__rep_id"))
+      .select(col("__rep_id"))
+    val repDocs = docs.withColumn("__did", id)
+      .join(repIds, col("__did") === col("__rep_id"), "left_semi")
+      .drop("__did")
+    val sh = shingleTable(repDocs, id, text, shingleK)
     val bands = bandTable(sh, numHashes, rowsPerBand)
     val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
@@ -484,7 +516,19 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2,
       threshold: Double = 0.5): (DataFrame, DedupIndex) = {
     val newContent = newDocs.select(id.as("doc_id"), contentHash(text).as("h"))
-    val newSh = shingleTable(newDocs, id, text, shingleK)
+    // band only the shard's distinct-content representatives, and only for
+    // content the INDEX has not seen: a shard doc whose hash is indexed
+    // reaches its group through exactEdges, and that group's representative
+    // already bands — re-banding it would just re-accumulate signature rows
+    // shard after shard
+    val newRepIds = newContent
+      .join(index.content.select(col("h")), Seq("h"), "left_anti")
+      .groupBy(col("h")).agg(min(col("doc_id")).as("__rep_id"))
+      .select(col("__rep_id"))
+    val newRepDocs = newDocs.withColumn("__did", id)
+      .join(newRepIds, col("__did") === col("__rep_id"), "left_semi")
+      .drop("__did")
+    val newSh = shingleTable(newRepDocs, id, text, shingleK)
     val newBands = bandTable(newSh, numHashes, rowsPerBand)
     val allContent = index.content.unionByName(newContent)
     val allBands = index.bands.unionByName(newBands)

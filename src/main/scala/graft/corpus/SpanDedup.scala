@@ -144,24 +144,15 @@ object SpanDedup {
       .filter(trim(col("s")) =!= "")
       .withColumn("span_key",
         format_string("%019d:%09d", col("doc_id"), col("span_idx")))
-    // EXACT-identical spans collapse to one representative BEFORE the LSH
-    // (the dedupCorpus composition): viral boilerplate — the very thing
-    // this operator targets — makes thousands of identical spans share one
-    // signature, and banding identical signatures is a quadratic
-    // candidate-pair explosion. Identical spans have Jaccard 1, so the
-    // exact star edges (representative → member) preserve the clustering
-    // bit-for-bit while LSH only ever sees DISTINCT span texts.
-    val hashed = units.withColumn("__sh", spanHash(col("s")))
-    val reps = hashed.groupBy(col("__sh")).agg(min(col("span_key")).as("__rep"))
-    val withRep = hashed.join(reps, Seq("__sh"))
-    val starEdges = withRep.filter(col("span_key") =!= col("__rep"))
-      .select(col("__rep").as("doc_a"), col("span_key").as("doc_b"))
-    val repUnits = withRep.filter(col("span_key") === col("__rep"))
-    val pairs = Dedup.minhashLsh(repUnits, col("span_key"), col("s"),
-      shingleK = shingleK, threshold = threshold)
+    // viral-duplicate-safe edges ([[Dedup.corpusEdges]]): EXACT-identical
+    // spans collapse to one representative before the LSH — boilerplate,
+    // the very thing this operator targets, makes thousands of identical
+    // spans share one signature, and banding identical signatures is a
+    // quadratic candidate-pair explosion; the content star edges carry the
+    // members losslessly (identical spans have Jaccard 1)
     val clusters = Dedup.resolveClusters(
       units.select(col("span_key").as("member_id")),
-      starEdges.unionByName(pairs.select(col("doc_a"), col("doc_b"))),
+      Dedup.corpusEdges(units, col("span_key"), col("s"), shingleK, threshold),
       "doc_a", "doc_b")
     val drops = units.join(
         clusters.filter(col("member_id") =!= col("keep_id"))
