@@ -931,6 +931,44 @@ class CorpusSpec extends SparkSpec {
     assert(!gated(6L)._8 && gated(1L)._8 && gated(3L)._8)
   }
 
+  test("viral exact-dup group: collapsed banding keeps clustering identical, batch and increment") {
+    import graft.corpus.Dedup
+    // 200 identical copies + two near-dup variants + unique docs: the
+    // representative-banded edge set must produce the same clusters the
+    // all-doc banding would (one cluster containing all 202, min-id keeper)
+    val viral = "the viral boilerplate page text shared by every mirror site"
+    val docs = ((1 to 200).map(i => (i.toLong, viral)) ++ Seq(
+      (201L, viral + " tweaked"),                              // near-dup of the group
+      (202L, "an entirely different document about gardens"),
+      (203L, "and one more unique page on carpentry tools")
+    )).toDF("doc_id", "text")
+    val survivors = Dedup.dedupCorpus(docs, col("doc_id"), col("text"))
+      .select(col("doc_id")).as[Long].collect().sorted
+    assert(survivors === Array(1L, 202L, 203L),
+      "viral group + its near-dup collapse to the min id; uniques survive")
+
+    // increment path: a shard re-delivering the viral text (and a fresh
+    // near-dup) must fold into the indexed cluster without re-banding it
+    val idx = Dedup.buildIndex(docs, col("doc_id"), col("text"))
+    val shard = Seq(
+      (301L, viral),                     // content the index has seen
+      (302L, viral + " tweaked again"),  // fresh near-dup of the group
+      (303L, "a brand new unique page about sailing")
+    ).toDF("doc_id", "text")
+    val (assign, idx2) = Dedup.dedupIncrement(shard, col("doc_id"), col("text"), idx)
+    val keep = assign.filter(col("member_id") === col("keep_id"))
+      .select(col("member_id")).as[Long].collect().sorted
+    assert(keep === Array(1L, 202L, 203L, 303L))
+    assert(assign.filter(col("member_id").isin(301L, 302L))
+      .select(col("keep_id")).as[Long].collect().forall(_ == 1L),
+      "shard copies and fresh near-dups fold into the indexed viral cluster")
+    // the index bands one representative per DISTINCT content (4 contents
+    // in the seed corpus, 8 band rows each); re-delivered content (301)
+    // adds no signature rows, the two genuinely-new contents add 8 each
+    assert(idx.bands.count() === 4L * 8L)
+    assert(idx2.bands.count() === 6L * 8L)
+  }
+
   test("mp4: box-tree header decode incl. v1 boxes and largesize; corrupt -> unknown") {
     import graft.corpus.Multimodal
     def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
