@@ -818,6 +818,19 @@ object SparkEntry {
         embeddings(s, dir), col("vec_id"), col("embedding"), threshold = 0.4)
     }),
 
+    // embedding near-dup CLUSTERS over the viral-safe edge set (identical
+    // vectors collapse to a representative before banding, star edges
+    // carry the members) — components must equal exact-cosine CC
+    "q_dedup_embed_clusters" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Dedup.resolveClusters(
+        e.select(col("vec_id").as("member_id")),
+        Similarity.embedNearDupEdges(e, col("vec_id"), col("embedding"),
+          threshold = 0.4),
+        "vec_a", "vec_b")
+        .select(col("member_id"), col("cluster_id"))
+    }),
+
     // composed end-to-end dedup: exact + near-dup pairs -> clusters ->
     // survivors-only corpus (the operation a training pipeline runs)
     "q_dedup_pipeline" -> ((s, dir) => {
@@ -2003,6 +2016,19 @@ object SparkEntry {
          , p AS (SELECT vec_a, vec_b, $COSINE AS cos
                  FROM a, b WHERE vec_a < vec_b)
          SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4""",
+
+    "q_dedup_embed_clusters" ->
+      s"""WITH RECURSIVE a AS (SELECT vec_id AS vec_a, embedding AS qv FROM embeddings)
+         , b AS (SELECT vec_id AS vec_b, embedding AS cv FROM embeddings)
+         , pr AS (SELECT vec_a, vec_b FROM a, b
+                  WHERE vec_a < vec_b AND $COSINE >= 0.4)
+         , ed AS (SELECT vec_a AS x, vec_b AS y FROM pr
+                  UNION SELECT vec_b, vec_a FROM pr)
+         , walk(id, lab) AS (
+             SELECT vec_id, vec_id FROM embeddings
+             UNION
+             SELECT ed.y, w.lab FROM walk w JOIN ed ON ed.x = w.id)
+         SELECT id AS member_id, min(lab) AS cluster_id FROM walk GROUP BY id""",
 
     "q_dedup_pipeline" ->
       s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

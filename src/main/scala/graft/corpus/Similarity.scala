@@ -167,6 +167,33 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** Viral-duplicate-safe CLUSTERING edges for embedding near-dup — the
+    * [[Dedup.corpusEdges]] mirror for vectors: IDENTICAL embeddings are
+    * common (exact-duplicate pages embedded before text dedup, placeholder
+    * vectors), they produce identical hyperplane signatures, and banding
+    * every copy makes the bucket join quadratic in the group size. Here
+    * identical vectors (md5 of the rendered components) collapse to one
+    * representative before banding; representative→member star edges carry
+    * the group (cos(v,v)=1 ≥ any threshold), so connected components over
+    * these edges equal components over the all-copy pair set. Feed to
+    * [[Dedup.resolveClusters]].
+    */
+  def embedNearDupEdges(
+      corpus: DataFrame, id: Column, vec: Column, threshold: Double,
+      bits: Int = 128, rowsPerBand: Int = 4, dim: Int = 64): DataFrame = {
+    val hashed = corpus.select(id.as("vec_id"), vec.as("v"))
+      .withColumn("__h", md5(array_join(transform(col("v"), x => x.cast("string")), ",")))
+    val reps = hashed.groupBy(col("__h")).agg(min(col("vec_id")).as("__rep"))
+    val withRep = hashed.join(reps, Seq("__h"))
+    val star = withRep.filter(col("vec_id") =!= col("__rep"))
+      .select(col("__rep").as("vec_a"), col("vec_id").as("vec_b"))
+    val repFrame = withRep.filter(col("vec_id") === col("__rep"))
+      .select(col("vec_id"), col("v"))
+    star.unionByName(
+      hyperplaneNearDupPairs(repFrame, col("vec_id"), col("v"), threshold,
+        bits, rowsPerBand, dim).select(col("vec_a"), col("vec_b")))
+  }
+
   /** Within-cluster embedding-cosine near-duplicate pairs: the inner step
     * of SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — documents are
     * compared ONLY against members of the same (given) cluster, turning the

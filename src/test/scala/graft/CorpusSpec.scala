@@ -969,6 +969,30 @@ class CorpusSpec extends SparkSpec {
     assert(idx2.bands.count() === 6L * 8L)
   }
 
+  test("viral identical embeddings: collapsed banding clusters like all-copy pairs") {
+    import graft.corpus.{Dedup, Similarity}
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val near = v.updated(0, v(0) + 0.02f) // cosine ≈ 1 > threshold
+    val far = Array.tabulate(64)(i => (if (i % 2 == 0) 1f else -1f) * (i + 1))
+    val docs = ((1 to 100).map(i => (i.toLong, v.toSeq)) ++
+      Seq((101L, near.toSeq), (102L, far.toSeq))).toDF("vec_id", "embedding")
+    val clusters = Dedup.resolveClusters(
+        docs.select(col("vec_id").as("member_id")),
+        Similarity.embedNearDupEdges(docs, col("vec_id"), col("embedding"),
+          threshold = 0.4),
+        "vec_a", "vec_b")
+      .select(col("member_id"), col("cluster_id")).as[(Long, Long)]
+      .collect().toMap
+    assert((1L to 101L).forall(clusters(_) == 1L),
+      "100 identical copies + the near variant form one min-id cluster")
+    assert(clusters(102L) === 102L, "the far vector stays its own cluster")
+    // the LSH only ever bands the distinct vectors: star edges carry 99
+    // members, and the one genuine near pair arrives from the rep join
+    val edges = Similarity.embedNearDupEdges(docs, col("vec_id"), col("embedding"),
+      threshold = 0.4)
+    assert(edges.count() === 99L + 1L)
+  }
+
   test("mp4: box-tree header decode incl. v1 boxes and largesize; corrupt -> unknown") {
     import graft.corpus.Multimodal
     def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
