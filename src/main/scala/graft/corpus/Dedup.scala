@@ -142,6 +142,11 @@ object Dedup {
     * strict superset of the qualifying pairs at a fraction of the shuffle;
     * candidates then verify with the exact Jaccard. Candidate generation
     * shuffles (shingle, id) only — never the shingle arrays.
+    *
+    * PAIR contract caveat: like every pair API, the output itself is
+    * quadratic in an exact-duplicate group's size (identical sets share
+    * every posting). For clustering, collapse exact duplicates first and
+    * use [[corpusEdges]]-style star edges.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -343,6 +348,11 @@ object Dedup {
     * past n ≈ 10⁵ and is kept only for pinned oracle queries. maxHamming
     * constrains bands from below (pigeonhole needs bands > maxHamming), so
     * widening buckets means widening `bits`, not shrinking `bands`.
+    *
+    * PAIR contract caveat: identical texts carry identical signatures, so
+    * an exact-duplicate group's pair output (and its bucket join) is
+    * quadratic in the group size. For clustering, collapse exact
+    * duplicates to representatives first ([[corpusEdges]] pattern).
     */
   def simhashPairs(
       docs: DataFrame,
