@@ -136,6 +136,17 @@ object Warc {
   def read(spark: SparkSession, path: String): DataFrame =
     parseFiles(spark.read.format("binaryFile").load(path), col("content"))
 
+  /** STREAMING read: new archive files dropped into the watched directory
+    * become record rows — continuous crawl ingestion (the wildcard-file()
+    * analog for the corpus tier). The decoder is the same narrow flatMap;
+    * offsets/discovery ride the file-source checkpoint. */
+  def readStream(spark: SparkSession, path: String): DataFrame =
+    parseFiles(
+      spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .load(path),
+      col("content"))
+
   /** WET view: the extracted plain text of `conversion` records —
     * (target_uri, warc_date, text). The `cast` is Spark's UTF-8 decode;
     * feeds straight into the corpus operators. */

@@ -97,6 +97,26 @@ class WarcSpec extends SparkSpec {
     assert(row === (true, "https://a.example/d"))
   }
 
+  test("warc: streaming ingestion discovers newly-dropped archives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcs")
+    java.nio.file.Files.write(dir.resolve("shard1.wet"), wet)
+    val q = Warc.wetTexts(Warc.readStream(spark, dir.toString))
+      .writeStream.format("memory").queryName("wstream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wstream").count() === 2)
+      // a crawl shard arriving LATER is discovered and decoded
+      java.nio.file.Files.write(dir.resolve("shard2.wet"),
+        record("conversion", "https://b.example/late", "2024-01-03T00:00:00Z",
+          "a later crawl drop."))
+      q.processAllAvailable()
+      val got = spark.table("wstream").select(col("target_uri"), col("text"))
+        .as[(String, String)].collect().sortBy(_._1)
+      assert(got.length === 3)
+      assert(got.last === ("https://b.example/late" -> "a later crawl drop."))
+    } finally q.stop()
+  }
+
   test("warc: WET feeds the corpus operators end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warcc")
     java.nio.file.Files.write(dir.resolve("shard.wet"), wet ++
