@@ -125,6 +125,10 @@ object SparkEntry {
         ${gramCtes(3)}, ${topCte(3)},
         ${gramCtes(4)}, ${topCte(4)},
         ${gramCtes(5)}, ${covCtes(5)},
+        ${gramCtes(6)}, ${covCtes(6)},
+        ${gramCtes(7)}, ${covCtes(7)},
+        ${gramCtes(8)}, ${covCtes(8)},
+        ${gramCtes(9)}, ${covCtes(9)},
         ${gramCtes(10)}, ${covCtes(10)}
         SELECT u.doc_id,
           l.dup_line_frac, l.dup_line_char_frac, l.dup_para_frac, l.dup_para_char_frac,
@@ -132,13 +136,28 @@ object SparkEntry {
           coalesce((t3.c * length(t3.g))::double / u.tc, 0.0) AS top_3gram_char_frac,
           coalesce((t4.c * length(t4.g))::double / u.tc, 0.0) AS top_4gram_char_frac,
           coalesce(cc5.chars::double / u.tc, 0.0) AS dup_5gram_char_frac,
-          coalesce(cc10.chars::double / u.tc, 0.0) AS dup_10gram_char_frac
+          coalesce(cc10.chars::double / u.tc, 0.0) AS dup_10gram_char_frac,
+          (l.dup_line_frac <= 0.30 AND l.dup_para_frac <= 0.30 AND
+           l.dup_line_char_frac <= 0.20 AND l.dup_para_char_frac <= 0.20 AND
+           coalesce((t2.c * length(t2.g))::double / u.tc, 0.0) <= 0.20 AND
+           coalesce((t3.c * length(t3.g))::double / u.tc, 0.0) <= 0.18 AND
+           coalesce((t4.c * length(t4.g))::double / u.tc, 0.0) <= 0.16 AND
+           coalesce(cc5.chars::double / u.tc, 0.0) <= 0.15 AND
+           coalesce(cc6.chars::double / u.tc, 0.0) <= 0.14 AND
+           coalesce(cc7.chars::double / u.tc, 0.0) <= 0.13 AND
+           coalesce(cc8.chars::double / u.tc, 0.0) <= 0.12 AND
+           coalesce(cc9.chars::double / u.tc, 0.0) <= 0.11 AND
+           coalesce(cc10.chars::double / u.tc, 0.0) <= 0.10) AS pass
         FROM units u
         JOIN linep l ON u.doc_id = l.doc_id
         LEFT JOIN t2 ON u.doc_id = t2.doc_id
         LEFT JOIN t3 ON u.doc_id = t3.doc_id
         LEFT JOIN t4 ON u.doc_id = t4.doc_id
         LEFT JOIN cc5 ON u.doc_id = cc5.doc_id
+        LEFT JOIN cc6 ON u.doc_id = cc6.doc_id
+        LEFT JOIN cc7 ON u.doc_id = cc7.doc_id
+        LEFT JOIN cc8 ON u.doc_id = cc8.doc_id
+        LEFT JOIN cc9 ON u.doc_id = cc9.doc_id
         LEFT JOIN cc10 ON u.doc_id = cc10.doc_id"""
   }
 
@@ -1253,7 +1272,8 @@ object SparkEntry {
           col("r.top_3gram_char_frac").as("top_3gram_char_frac"),
           col("r.top_4gram_char_frac").as("top_4gram_char_frac"),
           col("r.dup_5gram_char_frac").as("dup_5gram_char_frac"),
-          col("r.dup_10gram_char_frac").as("dup_10gram_char_frac"))
+          col("r.dup_10gram_char_frac").as("dup_10gram_char_frac"),
+          TextStats.repetitionPass(col("r")).as("pass"))
     }),
 
     // benchmark decontamination: the "benchmark" is every 17th doc's text,

@@ -115,6 +115,23 @@ object TextStats {
   def repetition(text: Column): Column =
     graft.functions.GraftFunctions.repetition_stats(text)
 
+  /** The published Gopher repetition GATE (Rae et al. 2021 Table A1) over
+    * [[repetition]]'s signal struct — the conjunctive pass completing the
+    * rule family the signals feed: dup line/para fractions ≤ 0.30, their
+    * char fractions ≤ 0.20, top-{2,3,4}-gram ≤ {0.20, 0.18, 0.16},
+    * dup-{5..10}-gram coverage ≤ {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}. */
+  def repetitionPass(r: Column): Column = {
+    val topCaps = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupCaps = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+    (r.getField("dup_line_frac") <= 0.30 && r.getField("dup_para_frac") <= 0.30 &&
+      r.getField("dup_line_char_frac") <= 0.20 &&
+      r.getField("dup_para_char_frac") <= 0.20) &&
+      topCaps.map { case (n, c) => r.getField(s"top_${n}gram_char_frac") <= c }
+        .reduce(_ && _) &&
+      dupCaps.map { case (n, c) => r.getField(s"dup_${n}gram_char_frac") <= c }
+        .reduce(_ && _)
+  }
+
   /** Gopher's non-repetition stopword list (Rae et al. 2021 §A1.1): a doc
     * must contain ≥2 of these to pass the composite filter. */
   val GopherStopwords: Seq[String] =
