@@ -969,6 +969,48 @@ class CorpusSpec extends SparkSpec {
     assert(idx2.bands.count() === 6L * 8L)
   }
 
+  test("property: corpusEdges clusters == all-doc banding clusters on randomized corpora") {
+    import graft.corpus.Dedup
+    // randomized corpora with forced exact-duplicate groups and shingle
+    // overlap: the collapsed edge set must produce the SAME components as
+    // the naive composition (exact star edges ∪ LSH over every doc)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      val texts = (1 to 60).map { i =>
+        val base = Seq.fill(10)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        i.toLong -> base
+      }
+      // clone ~1/3 of docs onto later ids (exact dups), tweak a few (near)
+      val docs = texts.map { case (i, t) =>
+        if (i > 40 && rnd.nextBoolean()) (i, texts((i % 20).toInt)._2) // exact dup
+        else if (i > 55) (i, texts((i % 10).toInt)._2 + " extra") // near-dup
+        else (i, t)
+      }.toDF("doc_id", "text")
+
+      val viaCollapsed = Dedup.resolveClusters(
+          docs.select(col("doc_id").as("member_id")),
+          Dedup.corpusEdges(docs, col("doc_id"), col("text")),
+          "doc_a", "doc_b")
+        .select(col("member_id"), col("cluster_id")).as[(Long, Long)].collect().toMap
+      val naiveEdges = {
+        val hashed = docs.select(col("doc_id"), Dedup.contentHash(col("text")).as("h"))
+        val keepers = hashed.groupBy("h")
+          .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+        hashed.join(keepers, Seq("h")).filter(col("doc_id") =!= col("doc_a"))
+          .select(col("doc_a"), col("doc_id").as("doc_b"))
+          .unionByName(Dedup.minhashLsh(docs, col("doc_id"), col("text"))
+            .select(col("doc_a"), col("doc_b")))
+      }
+      val viaNaive = Dedup.resolveClusters(
+          docs.select(col("doc_id").as("member_id")), naiveEdges, "doc_a", "doc_b")
+        .select(col("member_id"), col("cluster_id")).as[(Long, Long)].collect().toMap
+      assert(viaCollapsed === viaNaive, s"seed $seed: cluster maps diverge")
+    }
+  }
+
   test("viral identical embeddings: collapsed banding clusters like all-copy pairs") {
     import graft.corpus.{Dedup, Similarity}
     val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
