@@ -217,10 +217,22 @@ object Curate {
     /** Initialize with the index of the seed corpus as version `v-1`. */
     def init(index: CurateIndex, dir: String): Unit = commitInternal(index, dir, -1L)
 
-    /** (index, lastBatchId) at the current pointer. */
+    /** (index, lastBatchId) at the current pointer. Hadoop's rename fails
+      * on an existing destination, so the swing is delete-then-rename; a
+      * crash inside that window leaves no CURRENT but a fully-written
+      * CURRENT.tmp (the tmp is durable before the old pointer is touched)
+      * — load() finishes the swing from the tmp in that case. */
     def load(spark: org.apache.spark.sql.SparkSession, dir: String): (CurateIndex, Long) = {
       val fs = pointer(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(pointer(dir))
+      val p =
+        if (fs.exists(pointer(dir))) pointer(dir)
+        else {
+          val tmp = new org.apache.hadoop.fs.Path(s"$dir/CURRENT.tmp")
+          require(fs.exists(tmp), s"no CURRENT pointer (or staged tmp) under $dir")
+          require(fs.rename(tmp, pointer(dir)), s"pointer recovery failed under $dir")
+          pointer(dir)
+        }
+      val in = fs.open(p)
       val cur = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
       val Array(ver, batch) = cur.split(":")
       (CurateIndex.load(spark, s"$dir/$ver"), batch.toLong)

@@ -97,6 +97,7 @@ object Warc {
         }
       }
       val len = hdrs.get("Content-Length").flatMap(_.toLongOption)
+        .filter(l => l >= 0 && l <= Int.MaxValue) // absurd sizes = malformed
       if (ok && len.isDefined && p + len.get <= bytes.length) {
         val n = len.get.toInt
         out += ((version, hdrs, java.util.Arrays.copyOfRange(bytes, p, p + n)))

@@ -131,6 +131,15 @@ class CorpusStreamSpec extends SparkSpec {
     assert(last3 === 2L)
     val b2 = spark.read.parquet(s"$outDir/batch=2")
     assert(b2.columns.contains("url_keeper") && b2.count() === 1)
+
+    // crash INSIDE the pointer swing (old CURRENT deleted, staged tmp not
+    // yet renamed): load finishes the swing from the durable tmp
+    val cur = new java.io.File(s"$indexDir/CURRENT")
+    val tmp = new java.io.File(s"$indexDir/CURRENT.tmp")
+    java.nio.file.Files.copy(cur.toPath, tmp.toPath)
+    assert(cur.delete())
+    val (_, recovered) = Curate.CurateIndexStore.load(spark, indexDir)
+    assert(recovered === 2L && cur.exists() && !tmp.exists())
   }
 
   test("streaming gate: batch quality/PII columns run unchanged on a stream") {

@@ -88,6 +88,14 @@ class WarcSpec extends SparkSpec {
     assert(recs.head._2("WARC-Target-URI") === "https://a.example/ok")
     assert(new String(recs.head._3, "UTF-8") === "good text.")
 
+    // an absurd Content-Length (past Int.MaxValue) is malformed, not a
+    // crash: the record drops and the walk resyncs
+    val absurd = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: 99999999999\r\n\r\n").getBytes("UTF-8") ++
+      record("conversion", "https://a.example/after", "2024-01-02T03:04:05Z", "fine.")
+    val r2 = Warc.records(absurd)
+    assert(r2.length === 1 && r2.head._2("WARC-Target-URI") === "https://a.example/after")
+
     // malformed WARC-Date -> null timestamp, record still lands
     val badDate = record("conversion", "https://a.example/d", "not-a-date", "x.")
     val dir = java.nio.file.Files.createTempDirectory("graft-warcbad")
