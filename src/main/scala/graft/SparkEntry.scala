@@ -2325,17 +2325,25 @@ object SparkEntry {
       // replicate temperatureMixture's arithmetic: q_s ∝ (n_s/N)^(1/τ),
       // r_s = min(1, 0.5·N·q_s/n_s); the Spark side compares fixed-width
       // hex against thresholdHex(r) = floor(r·2^32) formatted — numerically
-      // identical to comparing the hex value against floor(r·2^32)
+      // identical to comparing the hex value against floor(r·2^32).
+      // Rates are rounded to 6 significant figures with the identical
+      // double formula as the Scala side BEFORE the floor, so a ulp of
+      // pow/sum divergence cannot flip the mix_keep boolean
       """WITH n AS (SELECT lang, count(*)::double AS ns FROM documents GROUP BY lang),
          t AS (SELECT sum(ns) AS nn FROM n),
          w AS (SELECT lang, ns, pow(ns / t.nn, 0.5) AS ws FROM n CROSS JOIN t),
          r AS (SELECT lang,
-                 least(1.0, 0.5 * (SELECT nn FROM t) * (ws / (SELECT sum(ws) FROM w)) / ns) AS mix_rate
-               FROM w)
-         SELECT d.doc_id, d.lang, r.mix_rate,
+                 least(1.0, 0.5 * (SELECT nn FROM t) * (ws / (SELECT sum(ws) FROM w)) / ns) AS r0
+               FROM w),
+         r6 AS (SELECT lang,
+                 CASE WHEN r0 = 0 THEN 0.0
+                      ELSE round(r0 / pow(10.0, floor(log10(abs(r0))) - 5))
+                           * pow(10.0, floor(log10(abs(r0))) - 5) END AS mix_rate
+                FROM r)
+         SELECT d.doc_id, d.lang, r6.mix_rate,
            (('0x' || substr(md5('mix:' || d.doc_id), 1, 8))::BIGINT <
-            floor(r.mix_rate * 4294967296.0)::BIGINT) AS mix_keep
-         FROM documents d JOIN r USING (lang)""",
+            floor(r6.mix_rate * 4294967296.0)::BIGINT) AS mix_keep
+         FROM documents d JOIN r6 USING (lang)""",
 
     "q_corpus_vocab" ->
       """SELECT token, count(*)::bigint AS freq
@@ -2493,12 +2501,20 @@ object SparkEntry {
                   (nw >= 50 AND nw <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0 AND
                    symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND
                    alpha_frac >= 0.8 AND stop_hits >= 2) AS pass
-                FROM gm)
+                FROM gm),
+         -- gate input rounded to 6 sig figs (identical formula to the Spark
+         -- side): cross-row double sums diverge by ulps between engines and
+         -- the kept boolean cannot be absorbed by output rounding
+         ce6 AS (SELECT doc_id, cross_entropy,
+                   CASE WHEN cross_entropy = 0 THEN 0.0
+                        ELSE round(cross_entropy / pow(10.0, floor(log10(abs(cross_entropy))) - 5))
+                             * pow(10.0, floor(log10(abs(cross_entropy))) - 5) END AS cer
+                 FROM ce)
          SELECT d.doc_id,
            uf.url_keeper,
            coalesce(d.doc_id = cl.cluster_id, false) AS dedup_keeper,
            gq.pass AS quality_pass,
-           ce.cross_entropy,
+           ce6.cross_entropy,
            md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(d.text,
              '${Pii.EmailRe}', '<EMAIL>', 'g'),
              '${Pii.CreditCardRe}', '<CREDIT_CARD>', 'g'),
@@ -2509,11 +2525,11 @@ object SparkEntry {
                 WHEN substr(md5('split:' || coalesce(cl.cluster_id, d.doc_id)), 1, 8) < '$t2' THEN 'valid'
                 ELSE 'test' END AS split,
            (uf.url_keeper AND coalesce(d.doc_id = cl.cluster_id, false) AND gq.pass AND
-            coalesce(ce.cross_entropy <= 1.13, false)) AS kept
+            coalesce(ce6.cer <= 1.13, false)) AS kept
          FROM documents d
            JOIN uf USING (doc_id)
            LEFT JOIN cl USING (doc_id)
-           LEFT JOIN ce USING (doc_id)
+           LEFT JOIN ce6 USING (doc_id)
            JOIN gq USING (doc_id)"""
     },
 

@@ -31,6 +31,23 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
+  /** Round a positive double column to 6 significant figures — the parity
+    * contract's resolution. cross_entropy is a cross-row double sum whose
+    * association order legitimately differs between engines (a few ulps);
+    * gating the RAW value at `ceCap` would let a ulp at the boundary flip
+    * the `kept` boolean, which no output rounding can absorb. Both the
+    * Spark gate and the oracle apply this identical double-arithmetic
+    * formula first, so they compare the same 6-sig-fig double. */
+  private[corpus] def roundSig6(x: Column): Column = {
+    val p = pow(lit(10.0), floor(log10(abs(x))) - 5)
+    when(x.isNull || x === 0.0, x).otherwise(round(x / p) * p)
+  }
+
+  /** The gated cross-entropy comparison — shared by [[curate]]'s `kept`
+    * and [[curateObserved]]'s attrition counters so they always agree. */
+  private def cePass(ce: Column, ceCap: Double): Column =
+    coalesce(roundSig6(ce) <= ceCap, lit(false))
+
   /** The shared audit projection over a frame carrying doc_id, url_keeper,
     * __dk, cluster_id, cross_entropy, __text. */
   private def auditSelect(
@@ -51,7 +68,7 @@ object Curate {
         md5(Pii.redact(col("__text"))).as("redacted_md5"),
         Sampling.splitLabel(coalesce(col("cluster_id"), col("doc_id")), splits).as("split"),
         (col("url_keeper") && coalesce(col("__dk"), lit(false)) && col("__qp") &&
-          coalesce(col("cross_entropy") <= ceCap, lit(false))).as("kept"))
+          cePass(col("cross_entropy"), ceCap)).as("kept"))
 
   /** @param lm optional FROZEN char-trigram counts ((gram, cnt), n = 3) to
     *           score cross-entropy under; None (the default) trains on the
@@ -315,7 +332,7 @@ object Curate {
       "quality_dropped" -> cnt(col("url_keeper") && col("dedup_keeper") &&
         !col("quality_pass")),
       "perplexity_dropped" -> cnt(col("url_keeper") && col("dedup_keeper") &&
-        col("quality_pass") && !coalesce(col("cross_entropy") <= ceCap, lit(false))),
+        col("quality_pass") && !cePass(col("cross_entropy"), ceCap)),
       "kept" -> cnt(col("kept")))
   }
 }

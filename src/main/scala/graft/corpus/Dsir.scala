@@ -55,11 +55,14 @@ object Dsir {
       target: DataFrame, source: DataFrame,
       buckets: Int, alpha: Double = 0.1): DataFrame = {
     // The two corpus totals are scalars of the (≤ buckets)-row count
-    // tables — persist those tables, collect the totals as literals, and
-    // let the broadcast dims read the cache. One fitting pass per corpus
-    // (down from two), and no 1-row BroadcastNestedLoopJoin in the plan.
-    val tp = target.persist()
-    val sp = source.persist()
+    // tables — materialize those tables, collect the totals as literals,
+    // and let the broadcast dims read the blocks. One fitting pass per
+    // corpus (down from two), no 1-row BroadcastNestedLoopJoin in the
+    // plan, and (localCheckpoint, not persist) the blocks are
+    // ContextCleaner-freed when the frame is dropped — no unbounded cache
+    // growth under repeated scoring.
+    val tp = target.localCheckpoint()
+    val sp = source.localCheckpoint()
     val tt = tp.agg(coalesce(sum(col("cnt")), lit(0L)).cast("double")).head().getDouble(0)
     val ts = sp.agg(coalesce(sum(col("cnt")), lit(0L)).cast("double")).head().getDouble(0)
     val t = tp.select(col("bucket"), col("cnt").as("tc"))

@@ -52,14 +52,18 @@ object LanguageModel {
     * scored corpus — it is collected to the driver and inlined as a
     * literal rather than cross-joined as a 1-row frame (which would plan a
     * BroadcastNestedLoopJoin into every score row's stage). The model frame
-    * is persisted first, so the training plan runs ONCE and the two
-    * broadcast dims (+ the V scalar) all read the cached counts — one
-    * training pass total, down from two.
+    * is localCheckpointed first, so the training plan runs ONCE and the two
+    * broadcast dims (+ the V scalar) all read the materialized counts — one
+    * training pass total, down from two. localCheckpoint, not persist:
+    * checkpoint RDD blocks are reference-tracked and freed by the
+    * ContextCleaner once the returned frame is unreachable, so a
+    * long-running stream scoring a fresh model per micro-batch
+    * ([[Curate.curateBatch]]) does not accumulate cache entries forever.
     */
   def crossEntropy(
       docs: DataFrame, id: Column, text: Column,
       model: DataFrame, n: Int, alpha: Double = 0.1): DataFrame = {
-    val m = model.persist()
+    val m = model.localCheckpoint()
     val v = m.agg(countDistinct(substring(col("gram"), n, 1)))
       .head().getLong(0).toDouble
     val m3 = m.select(col("gram"), col("cnt").as("cg"))

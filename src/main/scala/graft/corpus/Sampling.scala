@@ -165,8 +165,20 @@ object Sampling {
     val n = counts.map(_._2).sum // integer-valued doubles: exact in any order
     val ws = counts.map { case (s, c) => s -> math.pow(c / n, 1.0 / temperature) }
     val wSum = ws.map(_._2).sum
+    // round each rate to 6 significant figures with the same double
+    // arithmetic the SQL oracle uses: r_s comes from pow/sum doubles the
+    // two engines compute independently, and floor(r·2^32) at a ulp
+    // boundary would flip mix_keep — a boolean no output rounding can
+    // absorb. After this both engines floor the IDENTICAL double.
+    // (math.round = half-up for positive = DuckDB round().)
+    def roundSig6(x: Double): Double =
+      if (x == 0.0) 0.0
+      else {
+        val p = math.pow(10.0, math.floor(math.log10(math.abs(x))) - 5)
+        math.round(x / p) * p
+      }
     val rates = ws.zip(counts).map { case ((s, w), (_, c)) =>
-      s -> math.min(1.0, targetFraction * n * (w / wSum) / c)
+      s -> roundSig6(math.min(1.0, targetFraction * n * (w / wSum) / c))
     }.toMap
     // map LITERALS, not a per-source when-chain: a mixture over thousands
     // of sources (domains, crawls) would otherwise build a thousands-deep

@@ -47,15 +47,31 @@ object Warc {
 
   private val Magic = "WARC/".getBytes("US-ASCII")
 
+  /** WARC field names are case-insensitive (ISO 28500 §5.1); crawlers emit
+    * `content-length:` and friends. The `headers` column keeps original
+    * casing; known-field resolution goes through this. */
+  private def hget(hdrs: ListMap[String, String], name: String): Option[String] =
+    hdrs.get(name).orElse {
+      val lower = name.toLowerCase(java.util.Locale.ROOT)
+      hdrs.collectFirst { case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == lower => v }
+    }
+
   /** Decompress a (possibly multi-member) gzip stream; identity for plain
-    * bytes. */
+    * bytes. Initial capacity is clamped so ~1 GB crawl shards don't
+    * overflow Int (512 MB × 4 goes negative). A corrupt/truncated gzip
+    * MEMBER yields the bytes decoded so far instead of failing the task —
+    * `records()` already resyncs/drops the truncated WARC tail, so one bad
+    * member costs its records, not the shard. */
   def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 65536)
-      val out = new ByteArrayOutputStream(bytes.length * 4)
+      val cap = math.min(bytes.length.toLong * 4, Int.MaxValue - 8L).toInt
+      val out = new ByteArrayOutputStream(cap)
       val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      try {
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } catch { case _: java.io.IOException => /* truncated member: keep prefix */ }
       out.toByteArray
     } else bytes
 
@@ -96,7 +112,7 @@ object Warc {
           l = line()
         }
       }
-      val len = hdrs.get("Content-Length").flatMap(_.toLongOption)
+      val len = hget(hdrs, "Content-Length").flatMap(_.toLongOption)
         .filter(l => l >= 0 && l <= Int.MaxValue) // absurd sizes = malformed
       if (ok && len.isDefined && p + len.get <= bytes.length) {
         val n = len.get.toInt
@@ -112,16 +128,16 @@ object Warc {
 
   private def toRow(rec: (String, ListMap[String, String], Array[Byte])): Row = {
     val (_, h, body) = rec
-    val ts = h.get("WARC-Date").flatMap { d =>
+    val ts = hget(h, "WARC-Date").flatMap { d =>
       try Some(java.sql.Timestamp.from(java.time.Instant.parse(d)))
       catch { case _: java.time.format.DateTimeParseException => None }
     }
     Row(
-      h.get("WARC-Type").orNull,
-      h.get("WARC-Record-ID").orNull,
-      h.get("WARC-Target-URI").orNull,
+      hget(h, "WARC-Type").orNull,
+      hget(h, "WARC-Record-ID").orNull,
+      hget(h, "WARC-Target-URI").orNull,
       ts.orNull,
-      h.get("Content-Type").orNull,
+      hget(h, "Content-Type").orNull,
       body.length.toLong,
       body,
       h)

@@ -1338,12 +1338,14 @@ class CorpusSpec extends SparkSpec {
       .select(col("src"), col("mix_rate"), col("mix_keep"))
       .as[(String, Double, Boolean)].collect()
 
-    // closed form at τ=2: q ∝ √p; N=100, target 50
+    // closed form at τ=2: q ∝ √p; N=100, target 50. Emitted rates are
+    // rounded to 6 significant figures (the oracle-parity hardening), so
+    // compare at that resolution
     val (wb, ws) = (math.sqrt(0.8), math.sqrt(0.2))
     val rBig = 50.0 * (wb / (wb + ws)) / 80.0
     val rSmall = 50.0 * (ws / (wb + ws)) / 20.0
-    assert(out.filter(_._1 == "big").forall(_._2 === rBig))
-    assert(out.filter(_._1 == "small").forall(_._2 === rSmall))
+    assert(out.filter(_._1 == "big").forall(r => math.abs(r._2 - rBig) <= rBig * 1e-5))
+    assert(out.filter(_._1 == "small").forall(r => math.abs(r._2 - rSmall) <= rSmall * 1e-5))
     assert(rSmall > 0.5 && 0.5 > rBig, "τ>1 up-weights the rare source")
 
     // τ=1 degenerates to the uniform fraction for every source
