@@ -1090,6 +1090,29 @@ object SparkEntry {
         .select(col("doc_id"), col("canonical_url"), col("is_keeper"))
     }),
 
+    // HTML→text extraction (the raw-WARC front door): deterministic page
+    // fixtures wrap each doc's text in nav/comment/script/style/entity/
+    // footer boilerplate; the jusText-shaped block classifier (length,
+    // link-density, stopword-density) must recover exactly the main
+    // paragraph and drop the chrome
+    "q_warc_html" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc</title><script type=\"text/javascript\">var x = 1 < 2; // nav</script><style>.a{color:red}</style></head><body>"),
+        lit("<div class=\"nav\"><a href=\"/\">Home</a> | <a href=\"/about\">About&nbsp;Us</a> | <a href=\"/contact\">Contact</a></div>"),
+        lit("<!-- boilerplate comment <p>not text</p> -->"),
+        lit("<h1>Title "), col("doc_id").cast("string"), lit("</h1>"),
+        lit("<p>"), col("text"), lit("</p>"),
+        lit("<p>Short &amp; sweet.</p>"),
+        lit("<div class=\"related\">See also <a href=\"/1\">the first related article of the day</a> and <a href=\"/2\">the second one that is linked</a></div>"),
+        lit("<div class=\"footer\">&copy; 2026 <a href=\"/legal\">Legal</a></div></body></html>"))
+      documents(s, dir)
+        .select(col("doc_id"), graft.corpus.HtmlText.extract(html).as("__x"))
+        .select(col("doc_id"),
+          col("__x").getField("n_blocks").as("n_blocks"),
+          col("__x").getField("n_good").as("n_good"),
+          col("__x").getField("text").as("text"))
+    }),
+
     // the composed curation pipeline (the corpus analog of the flagship
     // parse→enrich→route→aggregate): URL dedup → near-dup dedup among URL
     // keepers → Gopher quality gate → perplexity gate → PII redaction →
@@ -2408,6 +2431,74 @@ object SparkEntry {
          k AS (SELECT canonical_url, min(doc_id) AS keep FROM c3 GROUP BY 1)
          SELECT c3.doc_id, c3.canonical_url, (c3.doc_id = k.keep) AS is_keeper
          FROM c3 JOIN k USING (canonical_url)""",
+
+    "q_warc_html" ->
+      // relational recomputation of HtmlText.extract: the same regex
+      // stages (comments/script/style, anchor sentinels via chr(1)/chr(2),
+      // block tags -> chr(3), residual tags -> space, entity decode with
+      // &amp; last), then per-block length / link-chars / stopword metrics
+      // and the multiplied-out jusText-shaped gate
+      """WITH h0 AS (SELECT doc_id,
+             '<html><head><title>Doc</title><script type="text/javascript">var x = 1 < 2; // nav</script><style>.a{color:red}</style></head><body>'
+             || '<div class="nav"><a href="/">Home</a> | <a href="/about">About&nbsp;Us</a> | <a href="/contact">Contact</a></div>'
+             || '<!-- boilerplate comment <p>not text</p> -->'
+             || '<h1>Title ' || doc_id || '</h1>'
+             || '<p>' || text || '</p>'
+             || '<p>Short &amp; sweet.</p>'
+             || '<div class="related">See also <a href="/1">the first related article of the day</a> and <a href="/2">the second one that is linked</a></div>'
+             || '<div class="footer">&copy; 2026 <a href="/legal">Legal</a></div></body></html>' AS h
+           FROM documents),
+         h1 AS (SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(h,
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                 '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                 '(?i)<a\b[^>]*>', chr(1), 'g'),
+                 '(?i)</a\s*>', chr(2), 'g'),
+                 '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table|br|hr|section|article|aside|header|footer|nav|main|blockquote|pre|form|fieldset)\b[^>]*>', chr(3), 'g'),
+                 '(?s)<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS c
+           FROM h0),
+         b0 AS (SELECT doc_id,
+             [trim(regexp_replace(b, '\s+', ' ', 'g')) for b in string_split(c, chr(3))] AS nb
+           FROM h1),
+         b1 AS (SELECT doc_id,
+             [trim(regexp_replace(translate(b, chr(1) || chr(2), ''), ' +', ' ', 'g')) for b in nb] AS vb0,
+             [coalesce(list_sum([length(m) - 2 for m in
+                 regexp_extract_all(b, chr(1) || '[^' || chr(1) || chr(2) || ']*' || chr(2))]), 0)
+              for b in nb] AS lc0
+           FROM b0),
+         b2 AS (SELECT doc_id, vb0, lc0,
+             [i for i in generate_series(1, len(vb0)) if length(vb0[i]) > 0] AS ne
+           FROM b1),
+         b3 AS (SELECT doc_id,
+             [vb0[i] for i in ne] AS bt,
+             [lc0[i] for i in ne] AS bl
+           FROM b2),
+         b4 AS (SELECT doc_id, bt, bl,
+             [len(list_filter(string_split(lower(t), ' '), x -> x <> '')) for t in bt] AS nw,
+             [len(list_filter(string_split(lower(t), ' '),
+                x -> x IN ('the','a','an','of','and','to','in','is','it','that'))) for t in bt] AS ns
+           FROM b3),
+         b5 AS (SELECT doc_id, bt,
+             [i for i in generate_series(1, len(bt))
+                if length(bt[i]) >= 25
+                   AND bl[i]::double <= 0.35 * length(bt[i])::double
+                   AND ns[i]::double >= 0.05 * nw[i]::double] AS gi
+           FROM b4)
+         SELECT doc_id,
+           cast(len(bt) AS int) AS n_blocks,
+           cast(len(gi) AS int) AS n_good,
+           coalesce(array_to_string([bt[i] for i in gi], chr(10)), '') AS text
+         FROM b5""",
 
     "q_corpus_curate" -> {
       // the composed pipeline's oracle is the composition of the per-stage

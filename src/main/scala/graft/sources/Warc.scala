@@ -171,4 +171,36 @@ object Warc {
     records.filter(col("warc_type") === "conversion")
       .select(col("target_uri"), col("warc_date"),
         col("content").cast("string").as("text"))
+
+  /** Raw-WARC view: main text extracted from `response` records — the path
+    * most of Common Crawl's value takes (WET conversions are a lossy
+    * convenience; production pipelines extract text themselves). A response
+    * body is a full HTTP/1.x message: status line + headers, CRLFCRLF, then
+    * the payload. Records whose HTTP headers don't declare `text/html` (or
+    * that have no header/body split) are dropped; the payload runs through
+    * [[graft.corpus.HtmlText.extract]] — (target_uri, warc_date, text,
+    * n_blocks, n_good). Same narrow per-record scan shape as [[wetTexts]];
+    * chunked/compressed HTTP payloads are out of scope here (Common Crawl
+    * stores identity-encoded bodies).
+    */
+  def responseHtml(
+      records: DataFrame, minChars: Int = 25, maxLinkDensity: Double = 0.35,
+      minStopDensity: Double = 0.05): DataFrame = {
+    val http = col("content").cast("string")
+    val sep = locate("\r\n\r\n", http)
+    records.filter(col("warc_type") === "response")
+      .select(col("target_uri"), col("warc_date"),
+        sep.as("__sep"),
+        http.substr(lit(1), sep).as("__head"),
+        http.substr(sep + 4, length(http)).as("__body"))
+      .filter(col("__sep") > 0 &&
+        instr(lower(col("__head")), "content-type: text/html") > 0)
+      .select(col("target_uri"), col("warc_date"),
+        graft.corpus.HtmlText.extract(col("__body"), minChars, maxLinkDensity,
+          minStopDensity).as("__x"))
+      .select(col("target_uri"), col("warc_date"),
+        col("__x").getField("text").as("text"),
+        col("__x").getField("n_blocks").as("n_blocks"),
+        col("__x").getField("n_good").as("n_good"))
+  }
 }

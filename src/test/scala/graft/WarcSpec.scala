@@ -125,6 +125,65 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def httpHtml(html: String): String =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\nServer: test\r\n\r\n" + html
+
+  private val mainPara =
+    ("the quick brown fox jumps over the lazy dog and it is a fine day " +
+      "in the park so ").repeat(4).trim
+
+  private def page(body: String): String =
+    "<html><head><script>var x = 1 < 2;</script><style>.n{}</style></head><body>" +
+      "<div class=\"nav\"><a href=\"/\">Home</a> | <a href=\"/a\">About&nbsp;Us</a> | <a href=\"/c\">Contact</a></div>" +
+      "<!-- chrome --><p>" + body + "</p>" +
+      "<div class=\"footer\"><a href=\"/l\">Legal</a> stuff</div></body></html>"
+
+  test("warc: response-record HTML extracts main text; non-HTML responses drop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warch")
+    java.nio.file.Files.write(dir.resolve("crawl.warc"),
+      record("response", "https://h.example/page", "2024-01-02T03:04:05Z",
+        httpHtml(page(mainPara)), "application/http; msgtype=response") ++
+        record("response", "https://h.example/logo.png", "2024-01-02T03:04:06Z",
+          "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\nPNGBYTES",
+          "application/http; msgtype=response") ++
+        record("conversion", "https://h.example/wet", "2024-01-02T03:04:07Z",
+          "wet text is not a response record."))
+    val got = Warc.responseHtml(Warc.read(spark, dir.toString + "/*.warc"))
+      .select(col("target_uri"), col("text"), col("n_blocks"), col("n_good"))
+      .as[(String, String, Int, Int)].collect()
+    assert(got.length === 1, "only the text/html response survives")
+    val (uri, text, nBlocks, nGood) = got.head
+    assert(uri === "https://h.example/page")
+    assert(text === mainPara, "boilerplate nav/script/footer stripped, main paragraph kept")
+    assert(nBlocks === 3 && nGood === 1) // nav, main, footer; only main is good
+  }
+
+  test("warc: response HTML feeds Curate.curate end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warchc")
+    java.nio.file.Files.write(dir.resolve("crawl.warc"),
+      record("response", "https://h.example/a", "2024-01-02T03:04:05Z",
+        httpHtml(page(mainPara)), "application/http; msgtype=response") ++
+        record("response", "https://h.example/b-dup", "2024-01-02T03:04:06Z",
+          httpHtml(page(mainPara)), "application/http; msgtype=response") ++
+        record("response", "https://h.example/junk", "2024-01-02T03:04:07Z",
+          httpHtml(page("tiny.")), "application/http; msgtype=response"))
+    val docs = Warc.responseHtml(Warc.read(spark, dir.toString + "/*.warc"))
+    val audit = graft.corpus.Curate.curate(docs,
+        col("target_uri"), col("text"), col("target_uri"), lit("en"),
+        ceCap = 1e9) // perplexity gate neutralized: 3 tiny docs train the LM
+      .select(col("doc_id"), col("url_keeper"), col("dedup_keeper"),
+        col("quality_pass"), col("kept"))
+      .as[(String, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(audit.size === 3)
+    assert(audit("https://h.example/a") === ((true, true, true, true)),
+      "the extracted main doc survives every stage")
+    val dup = audit("https://h.example/b-dup")
+    assert(dup._1 && !dup._2 && !dup._4, "identical extracted text loses near-dup keepership")
+    val junk = audit("https://h.example/junk")
+    assert(!junk._3 && !junk._4, "a boilerplate-only page fails the quality gate")
+  }
+
   test("warc: WET feeds the corpus operators end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warcc")
     java.nio.file.Files.write(dir.resolve("shard.wet"), wet ++
