@@ -98,6 +98,91 @@ class HttpSinkSpec extends SparkSpec {
     }
   }
 
+  test("load balancer: even client spread, failover, timed LRU recovery probe") {
+    var now = 0L
+    val lb = new Http.LoadBalancer(Seq("a", "b", "c"), 100, () => now)
+    val Seq(c1, c2, c3) = Seq.fill(3)(lb.registerClient())
+    // 3 clients over 3 operational targets: one each
+    val pinned = Seq(c1, c2, c3).map(lb.choose(_).url)
+    assert(pinned.toSet === Set("a", "b", "c"))
+
+    // c1's target fails: c1 moves to an operational target; the failed one
+    // leaves the rotation
+    val t1 = lb.choose(c1)
+    lb.fail(t1)
+    now = 50
+    val moved = lb.choose(c1)
+    assert(moved.url !== t1.url)
+    assert(lb.failedUrls === Seq(t1.url))
+
+    // after recoveryTimeout the next choose is a probe at the LRU failed
+    // target; a success re-admits it
+    now = 150
+    val probe = lb.choose(c1)
+    assert(probe.url === t1.url, "recovery probe routes to the failed target")
+    lb.success(probe)
+    assert(lb.failedUrls === Seq.empty)
+  }
+
+  test("multi-url: rows spread across two live targets") {
+    withServer { (server, port) =>
+      val a = new AtomicInteger(0)
+      val b = new AtomicInteger(0)
+      server.createContext("/a", (ex: HttpExchange) => {
+        body(ex); a.incrementAndGet(); ex.sendResponseHeaders(200, -1); ex.close()
+      })
+      server.createContext("/b", (ex: HttpExchange) => {
+        body(ex); b.incrementAndGet(); ex.sendResponseHeaders(200, -1); ex.close()
+      })
+      val df = spark.range(20).selectExpr("concat('m', id) AS msg").repartition(2)
+      val (d, drop) = Http.writeBalanced(df,
+        Seq(s"http://127.0.0.1:$port/a", s"http://127.0.0.1:$port/b"), col("msg"))
+      assert(d === 20 && drop === 0)
+      assert(a.get() > 0 && b.get() > 0, "both targets serve traffic")
+      assert(a.get() + b.get() === 20)
+    }
+  }
+
+  test("multi-url: dead target fails over to the survivor without task failure; " +
+      "recovery probe re-admits it") {
+    withServer { (server, port) =>
+      val aUp = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val aOk = new AtomicInteger(0)
+      val bOk = new AtomicInteger(0)
+      server.createContext("/a", (ex: HttpExchange) => {
+        body(ex)
+        if (aUp.get()) { aOk.incrementAndGet(); ex.sendResponseHeaders(200, -1) }
+        else ex.sendResponseHeaders(500, -1)
+        ex.close()
+      })
+      server.createContext("/b", (ex: HttpExchange) => {
+        body(ex); bOk.incrementAndGet(); ex.sendResponseHeaders(200, -1); ex.close()
+      })
+      val urls = Seq(s"http://127.0.0.1:$port/a", s"http://127.0.0.1:$port/b")
+      val df = spark.range(8).selectExpr("concat('m', id) AS msg").coalesce(1)
+
+      // phase 1: target a is down — the walk marks it failed, every row
+      // lands on b, the task does NOT fail
+      val (d1, drop1) = Http.writeBalanced(df, urls, col("msg"),
+        recoveryTimeoutMs = 150L)
+      assert(d1 === 8 && drop1 === 0)
+      assert(bOk.get() === 8 && aOk.get() === 0)
+      assert(Http.LoadBalancer.forTargets(urls.toList, 150L).failedUrls
+        === Seq(urls.head))
+
+      // phase 2: a comes back; after the recovery window a probe routes a
+      // real batch to it and a success re-admits it to the rotation
+      aUp.set(true)
+      Thread.sleep(200L)
+      val (d2, drop2) = Http.writeBalanced(df, urls, col("msg"),
+        recoveryTimeoutMs = 150L)
+      assert(d2 === 8 && drop2 === 0)
+      assert(aOk.get() > 0, "recovered target serves traffic again")
+      assert(Http.LoadBalancer.forTargets(urls.toList, 150L).failedUrls
+        === Seq.empty)
+    }
+  }
+
   test("persistent 5xx fails the write after bounded retries") {
     withServer { (server, port) =>
       server.createContext("/down", (ex: HttpExchange) => {
