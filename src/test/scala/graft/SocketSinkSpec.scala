@@ -71,6 +71,110 @@ class SocketSinkSpec extends SparkSpec {
     sock.close()
   }
 
+  /** Accepts connections in a loop until the server socket closes; each
+    * connection's bytes append atomically after its EOF. */
+  private def collectLoop(server: ServerSocket, out: java.lang.StringBuilder): Thread = {
+    val t = new Thread(() => {
+      try while (true) {
+        val s = server.accept()
+        val bytes = s.getInputStream.readAllBytes()
+        out.synchronized { out.append(new String(bytes, "UTF-8")) }
+        s.close()
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start(); t
+  }
+
+  test("failover(): dead primary advances to the secondary, nothing lost") {
+    val deadPort = { val s = new ServerSocket(0); val p = s.getLocalPort; s.close(); p }
+    val live = new ServerSocket(0)
+    val done = new CountDownLatch(1)
+    val out = new java.lang.StringBuilder
+    collectTcp(live, done, out)
+    val df = (0 until 10).map(i => s"f$i").toDF("msg").coalesce(1)
+    val (n, used) = Socket.writeFailover(df,
+      Seq(("127.0.0.1", deadPort), ("127.0.0.1", live.getLocalPort)),
+      col("msg"), batchLines = 4)
+    assert(n === 10 && used === 1, "only the secondary ever carried traffic")
+    assert(done.await(10, TimeUnit.SECONDS))
+    assert(out.toString === (0 until 10).map(i => s"f$i\n").mkString)
+    live.close()
+  }
+
+  test("failover(): primary killed mid-batch fails over; in-flight batch resent, no loss") {
+    // the primary reads 64 KB of a 16 MB batch then hard-closes (RST).
+    // The batch cannot fit any socket buffer, so the sender's flush is
+    // still in progress when the reset lands -> IOException inside the
+    // batch -> reconnect to the secondary and resend the WHOLE batch.
+    val primary = new ServerSocket()
+    primary.setReceiveBufferSize(8192)
+    primary.bind(new java.net.InetSocketAddress("127.0.0.1", 0))
+    val killer = new Thread(() => {
+      try {
+        val s = primary.accept()
+        val in = s.getInputStream
+        val buf = new Array[Byte](8192)
+        var got = 0
+        while (got < 65536) { val k = in.read(buf); if (k < 0) got = 65536 else got += k }
+        s.setSoLinger(true, 0) // RST, not FIN
+        s.close()
+      } catch { case _: Exception => () }
+    })
+    killer.setDaemon(true); killer.start()
+
+    val secondary = new ServerSocket(0)
+    val done = new CountDownLatch(1)
+    val out = new java.lang.StringBuilder
+    collectTcp(secondary, done, out)
+
+    val pad = "x" * 1000
+    val rows = (0 until 16000).map(i => s"$pad-$i")
+    val df = rows.toDF("msg").coalesce(1)
+    val (n, used) = Socket.writeFailover(df,
+      Seq(("127.0.0.1", primary.getLocalPort), ("127.0.0.1", secondary.getLocalPort)),
+      col("msg"), batchLines = 16000)
+    assert(n === 16000 && used === 2)
+    assert(done.await(30, TimeUnit.SECONDS))
+    // the secondary holds the COMPLETE batch: at-least-once, zero loss
+    assert(out.toString === rows.map(_ + "\n").mkString)
+    primary.close(); secondary.close()
+  }
+
+  test("failover(): failback probes re-admit the primary after N consecutive successes") {
+    val a = new ServerSocket(0) // primary (starts 'down' via the connect gate)
+    val b = new ServerSocket(0) // secondary
+    val outA = new java.lang.StringBuilder
+    val outB = new java.lang.StringBuilder
+    collectLoop(a, outA); collectLoop(b, outB)
+
+    @volatile var primaryUp = false
+    var tick = 0L
+    def connectTo(i: Int): java.net.Socket = {
+      if (i == 0 && !primaryUp) throw new java.io.IOException("primary down")
+      val srv = if (i == 0) a else b
+      new java.net.Socket("127.0.0.1", srv.getLocalPort)
+    }
+    // one row per batch; pulling row 5 brings the primary back up, and the
+    // fake clock advances one probe interval per batch
+    val rowsIt = (1 to 20).iterator.map { i =>
+      tick += 10
+      if (i == 5) primaryUp = true
+      s"r$i"
+    }
+    val (n, used) = Socket.sendFailover(rowsIt, 2, connectTo(_),
+      framing = "non-transparent", batchLines = 1, connectRetries = 3,
+      failback = true, probeIntervalMs = 10, probesRequired = 2,
+      clock = () => tick)
+    assert(n === 20 && used === 2)
+    Thread.sleep(300) // collectors drain after the close
+    // probes at batches 5 and 6 succeed -> batch 6 onward goes primary
+    assert(outB.toString === (1 to 5).map(i => s"r$i\n").mkString,
+      "secondary carried traffic only until the failback")
+    assert(outA.toString === (6 to 20).map(i => s"r$i\n").mkString,
+      "primary resumed from the batch after probesRequired successes")
+    a.close(); b.close()
+  }
+
   test("tls client: frames arrive over an RFC5425 handshake; loops back into our TLS source") {
     // server identity via keytool, exported cert as the client's ca-file
     val dir = java.nio.file.Files.createTempDirectory("graft-tlssink")
