@@ -89,11 +89,17 @@ object Bench {
   // against the pre-built on-disk index — the cost the claim is about).
   private val incIndexDir = "/dev/shm/graft-bench-dedup-index"
 
+  // low-id half indexed, high-id shard incremented — the enforced
+  // monotone-id contract's split
+  private def incrementCut(spark: SparkSession, sfDir: String): Long =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(max(col("doc_id"))).head().getLong(0) / 2
+
   private def buildIncrementIndex(spark: SparkSession, sfDir: String): Unit = {
     import graft.corpus.Dedup
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     Dedup.buildIndex(
-      d.filter(pmod(col("doc_id"), lit(2)) === 0), col("doc_id"), col("text"))
+      d.filter(col("doc_id") <= incrementCut(spark, sfDir)), col("doc_id"), col("text"))
       .save(incIndexDir)
   }
 
@@ -102,7 +108,7 @@ object Bench {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val idx = Dedup.DedupIndex.load(spark, incIndexDir)
     val (assign, _) = Dedup.dedupIncrement(
-      d.filter(pmod(col("doc_id"), lit(2)) === 1), col("doc_id"), col("text"), idx)
+      d.filter(col("doc_id") > incrementCut(spark, sfDir)), col("doc_id"), col("text"), idx)
     assign.filter(col("member_id") === col("keep_id")).count()
   }
 

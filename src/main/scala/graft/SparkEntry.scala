@@ -856,15 +856,17 @@ object SparkEntry {
       Dedup.dedupCorpus(documents(s, dir), col("doc_id"), col("text"))
     }),
 
-    // shard-by-shard dedup against a persisted index: index the even-id
-    // half, increment the odd-id shard over it — the survivor set must be
-    // IDENTICAL to the batch run, so it shares the batch ground-truth oracle
+    // shard-by-shard dedup against a persisted index: index the low-id
+    // half, increment the high-id shard over it (the enforced monotone-id
+    // contract's split) — the survivor set must be IDENTICAL to the batch
+    // run, so it shares the batch ground-truth oracle
     "q_dedup_increment" -> ((s, dir) => {
       val d = documents(s, dir)
+      val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
       val idx = Dedup.buildIndex(
-        d.filter(pmod(col("doc_id"), lit(2)) === 0), col("doc_id"), col("text"))
+        d.filter(col("doc_id") <= cut), col("doc_id"), col("text"))
       val (assign, _) = Dedup.dedupIncrement(
-        d.filter(pmod(col("doc_id"), lit(2)) === 1), col("doc_id"), col("text"), idx)
+        d.filter(col("doc_id") > cut), col("doc_id"), col("text"), idx)
       d.join(
         assign.filter(col("member_id") === col("keep_id"))
           .select(col("member_id").as("doc_id")),

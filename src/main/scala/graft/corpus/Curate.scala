@@ -107,17 +107,21 @@ object Curate {
 
   /** Persisted curation state — the incremental counterpart's memory:
     * the near-dup [[Dedup.DedupIndex]] built over URL KEEPERS, the
-    * (canonical_url, keep_id) URL-keeper table, and the FROZEN char-trigram
-    * LM counts. Same staged-swap save discipline as the dedup index (the
-    * loaded tables are lazy plans over the load dir — never overwrite what
-    * you are still reading). */
+    * (canonical_url, keep_id) URL-keeper table, the FROZEN char-trigram
+    * LM counts, and `meta` — one row (max_doc_id) over the WHOLE indexed
+    * corpus (not just URL keepers: URL keepership is min-id too, so the
+    * monotone-id contract guards every shard doc). Same staged-swap save
+    * discipline as the dedup index (the loaded tables are lazy plans over
+    * the load dir — never overwrite what you are still reading). */
   final case class CurateIndex(
-      dedup: Dedup.DedupIndex, urlKeepers: DataFrame, lm: DataFrame) {
+      dedup: Dedup.DedupIndex, urlKeepers: DataFrame, lm: DataFrame,
+      meta: DataFrame) {
     def save(dir: String): Unit = {
       dedup.save(s"$dir/dedup")
       val spark = urlKeepers.sparkSession
       val hconf = spark.sparkContext.hadoopConfiguration
-      val staged = Seq("url_keepers" -> urlKeepers, "lm" -> lm).map { case (n, df) =>
+      val staged = Seq("url_keepers" -> urlKeepers, "lm" -> lm,
+        "meta" -> meta).map { case (n, df) =>
         val tmp = s"$dir/_staging_$n"
         df.write.mode("overwrite").parquet(tmp)
         n -> tmp
@@ -137,7 +141,8 @@ object Curate {
       CurateIndex(
         Dedup.DedupIndex.load(spark, s"$dir/dedup"),
         spark.read.parquet(s"$dir/url_keepers"),
-        spark.read.parquet(s"$dir/lm"))
+        spark.read.parquet(s"$dir/lm"),
+        spark.read.parquet(s"$dir/meta"))
   }
 
   /** Build the curation index for an initial corpus: URL keepers, the
@@ -159,7 +164,8 @@ object Curate {
     val lm = LanguageModel.charNgramCounts(
       base.filter(col("__lang") === targetLang), col("__text"), n = 3)
       .localCheckpoint()
-    CurateIndex(dedupIdx, urlKeepers, lm)
+    val meta = base.agg(max(col("doc_id")).as("max_doc_id")).localCheckpoint()
+    CurateIndex(dedupIdx, urlKeepers, lm, meta)
   }
 
   /** Curate a NEW shard against a persisted index without re-processing
@@ -167,7 +173,9 @@ object Curate {
     * [[curate]] over (indexed ∪ shard) with the index's frozen LM would
     * emit for those docs, PROVIDED shard ids exceed every indexed id (the
     * standard monotone-id contract — an older id arriving late could steal
-    * URL/cluster keeper-ship from docs already shipped).
+    * URL/cluster keeper-ship from docs already shipped). The contract is
+    * ENFORCED against the index's persisted watermark: a violating shard
+    * raises instead of silently choosing different keepers.
     *
     *  - URL stage: the shard's canonical URLs min-merge into the keeper
     *    table (touched URLs only — id-keyed join, never a rescan);
@@ -186,6 +194,7 @@ object Curate {
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)): (DataFrame, CurateIndex) = {
     val base = newDocs.select(id.as("doc_id"), text.as("__text"), url.as("__url"),
       lang.as("__lang"))
+    Dedup.requireMonotoneIds("curateIncrement", base.select(col("doc_id")), index.meta)
     val canon = base.withColumn("canonical_url", Url.canonicalize(col("__url")))
     val newMin = canon.groupBy(col("canonical_url"))
       .agg(min(col("doc_id")).as("__new_min"))
@@ -215,7 +224,11 @@ object Curate {
           (col("member_id") === col("keep_id")).as("__dk")), Seq("doc_id"), "left")
         .join(ce, Seq("doc_id"), "left"),
       ceCap, splits)
-    (audit, CurateIndex(dedupIdx, updatedUrlKeepers, index.lm))
+    // shard max becomes the watermark (enforced above); empty shard keeps
+    // the old one
+    val shardMax = base.agg(max(col("doc_id")).as("max_doc_id")).localCheckpoint()
+    val meta = if (shardMax.head().isNullAt(0)) index.meta else shardMax
+    (audit, CurateIndex(dedupIdx, updatedUrlKeepers, index.lm, meta))
   }
 
   /** Versioned index store with an ATOMIC pointer commit — the metadata

@@ -403,14 +403,21 @@ object Dedup {
     *    star edges (keep→member) compress each known component while
     *    preserving connectivity, so a later shard can BRIDGE two old
     *    clusters and the union resolves exactly as a batch run would.
+    *  - `meta`     one row (max_doc_id): the ENFORCED monotone-id
+    *    watermark — increment ≡ batch requires every shard id to exceed
+    *    every indexed id (an old id arriving late could steal min-id
+    *    keepership from docs already shipped), so [[dedupIncrement]] fails
+    *    loudly instead of silently choosing different keepers.
     *
-    * Doc ids must be globally unique across shards.
+    * Doc ids must be globally unique across shards (trusted: uniqueness
+    * would cost a distributed distinct per shard; monotonicity is a scan).
     */
   final case class DedupIndex(
       content: DataFrame,
       bands: DataFrame,
       shingles: DataFrame,
-      assign: DataFrame) {
+      assign: DataFrame,
+      meta: DataFrame) {
     /** Persist the index. In-place safe: after [[dedupIncrement]] the
       * tables are lazy plans that still READ the parquet under the load
       * directory, so a direct overwrite of the same dir would be
@@ -423,7 +430,7 @@ object Dedup {
       val spark = content.sparkSession
       val hconf = spark.sparkContext.hadoopConfiguration
       val tables = Seq("content" -> content, "bands" -> bands,
-        "shingles" -> shingles, "assign" -> assign)
+        "shingles" -> shingles, "assign" -> assign, "meta" -> meta)
       val staged = tables.map { case (name, df) =>
         val tmp = s"$dir/_staging_$name"
         df.write.mode("overwrite").parquet(tmp)
@@ -447,7 +454,8 @@ object Dedup {
         spark.read.parquet(s"$dir/content"),
         spark.read.parquet(s"$dir/bands"),
         spark.read.parquet(s"$dir/shingles"),
-        spark.read.parquet(s"$dir/assign"))
+        spark.read.parquet(s"$dir/assign"),
+        spark.read.parquet(s"$dir/meta"))
   }
 
   /** Exact-dup star edges (keeper → member) for the given content table,
@@ -502,7 +510,27 @@ object Dedup {
       exactEdges(content, content).unionByName(nearPairs), "doc_a", "doc_b")
       .select("member_id", "keep_id")
       .localCheckpoint()
-    DedupIndex(content, bands, sh, assign)
+    val meta = docs.agg(max(id).as("max_doc_id")).localCheckpoint()
+    DedupIndex(content, bands, sh, assign, meta)
+  }
+
+  /** Enforce the monotone-id contract: every id of the shard must exceed
+    * the index watermark. One scan of shard ids against an INLINED literal
+    * (the 1-row meta collects with head(); a 1-row crossJoin would plan a
+    * BroadcastNestedLoopJoin — repo lore). Raises IllegalArgumentException
+    * naming the contract and the offending id. */
+  private[corpus] def requireMonotoneIds(
+      op: String, ids: DataFrame, meta: DataFrame): Unit = {
+    val maxRow = meta.head()
+    if (!maxRow.isNullAt(0)) {
+      val watermark = maxRow.get(0)
+      val bad = ids.filter(col(ids.columns.head) <= lit(watermark)).limit(1).collect()
+      require(bad.isEmpty,
+        s"$op: monotone-id contract violated — shard id ${bad.headOption.map(_.get(0)).orNull} " +
+          s"<= indexed max_doc_id $watermark; an old id arriving late could steal " +
+          "keepership from documents already shipped. Re-key the shard above the " +
+          "watermark or rebuild the index.")
+    }
   }
 
   /** Dedup a NEW shard against a persisted index, without re-processing the
@@ -525,6 +553,7 @@ object Dedup {
       index: DedupIndex,
       shingleK: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2,
       threshold: Double = 0.5): (DataFrame, DedupIndex) = {
+    requireMonotoneIds("dedupIncrement", newDocs.select(id.as("doc_id")), index.meta)
     val newContent = newDocs.select(id.as("doc_id"), contentHash(text).as("h"))
     // band only the shard's distinct-content representatives, and only for
     // content the INDEX has not seen: a shard doc whose hash is indexed
@@ -584,6 +613,10 @@ object Dedup {
       .join(affectedKeeps, Seq("keep_id"), "left_anti")
       .select("member_id", "keep_id")
     val assign = untouched.unionByName(recomputed).localCheckpoint()
-    (assign, DedupIndex(allContent, allBands, allSh, assign))
+    // the enforced contract makes the shard's max the new watermark (an
+    // empty shard keeps the old one — max of nothing is null, not a reset)
+    val shardMax = newDocs.agg(max(id).as("max_doc_id")).localCheckpoint()
+    val meta = if (shardMax.head().isNullAt(0)) index.meta else shardMax
+    (assign, DedupIndex(allContent, allBands, allSh, assign, meta))
   }
 }

@@ -201,15 +201,16 @@ class CorpusSpec extends SparkSpec {
 
   test("incremental dedup: increment(B over index(A)) ≡ batch(A∪B); " +
       "a shard doc can bridge two old clusters; index save/load roundtrips") {
-    // hand fixture: docs 1 and 3 share (almost) nothing; shard doc 2
+    // hand fixture: docs 1 and 3 share (almost) nothing; shard doc 12
     // overlaps BOTH above threshold — the increment must merge the two
-    // previously-separate singletons exactly like a batch run
+    // previously-separate singletons exactly like a batch run (shard ids
+    // sit above the index watermark, per the enforced monotone contract)
     val a = Seq(
       (1L, "a b c d e f g h"),
       (3L, "f g h i j k l m"),
       (10L, "unique text piece one two")).toDF("doc_id", "text")
     val b = Seq(
-      (2L, "a b c d e f g h i j k l m"),
+      (12L, "a b c d e f g h i j k l m"),
       (11L, "unique text piece one two")).toDF("doc_id", "text")
     val idx = Dedup.buildIndex(a, col("doc_id"), col("text"))
     assert(idx.assign.filter(col("member_id") === col("keep_id")).count() === 3)
@@ -231,14 +232,52 @@ class CorpusSpec extends SparkSpec {
     val batch3 = Dedup.dedupCorpus(a.unionByName(b).unionByName(c),
       col("doc_id"), col("text")).select("doc_id").as[Long].collect().sorted.toSeq
     assert(survivors(assign3) === batch3)
-    // and over the real corpus fixture split in half
-    val aD = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
-    val bD = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    // and over the real corpus fixture split in half (low ids indexed,
+    // high ids as the shard — the monotone contract's split)
+    val cut = docs.agg(max(col("doc_id"))).as[Long].head() / 2
+    val aD = docs.filter(col("doc_id") <= cut)
+    val bD = docs.filter(col("doc_id") > cut)
     val (assignD, _) = Dedup.dedupIncrement(bD, col("doc_id"), col("text"),
       Dedup.buildIndex(aD, col("doc_id"), col("text")))
     val batchD = Dedup.dedupCorpus(docs, col("doc_id"), col("text"))
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(survivors(assignD) === batchD)
+  }
+
+  test("incremental contracts are ENFORCED: an out-of-order shard id raises, " +
+      "naming the contract") {
+    import graft.corpus.Curate
+    val a = Seq((10L, "some text one"), (20L, "some text two")).toDF("doc_id", "text")
+    val idx = Dedup.buildIndex(a, col("doc_id"), col("text"))
+    val bad = Seq((15L, "a late arrival below the watermark")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupIncrement(bad, col("doc_id"), col("text"), idx)
+    }
+    assert(e.getMessage.contains("monotone-id contract"))
+    assert(e.getMessage.contains("15") && e.getMessage.contains("20"))
+
+    // a conforming shard advances the watermark: the NEXT violation is
+    // judged against the new max
+    val (_, idx2) = Dedup.dedupIncrement(
+      Seq((30L, "fresh text")).toDF("doc_id", "text"), col("doc_id"), col("text"), idx)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.dedupIncrement(
+        Seq((25L, "stale")).toDF("doc_id", "text"), col("doc_id"), col("text"), idx2)
+    }
+    assert(e2.getMessage.contains("30"))
+
+    // same guard on the curation index (corpus-wide watermark, not just
+    // URL keepers)
+    val c = Seq((10L, "text body", "https://x.example/1", "en"))
+      .toDF("doc_id", "text", "url", "lang")
+    val cidx = Curate.buildIndex(c, col("doc_id"), col("text"), col("url"), col("lang"))
+    val e3 = intercept[IllegalArgumentException] {
+      Curate.curateIncrement(
+        Seq((5L, "old id", "https://x.example/2", "en"))
+          .toDF("doc_id", "text", "url", "lang"),
+        col("doc_id"), col("text"), col("url"), col("lang"), cidx)
+    }
+    assert(e3.getMessage.contains("monotone-id contract"))
   }
 
   test("contamination: shingle-overlap hits against a benchmark set; decontaminate drops them") {
