@@ -645,6 +645,24 @@ object SparkEntry {
         Templates.compile("$(or $tool fallback)|$(min $turn_idx 2)|$(length $text)", r).as("c"))
     }),
 
+    // $(geoip2) template-function form (reference modules/geoip2/tfgeoip.c:
+    // TEMPLATE_FUNCTION registration at :172): the default database inlines
+    // as a literal bucket map, misses render "" — vs the parser form
+    // (q_enrich_geoip) whose broadcast bucket join is the scale path
+    "q_template_geoip" -> ((s, dir) => {
+      val p = grokked(s, dir).filter(col("rule_id") === "syslog")
+        .withColumn("pri", f("pri").cast("int"))
+        .withColumn("ip", concat_ws(".", lit("10"),
+          SyslogNames.facilityNum(col("pri")).cast("string"),
+          SyslogNames.severityNum(col("pri")).cast("string"),
+          pmod(f("pid").cast("int"), lit(256)).cast("string")))
+      val r: Templates.Resolver =
+        name => if (p.columns.contains(name)) Some(col(name)) else None
+      p.select(col("conv_id"), col("turn_idx"), col("ip"),
+        Templates.compile("$(geoip2 $ip)", r).as("country"),
+        Templates.compile("geo=$(geoip2 --field city.names.en $ip)", r).as("city_t"))
+    }),
+
     "q_template_format" -> ((s, dir) => {
       val t = transcripts(s, dir)
       val r: Templates.Resolver =
@@ -1928,6 +1946,22 @@ object SparkEntry {
                   cast(least(turn_idx, 2) AS varchar), '|',
                   cast(length(text) AS varchar)) AS c
          FROM transcripts"""),
+
+    "q_template_geoip" -> Transcripts.oracle(
+      s"""SELECT conv_id, turn_idx,
+           concat('10.', cast(fac AS varchar), '.', cast(sev AS varchar), '.',
+                  cast(pid % 256 AS varchar)) AS ip,
+           coalesce(g.country_iso, '') AS country,
+           concat('geo=', coalesce(g.city, '')) AS city_t
+         FROM transcripts_full
+         LEFT JOIN (${graft.enrich.GeoIp.rangesSql}) g
+           ON (167772160 + fac*65536 + sev*256 + (pid % 256)) // 65536
+                = g.net_start // 65536
+          AND 167772160 + fac*65536 + sev*256 + (pid % 256)
+              BETWEEN g.net_start AND g.net_end
+         WHERE variant = 0"""),
+    // ^ same bucket-equality trick as q_enrich_geoip (keeps DuckDB off
+    // IE_JOIN); template-form misses render '' not NULL
 
     "q_template_format" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx,

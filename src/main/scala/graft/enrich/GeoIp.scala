@@ -81,7 +81,7 @@ object GeoIp {
     * pre-validated there), enrichment sees arbitrary text — malformed or
     * out-of-range octets yield NULL, which the left join passes through.
     */
-  private def ipv4ToLongOrNull(ip: Column): Column = {
+  private[graft] def ipv4ToLongOrNull(ip: Column): Column = {
     val p = split(ip, "\\.")
     def oct(k: Int): Column = {
       val v = try_element_at(p, lit(k)).try_cast(LongType)
@@ -118,4 +118,93 @@ object GeoIp {
       .select(df.columns.map(col) ++
         attrs.map(a => col("__geo")(a).as(s"${prefix}_$a")): _*)
   }
+
+  // ---- template-function form: $(geoip2 …) -------------------------------
+
+  /** Reference dotted entry paths (maxminddb-helper.c's known selectors) →
+    * this module's flattened attribute names. Flattened names are accepted
+    * as-is too. */
+  private val FieldAliases = Map(
+    "country.iso_code" -> "country_iso",
+    "city.names.en" -> "city",
+    "location.latitude" -> "latitude",
+    "location.longitude" -> "longitude")
+
+  private def resolveField(field: String, attrs: Set[String]): String = {
+    val f = FieldAliases.getOrElse(field, field)
+    require(attrs(f),
+      s"$$(geoip2): unknown field '$field' (have: ${attrs.toSeq.sorted.mkString(", ")})")
+    f
+  }
+
+  /** Driver-side twin of [[defaultRanges]] (same rows, values pre-rendered
+    * as strings) — the template-function form's default database, the
+    * analog of the reference's `mmdb_default_database()` fallback
+    * (tfgeoip.c:81). */
+  lazy val defaultRangesLocal: Seq[(Long, Long, Map[String, String])] = {
+    val base = 167772160L
+    def country(i: Int) = "" + ('A' + i % 26).toChar + ('A' + (i * 7) % 26).toChar
+    def lat(i: Int) = (i * 7 % 180 - 90) + 0.5
+    def lon(j: Int) = (j * 31 % 360 - 180) + 0.25
+    val wide = (0 until 24).filter(_ % 2 == 0).map { i =>
+      (base + i * 65536L, base + i * 65536L + 65535L, Map(
+        "country_iso" -> country(i), "city" -> s"region-$i",
+        "latitude" -> lat(i).toString, "longitude" -> lon(0).toString))
+    }
+    val fine = for { i <- 0 until 24 if i % 2 == 1; j <- 0 until 8 } yield
+      (base + i * 65536L + j * 256L, base + i * 65536L + j * 256L + 255L, Map(
+        "country_iso" -> country(i), "city" -> s"city-$i-$j",
+        "latitude" -> lat(i).toString, "longitude" -> lon(j).toString))
+    wide ++ fine
+  }
+
+  /** Driver-side CSV database for `$(geoip2 --database file.csv …)`:
+    * header `net_start,net_end,<attr>,…`, plain commas (fixture format —
+    * a production mmdb would ship pre-bucketed parquet through [[enrich]]
+    * instead). */
+  def loadRangesLocal(path: String): Seq[(Long, Long, Map[String, String])] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+    require(lines.nonEmpty, s"$$(geoip2): empty database $path")
+    val hdr = lines.head.split(",", -1)
+    require(hdr.length >= 3 && hdr(0) == "net_start" && hdr(1) == "net_end",
+      s"$$(geoip2): database header must be net_start,net_end,<attr>…, got ${lines.head}")
+    lines.tail.map { l =>
+      val p = l.split(",", -1)
+      (p(0).toLong, p(1).toLong, hdr.drop(2).zip(p.drop(2)).toMap)
+    }
+  }
+
+  /** The per-row lookup COLUMN behind the `$(geoip2)` template function:
+    * the database inlines into the plan as a literal bucket map (the
+    * expression analog of the reference mapping the whole mmdb into every
+    * process, tfgeoip.c:44) and the row pays one map probe + a residual
+    * range filter. Right for config compatibility and fixture/metadata-
+    * sized databases; a GeoLite-scale table belongs in the parser form
+    * ([[enrich]]'s broadcast bucket join), not in the plan. Misses and
+    * unparseable IPs render as "" (the reference appends nothing on
+    * error, tfgeoip.c:149).
+    */
+  def lookupColumn(
+      ip: Column, ranges: Seq[(Long, Long, Map[String, String])],
+      field: String = "country.iso_code", bucketBits: Int = 16): Column =
+    if (ranges.isEmpty) lit("")
+    else {
+      val attr = resolveField(field, ranges.head._3.keySet)
+      val shiftBy = 32 - bucketBits
+      val byBucket = ranges
+        .flatMap { case (s, e, m) =>
+          ((s >> shiftBy) to (e >> shiftBy)).map(b => b -> ((s, e, m.getOrElse(attr, ""))))
+        }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      val mapCol = map(byBucket.flatMap { case (b, rs) =>
+        Seq(lit(b), array(rs.map { case (_, (s, e, v)) =>
+          struct(lit(s).as("s"), lit(e).as("e"), lit(v).as("v"))
+        }: _*))
+      }: _*)
+      val ipn = ipv4ToLongOrNull(ip)
+      val hits = filter(try_element_at(mapCol, shiftright(ipn, shiftBy)),
+        r => r("s") <= ipn && r("e") >= ipn)
+      coalesce(when(size(hits) > 0, element_at(hits, 1)("v")), lit(""))
+    }
 }

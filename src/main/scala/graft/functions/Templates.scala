@@ -797,6 +797,35 @@ object TemplateFunctions {
           }
       }
     }),
+    // $(geoip2 [--database <csv>] [--field path.child] $ip) — reference
+    // modules/geoip2/tfgeoip.c:172 (TEMPLATE_FUNCTION geoip2): options
+    // anywhere before the ip, --field defaults to country.iso_code
+    // (tfgeoip.c:93), omitted --database falls back to the default
+    // database (tfgeoip.c:81 — here the deterministic GeoLite-shaped
+    // fixture). The database inlines as a literal bucket map; the parser
+    // form (GeoIp.enrich) is the scale path.
+    "geoip2" -> (a => {
+      var dbPath: Option[String] = None
+      var field = "country.iso_code"
+      var i = 0
+      var scanning = true
+      while (scanning && i < a.length - 1) {
+        a(i).literal match {
+          case Some("--database" | "-d") =>
+            dbPath = Some(a(i + 1).literal.getOrElse(
+              sys.error("$(geoip2): --database needs a literal path")))
+            i += 2
+          case Some("--field" | "-f") =>
+            field = a(i + 1).literal.getOrElse(
+              sys.error("$(geoip2): --field needs a literal path"))
+            i += 2
+          case _ => scanning = false
+        }
+      }
+      val ranges = dbPath.map(graft.enrich.GeoIp.loadRangesLocal)
+        .getOrElse(graft.enrich.GeoIp.defaultRangesLocal)
+      graft.enrich.GeoIp.lookupColumn(a.last.col.cast("string"), ranges, field)
+    }),
     // --- crypto (modules/cryptofuncs) -------------------------------------
     "sha256" -> (a => truncHash(sha2(a(0).col, 256), a)),
     "sha1" -> (a => truncHash(sha1(a(0).col), a)),

@@ -582,4 +582,26 @@ class TemplatesSpec extends SparkSpec {
     assert(run("$(env PATH)").nonEmpty)
     assert(run("$(env NO_SUCH_VAR_GRAFT)") === "")
   }
+
+  test("$(geoip2): default db, --field paths, --database csv, miss renders empty (tfgeoip.c)") {
+    // default database: 10.1.2.3 → fine /24 i=1,j=2 (country BH, city-1-2)
+    assert(eval("$(geoip2 $ip)") === "BH")
+    assert(eval("$(geoip2 --field city.names.en $ip)") === "city-1-2")
+    assert(eval("$(geoip2 --field location.latitude $ip)") === "-82.5")
+    assert(eval("$(geoip2 10.0.1.2)") === "AA") // wide /16, i=0
+    assert(eval("$(geoip2 10.99.0.1)") === "")  // out-of-fixture miss → ""
+    assert(eval("$(geoip2 not-an-ip)") === "")  // unparseable → "" (tfgeoip.c:149)
+    val db = java.nio.file.Files.createTempFile("geodb", ".csv")
+    java.nio.file.Files.writeString(db,
+      "net_start,net_end,country_iso,asn\n167772160,167837695,XX,AS-TEST\n")
+    try {
+      assert(eval(s"$$(geoip2 --database $db 10.0.1.2)") === "XX")
+      assert(eval(s"$$(geoip2 -d $db --field asn 10.0.1.2)") === "AS-TEST")
+      assert(eval(s"$$(geoip2 -d $db 10.2.0.1)") === "") // past the one row
+    } finally java.nio.file.Files.delete(db)
+    val bad = intercept[IllegalArgumentException] {
+      df.select(Templates.compile("$(geoip2 --field nope.path $ip)", resolver)).head()
+    }
+    assert(bad.getMessage.contains("unknown field"))
+  }
 }
