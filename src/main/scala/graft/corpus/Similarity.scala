@@ -499,7 +499,12 @@ object Similarity {
   }
 
   object AnnIndex {
-    def load(spark: org.apache.spark.sql.SparkSession, dir: String): AnnIndex = {
+    /** The driver-sized quantizer state alone (kClusters×D centroids +
+      * m×ks×(D/m) codebook) — what an increment needs to encode a shard
+      * without touching the distributed tables. */
+    private[corpus] def loadQuantizers(
+        spark: org.apache.spark.sql.SparkSession, dir: String):
+        (Array[Array[Double]], Array[Array[Array[Double]]]) = {
       val cents = spark.read.parquet(s"$dir/centroids")
         .orderBy("cluster").collect()
         .map(r => r.getSeq[Double](1).toArray)
@@ -507,7 +512,11 @@ object Similarity {
         .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
       val m = cbRows.keys.map(_._1).max + 1
       val ks = cbRows.keys.map(_._2).max + 1
-      val cb = Array.tabulate(m)(j => Array.tabulate(ks)(c => cbRows((j, c))))
+      (cents, Array.tabulate(m)(j => Array.tabulate(ks)(c => cbRows((j, c)))))
+    }
+
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): AnnIndex = {
+      val (cents, cb) = loadQuantizers(spark, dir)
       AnnIndex(cents, cb,
         spark.read.parquet(s"$dir/coded"),
         spark.read.parquet(s"$dir/vectors"))
@@ -589,5 +598,135 @@ object Similarity {
       Seq("neighbor_id"))
       .withColumn("score", dot(col("qn"), col("vn2")))
     topK(exact, k)
+  }
+
+  // ------------------------------------------- streaming ANN index store
+
+  /** Append-only versioned ANN index store with an ATOMIC pointer commit —
+    * [[graft.corpus.Curate.CurateIndexStore]]'s exactly-once discipline,
+    * specialized for the ANN index's defining property: under FROZEN
+    * quantizers the distributed tables (`coded`, `vectors`) are
+    * APPEND-ONLY. A commit therefore persists ONLY the new shard under a
+    * fresh `v<batchId>` directory and swings the single `CURRENT` pointer
+    * to a manifest of live versions — **O(shard) commit cost regardless of
+    * index size** (the Curate store rewrites its tables each commit because
+    * keepers and clusters MERGE across shards; ANN state never does).
+    *
+    * Pointer format: `<batchId>|<maxVecId>|<ver>,<ver>,…` — the
+    * exactly-once batch watermark, the ENFORCED monotone-id watermark
+    * (same contract as [[Dedup.dedupIncrement]]: every shard id must
+    * exceed every indexed id, checked with ONE agg over the shard only —
+    * the indexed max travels in the pointer, so the guard never scans the
+    * index), and the live-version manifest whose FIRST entry is the full
+    * seed (quantizers + tables) and whose rest are shard dirs. The swing
+    * is write-tmp → delete → rename (atomic on POSIX/HDFS); a crash inside
+    * the window leaves a durable `CURRENT.tmp` that [[load]] finishes.
+    * A crash before the swing leaves an orphan shard dir the replay
+    * overwrites. Single-writer by contract (one streaming query owns the
+    * store); [[compact]] folds the manifest back to one self-contained
+    * version when the small-dir count grows.
+    */
+  object AnnIndexStore {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import org.apache.spark.sql.SparkSession
+
+    private def fsOf(spark: SparkSession, dir: String): FileSystem =
+      new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** (lastBatchId, maxVecId, manifest) at the current pointer,
+      * finishing a half-swing from the durable tmp if needed. */
+    private def readPointer(fs: FileSystem, dir: String): (Long, Long, Seq[String]) = {
+      val cur = new Path(s"$dir/CURRENT")
+      val p =
+        if (fs.exists(cur)) cur
+        else {
+          val tmp = new Path(s"$dir/CURRENT.tmp")
+          require(fs.exists(tmp), s"no CURRENT pointer (or staged tmp) under $dir")
+          require(fs.rename(tmp, cur), s"pointer recovery failed under $dir")
+          cur
+        }
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      val Array(batch, maxId, vers) = s.split('|')
+      (batch.toLong, maxId.toLong, vers.split(',').toSeq)
+    }
+
+    private def writePointer(fs: FileSystem, dir: String,
+        batchId: Long, maxVecId: Long, manifest: Seq[String]): Unit = {
+      val cur = new Path(s"$dir/CURRENT")
+      val tmp = new Path(s"$dir/CURRENT.tmp")
+      val out = fs.create(tmp, true)
+      out.write(s"$batchId|$maxVecId|${manifest.mkString(",")}".getBytes("UTF-8"))
+      out.close()
+      fs.delete(cur, false)
+      require(fs.rename(tmp, cur), s"pointer swing failed for batch $batchId")
+    }
+
+    /** Initialize with the seed index as version `seed` (batch −1). */
+    def init(index: AnnIndex, dir: String): Unit = {
+      index.save(s"$dir/seed")
+      val mx = index.coded.agg(max(col("vec_id").cast("long"))).head()
+      writePointer(fsOf(index.coded.sparkSession, dir), dir,
+        -1L, if (mx.isNullAt(0)) Long.MinValue else mx.getLong(0), Seq("seed"))
+    }
+
+    /** The full index at the current pointer: quantizers from the seed
+      * version, tables = seed ∪ committed shard versions. */
+    def load(spark: SparkSession, dir: String): (AnnIndex, Long) = {
+      val (last, _, manifest) = readPointer(fsOf(spark, dir), dir)
+      val seedDir = s"$dir/${manifest.head}"
+      val (cents, cb) = AnnIndex.loadQuantizers(spark, seedDir)
+      val codedDirs = manifest.map(v => s"$dir/$v/coded")
+      val vecDirs = manifest.map(v => s"$dir/$v/vectors")
+      (AnnIndex(cents, cb,
+        spark.read.parquet(codedDirs: _*),
+        spark.read.parquet(vecDirs: _*)), last)
+    }
+
+    /** One streaming micro-batch of `(vec_id, vec)` rows = one encoded
+      * shard, exactly-once over replays:
+      *  1. an already-committed batchId (≤ the pointer's) is a no-op;
+      *  2. otherwise the shard encodes against the FROZEN quantizers,
+      *     lands under `v<batchId>` (overwrite — idempotent across a
+      *     crash-before-commit replay), and only then the pointer swings.
+      * Empty batches advance the batch watermark without a version.
+      */
+    def annBatch(batch: DataFrame, batchId: Long, dir: String,
+        id: Column, vec: Column): Unit = {
+      val spark = batch.sparkSession
+      val fs = fsOf(spark, dir)
+      val (last, maxId, manifest) = readPointer(fs, dir)
+      if (batchId <= last) return
+      val stats = batch.agg(
+        min(id.cast("long")).as("mn"), max(id.cast("long")).as("mx")).head()
+      if (stats.isNullAt(0)) { writePointer(fs, dir, batchId, maxId, manifest); return }
+      require(stats.getLong(0) > maxId,
+        s"annBatch: shard vec_id ${stats.getLong(0)} <= indexed max_vec_id $maxId; " +
+          "the increment contract requires globally-unique, monotone ids " +
+          "(a colliding id would answer queries twice)")
+      val (cents, cb) = AnnIndex.loadQuantizers(spark, s"$dir/${manifest.head}")
+      val (coded, vectors) = encodeShard(batch, id, vec, cents, cb)
+      val ver = s"v$batchId"
+      coded.write.mode("overwrite").parquet(s"$dir/$ver/coded")
+      vectors.write.mode("overwrite").parquet(s"$dir/$ver/vectors")
+      writePointer(fs, dir, batchId, stats.getLong(1), manifest :+ ver)
+    }
+
+    /** Fold all live versions into ONE self-contained version (quantizers
+      * + unioned tables), swing the pointer, delete the superseded dirs —
+      * run periodically when the shard-dir count grows. Readers holding
+      * lazy plans over old versions must re-[[load]] (single-writer /
+      * materialize-before-compact contract, same as CurateIndexStore's
+      * version deletion). */
+    def compact(spark: SparkSession, dir: String): Unit = {
+      val fs = fsOf(spark, dir)
+      val (last, maxId, manifest) = readPointer(fs, dir)
+      if (manifest.lengthCompare(1) <= 0) return
+      val (ix, _) = load(spark, dir)
+      val ver = s"compact-$last"
+      ix.save(s"$dir/$ver")
+      writePointer(fs, dir, last, maxId, Seq(ver))
+      manifest.filter(_ != ver).foreach(v => fs.delete(new Path(s"$dir/$v"), true))
+    }
   }
 }

@@ -14,6 +14,9 @@ final case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
 /** One streamed document with curation inputs (url + language). */
 final case class CurateDoc(doc_id: Long, text: String, url: String, lang: String)
 
+/** One streamed embedding row (ANN index intake). */
+final case class VecDoc(vec_id: Long, vec: Seq[Double])
+
 /** Dedup decision for one streamed document. */
 final case class StreamDedup(
     doc_id: Long,
@@ -69,6 +72,20 @@ object CorpusStream {
     docs.writeStream.foreachBatch {
       (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.corpus.Curate.curateBatch(b.toDF(), id, indexDir, outDir, ceCap, splits)
+    }
+
+  /** Streaming ANN-index intake: each micro-batch of `(vec_id, vec)` rows
+    * is one [[graft.corpus.Similarity.AnnIndexStore.annBatch]] shard —
+    * encoded against the store's FROZEN quantizers, committed O(shard) by
+    * atomic pointer swing, exactly-once over replays. Seed the store with
+    * [[graft.corpus.Similarity.AnnIndexStore.init]] first; start with a
+    * checkpointLocation. */
+  def annStream(vecs: DataFrame, indexDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.corpus.Similarity.AnnIndexStore.annBatch(
+          b.toDF(), id, indexDir, col("vec_id"), col("vec"))
     }
 
   /** Cross-batch exact dedup over a document stream. State for a hash is

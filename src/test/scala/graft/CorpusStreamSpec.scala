@@ -161,4 +161,98 @@ class CorpusStreamSpec extends SparkSpec {
       assert(got(1L)._4.contains("<EMAIL>") && !got(1L)._4.contains("bob@example.com"))
     } finally q.stop()
   }
+
+  test("streaming ANN index: shards commit O(shard); replays exactly-once; compact folds") {
+    import graft.corpus.Similarity
+    import graft.streaming.VecDoc
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 64
+    def vec(i: Int): Seq[Double] = {
+      val c = i % 5
+      Array.tabulate(dim) { d =>
+        val center = if (d >= c * 12 && d < c * 12 + 12) 1.0 else 0.0
+        center + 0.25 * math.sin(i * 997.0 + d * 31.0)
+      }.toSeq
+    }
+    val seed = (0 until 150).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-annstore").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-annckpt").toString
+    val seedIx = Similarity.buildAnnIndex(seed, col("vec_id"), col("embedding"),
+      kClusters = 5, m = 8, ks = 16)
+    Similarity.AnnIndexStore.init(seedIx, indexDir)
+
+    val input = MemoryStream[VecDoc]
+    val q = CorpusStream.annStream(input.toDF(), indexDir)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData((150 until 175).map(i => VecDoc(i.toLong, vec(i))): _*)
+      q.processAllAvailable()
+      input.addData((175 until 200).map(i => VecDoc(i.toLong, vec(i))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val queries = seed.limit(5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def resultsOf(ix: Similarity.AnnIndex) =
+      Similarity.annQuery(ix, queries, col("qid"), col("qv"),
+        k = 5, nprobe = 1, rerank = 20)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+
+    // streamed store == the in-memory increment chain over the same shards
+    val shard1 = (150 until 175).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val shard2 = (175 until 200).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val expected = resultsOf(Similarity.annIncrement(
+      Similarity.annIncrement(seedIx, shard1, col("vec_id"), col("embedding")),
+      shard2, col("vec_id"), col("embedding")))
+    val (streamed, last) = Similarity.AnnIndexStore.load(spark, indexDir)
+    assert(last === 1L)
+    assert(streamed.coded.count() === 200 && streamed.vectors.count() === 200)
+    assert(resultsOf(streamed) === expected)
+
+    // manual replay of a committed batch is a no-op (no duplicate rows)
+    Similarity.AnnIndexStore.annBatch(shard2, batchId = 1L, indexDir,
+      col("vec_id"), col("embedding"))
+    val (replayed, lastAfter) = Similarity.AnnIndexStore.load(spark, indexDir)
+    assert(lastAfter === 1L && replayed.coded.count() === 200)
+
+    // monotone-id contract enforced from the pointer watermark alone
+    val stale = Seq((10L, vec(10))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.AnnIndexStore.annBatch(stale, batchId = 2L, indexDir,
+        col("vec_id"), col("embedding"))
+    }
+    assert(ex.getMessage.contains("max_vec_id"))
+
+    // crash-before-commit: an orphan shard dir from a dead attempt is
+    // overwritten by the replay, then the pointer commits
+    spark.range(1).toDF("garbage").write.parquet(s"$indexDir/v2/coded")
+    val shard3 = Seq((200L, vec(200))).toDF("vec_id", "embedding")
+    Similarity.AnnIndexStore.annBatch(shard3, batchId = 2L, indexDir,
+      col("vec_id"), col("embedding"))
+    val (withLate, last3) = Similarity.AnnIndexStore.load(spark, indexDir)
+    assert(last3 === 2L && withLate.coded.count() === 201)
+
+    // crash INSIDE the pointer swing: load finishes from the durable tmp
+    val cur = new java.io.File(s"$indexDir/CURRENT")
+    val tmp = new java.io.File(s"$indexDir/CURRENT.tmp")
+    java.nio.file.Files.copy(cur.toPath, tmp.toPath)
+    assert(cur.delete())
+    val (_, recovered) = Similarity.AnnIndexStore.load(spark, indexDir)
+    assert(recovered === 2L && cur.exists() && !tmp.exists())
+
+    // compact: one self-contained version, same answers, same watermark
+    Similarity.AnnIndexStore.compact(spark, indexDir)
+    val (compacted, lastC) = Similarity.AnnIndexStore.load(spark, indexDir)
+    assert(lastC === 2L && compacted.coded.count() === 201)
+    assert(resultsOf(compacted) === expected)
+    assert(!new java.io.File(s"$indexDir/seed").exists() &&
+      !new java.io.File(s"$indexDir/v1").exists())
+    // and the store keeps accepting shards after a compact
+    Similarity.AnnIndexStore.annBatch(
+      Seq((201L, vec(201))).toDF("vec_id", "embedding"), batchId = 3L, indexDir,
+      col("vec_id"), col("embedding"))
+    val (after, last4) = Similarity.AnnIndexStore.load(spark, indexDir)
+    assert(last4 === 3L && after.coded.count() === 202)
+  }
 }
