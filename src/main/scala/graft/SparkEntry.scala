@@ -1375,6 +1375,20 @@ object SparkEntry {
           col("pack_id").cast("int").as("pack_id"), col("pack_pos"))
     }),
 
+    // best-fit-decreasing packing: strict-capacity packs (never overrun,
+    // unlike the cumsum next-fit above); sequential per shard, parallel
+    // across shards — the oracle replays the same largest-first best-fit
+    // rules as a recursive CTE
+    "q_corpus_pack_bfd" -> ((s, dir) => {
+      graft.corpus.Sampling.packByBudgetBfd(
+        documents(s, dir).select(col("doc_id"),
+          TextStats.wsTokenCount(col("text")).as("n_tokens")),
+        shard = pmod(col("doc_id"), lit(4)),
+        size = col("n_tokens"), order = col("doc_id"), budget = 512L)
+        .select(col("doc_id"), col("shard").cast("int").as("shard"),
+          col("pack_id").cast("int").as("pack_id"), col("pack_pos"))
+    }),
+
     // multi-class language ID over planted per-language rows: doc_id % 8
     // deterministically rewrites the text to a known-language snippet in
     // BOTH engines (0 keeps the original English-like docs), and langId
@@ -2978,6 +2992,45 @@ object SparkEntry {
            cast(row_number() OVER (PARTITION BY shard, (cum - n_tokens) // 512
                                    ORDER BY doc_id) AS int) AS pack_pos
          FROM c""",
+
+    // the recursive CTE steps the identical BFD rules: visit docs largest
+    // first (ties by id), assign to the open pack with the smallest
+    // remaining >= size (struct list_sort = (rem, pid) lexicographic =
+    // best fit with lowest-id tie-break), else open pack len(packs)
+    "q_corpus_pack_bfd" ->
+      """WITH RECURSIVE sized AS (
+           SELECT doc_id, doc_id % 4 AS shard,
+                  len(string_split(text, ' '))::BIGINT AS sz
+           FROM documents),
+         ord AS (
+           SELECT doc_id, shard, sz,
+             row_number() OVER (PARTITION BY shard ORDER BY sz DESC, doc_id) AS rn
+           FROM sized),
+         fit AS (
+           SELECT shard, CAST(0 AS BIGINT) AS rn,
+                  CAST([] AS STRUCT(rem BIGINT, pid INTEGER)[]) AS packs,
+                  CAST(NULL AS BIGINT) AS doc_id,
+                  CAST(NULL AS INTEGER) AS pack_id
+           FROM (SELECT DISTINCT shard FROM ord)
+           UNION ALL
+           SELECT shard, rn,
+             CASE WHEN best.pid IS NULL
+               THEN list_append(packs,
+                      {'rem': 512 - sz, 'pid': len(packs)::INTEGER})
+               ELSE [CASE WHEN p.pid = best.pid
+                       THEN {'rem': p.rem - sz, 'pid': p.pid}
+                       ELSE p END for p in packs]
+             END AS packs,
+             doc_id,
+             coalesce(best.pid, len(packs)::INTEGER) AS pack_id
+           FROM (
+             SELECT o.shard, o.rn, f.packs, o.doc_id, o.sz,
+                    list_sort([p for p in f.packs if p.rem >= o.sz])[1] AS best
+             FROM fit f JOIN ord o ON o.shard = f.shard AND o.rn = f.rn + 1))
+         SELECT doc_id, cast(shard AS int) AS shard, pack_id,
+           cast(row_number() OVER (PARTITION BY shard, pack_id ORDER BY rn) AS int)
+             AS pack_pos
+         FROM fit WHERE rn > 0""",
 
     "q_text_lang" ->
       """WITH l0 AS (

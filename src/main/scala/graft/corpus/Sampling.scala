@@ -136,6 +136,96 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Best-fit-decreasing token-budget packing — the padding-waste-aware
+    * upgrade of [[packByBudget]]. Within each deterministic shard, docs are
+    * taken LARGEST FIRST and each goes into the open pack with the
+    * smallest remaining capacity that still fits (ties → lowest pack id);
+    * no fit opens a new pack. Classic BFD (Johnson 1973), the standard
+    * sequence-packing heuristic for training shards: unlike
+    * [[packByBudget]]'s window cumsum (which may OVERRUN a pack by up to
+    * one doc and relies on truncation), BFD never exceeds `budget` for
+    * docs that fit it, and its utilization ≥ first-fit/next-fit on the
+    * same input.
+    *
+    * Scale shape: packing is inherently sequential, so the parallel unit
+    * is the shard — one hash shuffle on the shard key, then a per-shard
+    * stream with O(open packs) state and an ordered-multiset best-fit
+    * lookup (O(log packs) per doc; shards are contiguous after the
+    * partition-local sort, so state resets on the key change and never
+    * holds more than one shard). 100 TB packs with zero coordination by
+    * choosing enough shards, exactly like [[packByBudget]].
+    *
+    * Deterministic end-to-end: shard/order must be content-derived (never
+    * rand()); the (size desc, order asc) visit order and the tie rules
+    * make the assignment a pure function of the input — stage retries and
+    * the DuckDB oracle (a recursive CTE stepping the same rules) reproduce
+    * identical packs.
+    *
+    * Docs larger than the budget open their own pack (remaining goes
+    * negative, so only zero-size docs could ever join — same rule as the
+    * oracle's `rem >= size` filter). Output: input columns + (shard,
+    * pack_id long — dense from 0 per shard in creation order, pack_pos
+    * int — 1-based insertion order within the pack).
+    */
+  def packByBudgetBfd(
+      docs: DataFrame, shard: Column, size: Column, order: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val keyed = docs.withColumn("shard", shard)
+      .withColumn("__bfd_sz", size.cast("long"))
+    val sorted = keyed.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__bfd_sz").desc, order.asc)
+    val inSchema = sorted.schema
+    val shardIdx = inSchema.fieldIndex("shard")
+    val szIdx = inSchema.fieldIndex("__bfd_sz")
+    val shardType = inSchema(shardIdx).dataType
+    val inTypes = inSchema.fields.map(_.dataType)
+    val nIn = inSchema.length
+    val outSchema = inSchema.add("pack_id", LongType).add("pack_pos", IntegerType)
+    val rdd = Bridge.toInternalRdd(sorted).mapPartitions { it =>
+      // per-shard state: open packs as an ordered multiset keyed
+      // (remaining, packId) — iteratorFrom((sz, MinValue)) IS best-fit
+      // with the lowest-id tie-break; counts(pid) = insertions so far
+      val open = scala.collection.mutable.TreeMap.empty[(Long, Long), Unit]
+      val counts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var curShard: Any = null
+      var started = false
+      it.map { row =>
+        val sh = row.get(shardIdx, shardType)
+        if (!started || sh != curShard) {
+          open.clear(); counts.clear(); curShard = sh; started = true
+        }
+        val sz = if (row.isNullAt(szIdx)) 0L else row.getLong(szIdx)
+        val fit = open.iteratorFrom((sz, Long.MinValue))
+        val (packId, pos) =
+          if (fit.hasNext) {
+            val (rem, pid) = fit.next()._1
+            open.remove((rem, pid))
+            open.put((rem - sz, pid), ())
+            counts(pid.toInt) += 1
+            (pid, counts(pid.toInt))
+          } else {
+            val pid = counts.length.toLong
+            counts += 1
+            open.put((budget - sz, pid), ())
+            (pid, 1)
+          }
+        val out = new GenericInternalRow(nIn + 2)
+        var c = 0
+        while (c < nIn) { out.update(c, row.get(c, inTypes(c))); c += 1 }
+        out.update(nIn, packId)
+        out.update(nIn + 1, pos)
+        out: InternalRow
+      }
+    }
+    Bridge.internalCreateDataFrame(sorted.sparkSession, rdd, outSchema)
+      .drop("__bfd_sz")
+  }
+
   /** Temperature-flattened source mixing (the mT5 / Pile recipe, Xue et
     * al. 2021 §3.1): given per-source natural shares p_s = n_s/N, the
     * target mixture is q_s ∝ p_s^(1/τ) — τ>1 flattens the distribution,

@@ -1442,4 +1442,60 @@ class CorpusSpec extends SparkSpec {
     assert(!got(6L)._8, "substring inside a longer word does not match")
     assert(got(7L)._4 === 1L, "closing-quote terminal keeps the line")
   }
+
+  test("BFD packing: strict capacity, dense ids, utilization >= first-fit") {
+    import graft.corpus.Sampling
+    // deterministic "random" lengths (content-derived, the repo's rule):
+    // md5-driven sizes 1..511, plus one oversized and one zero-size doc
+    def rnd(i: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bfd:$i".getBytes("UTF-8"))
+      1L + ((d(0) & 0xff).toLong * 2L) // 1..511
+    }
+    val budget = 512L
+    val sizes = (0 until 400).map(i => (i.toLong, rnd(i))) :+
+      (400L, 900L) :+ (401L, 0L)
+    val df = sizes.toDF("doc_id", "sz")
+    val got = Sampling.packByBudgetBfd(
+      df, pmod(col("doc_id"), lit(3)), col("sz"), col("doc_id"), budget)
+      .select(col("doc_id"), col("shard").cast("long"), col("pack_id"),
+        col("pack_pos"), col("sz"))
+      .as[(Long, Long, Long, Int, Long)].collect()
+
+    // every doc assigned exactly once
+    assert(got.map(_._1).sorted.toSeq === sizes.map(_._1).sorted)
+    val byPack = got.groupBy(r => (r._2, r._3))
+    // strict capacity for every pack whose docs all fit the budget
+    byPack.foreach { case ((sh, pid), rows) =>
+      if (rows.forall(_._5 <= budget))
+        assert(rows.map(_._5).sum <= budget, s"pack ($sh,$pid) overruns")
+      // pack_pos is 1..k within the pack
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+    // the oversized doc sits alone in its pack
+    val big = got.find(_._1 === 400L).get
+    assert(byPack((big._2, big._3)).length === 1)
+    // dense pack ids from 0 per shard
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      val ids = rows.map(_._3).distinct.sorted
+      assert(ids.toSeq === (0L until ids.length).toSeq, s"shard $sh ids not dense")
+    }
+    // utilization >= strict first-fit (visit order = doc_id asc) on the
+    // same shards: fewer-or-equal packs for these deterministic lengths
+    def firstFitPacks(rows: Seq[(Long, Long)]): Int = {
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      rows.sortBy(_._1).foreach { case (_, sz) =>
+        rem.indexWhere(_ >= sz) match {
+          case -1 => rem += (budget - sz)
+          case i  => rem(i) -= sz
+        }
+      }
+      rem.length
+    }
+    sizes.groupBy(s => s._1 % 3).foreach { case (sh, rows) =>
+      val bfd = got.filter(_._2 === sh).map(_._3).distinct.length
+      val ff = firstFitPacks(rows)
+      assert(bfd <= ff, s"shard $sh: BFD $bfd packs > first-fit $ff")
+    }
+  }
 }
