@@ -1331,6 +1331,28 @@ object SparkEntry {
         bench, col("bid"), col("btext"), shingleK = 8, minHits = 2)
     }),
 
+    // memorization audit (contamination in reverse, per eval doc): a
+    // planted eval set where every 50th doc is a verbatim 40-word slice of
+    // a corpus doc (novelty -> 0) and the rest are synthetic questions no
+    // corpus 8-gram can match (novelty = 1.0); corpus side never shuffles
+    // (scan-stage shingle hashes map-side-joined against the broadcast
+    // bench postings)
+    "q_corpus_novelty" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val bench = d.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id").as("bid"),
+          when(pmod(col("doc_id"), lit(50)) === 0,
+            array_join(slice(split(col("text"), " "), 1, 40), " "))
+            .otherwise(concat(
+              lit("wholly novel benchmark question number "),
+              col("doc_id").cast("string"),
+              lit(" with answer choices alpha bravo charlie delta echo " +
+                "foxtrot golf hotel india juliet"))).as("btext"))
+      graft.corpus.Sampling.noveltyAudit(
+        d, col("doc_id"), col("text"), bench, col("bid"), col("btext"),
+        shingleK = 8)
+    }),
+
     // span-level dedup: every 5th doc gets a 16-word boilerplate span
     // prepended in BOTH engines; dedupSpans must strip any 16-word window
     // shared by >= 2 distinct docs (the plant AND any organic repeats) from
@@ -2916,6 +2938,40 @@ object SparkEntry {
                 cast(len(list_intersect(d.s, b.s)) AS bigint) AS n_shared
          FROM sh d JOIN sh b ON b.doc_id % 17 = 0
          WHERE len(list_intersect(d.s, b.s)) >= 2""",
+
+    "q_corpus_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 8
+                       THEN list_distinct([array_to_string(w[i:i+7], ' ')
+                                           for i in generate_series(1, len(w) - 7)])
+                       ELSE [] END AS s
+                FROM tok),
+         bench AS (
+           SELECT doc_id AS bench_id,
+             CASE WHEN doc_id % 50 = 0
+               THEN array_to_string((string_split(text, ' '))[1:40], ' ')
+               ELSE 'wholly novel benchmark question number ' || doc_id ||
+                    ' with answer choices alpha bravo charlie delta echo ' ||
+                    'foxtrot golf hotel india juliet' END AS btext
+           FROM documents WHERE doc_id % 25 = 0),
+         bsh AS (
+           SELECT bench_id,
+             CASE WHEN len(bw) >= 8
+                  THEN list_distinct([array_to_string(bw[i:i+7], ' ')
+                                      for i in generate_series(1, len(bw) - 7)])
+                  ELSE [] END AS s
+           FROM (SELECT bench_id, string_split(btext, ' ') AS bw FROM bench)),
+         cg AS (SELECT DISTINCT unnest(s) AS g FROM sh),
+         bg AS (SELECT bench_id, unnest(s) AS g FROM bsh),
+         hit AS (SELECT bench_id, count(*) AS n_hit
+                 FROM bg JOIN cg USING (g) GROUP BY 1),
+         tot AS (SELECT bench_id, len(s)::BIGINT AS n_shingles
+                 FROM bsh WHERE len(s) > 0)
+         SELECT bench_id, n_shingles,
+                coalesce(n_hit, 0)::BIGINT AS n_hit,
+                1.0 - coalesce(n_hit, 0) / n_shingles AS novelty
+         FROM tot LEFT JOIN hit USING (bench_id)""",
 
     "q_dedup_spans" ->
       s"""WITH base AS (

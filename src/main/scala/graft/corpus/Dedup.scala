@@ -97,6 +97,34 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
 
+  /** Plan (numHashes, rowsPerBand) for [[minhashLsh]] from the target
+    * similarity threshold and a recall floor AT that threshold: the LSH
+    * s-curve gives P(candidate | jaccard = j) = 1 − (1 − j^r)^b with
+    * b = numHashes / r bands of r rows. Among all (r, b) with
+    * r·b ≤ maxHashes satisfying the recall floor, picks the LARGEST r
+    * (steepest s-curve → fewest spurious sub-threshold candidates, i.e.
+    * the cheapest verification join) and the smallest b that still
+    * clears the floor at that r. Pure driver arithmetic — call it once
+    * and pass the result through; the signature mirrors the Leskovec/
+    * Rajaraman/Ullman construction every engine documents.
+    */
+  def planLsh(threshold: Double, recallAtThreshold: Double = 0.95,
+      maxHashes: Int = 256): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
+    require(recallAtThreshold > 0.0 && recallAtThreshold < 1.0,
+      s"recall in (0,1): $recallAtThreshold")
+    def recall(r: Int, b: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(threshold, r), b)
+    val plans = for {
+      r <- (maxHashes to 1 by -1).view
+      bMin = (1 to maxHashes / r).find(b => recall(r, b) >= recallAtThreshold)
+      b <- bMin
+    } yield (r * b, r)
+    plans.headOption.getOrElse(throw new IllegalArgumentException(
+      s"no (rows, bands) within $maxHashes hashes reaches " +
+        s"recall $recallAtThreshold at jaccard $threshold — raise maxHashes"))
+  }
+
   def minhashLsh(
       docs: DataFrame,
       id: Column,

@@ -97,6 +97,46 @@ object Sampling {
       .filter(col("n_shared") >= minHits)
   }
 
+  /** Per-eval-doc n-gram NOVELTY / memorization audit — [[contamination]]
+    * run in the opposite direction and reported per BENCHMARK doc: what
+    * fraction of each eval doc's distinct word k-shingles occurs anywhere
+    * in the training corpus (the overlap methodology of the dedup/
+    * memorization literature — high overlap means the eval item may be
+    * answered from memory, and the contamination threshold should be
+    * audited, not assumed). Returns one row per eval doc:
+    * (bench_id, n_shingles, n_hit, novelty = 1 − hit fraction).
+    *
+    * Scale shape: the eval side is tiny, so its postings BROADCAST; the
+    * corpus side projects to shingle hashes in the scan stage and
+    * map-side-joins against that broadcast — the corpus never shuffles,
+    * and the per-bench distinct-hit count aggregates only the joined
+    * survivors (at most |bench shingles| × occurrences). Eval docs with
+    * zero overlap still report (LEFT join): novelty 1.0. Eval docs
+    * shorter than `shingleK` words have no shingles and are dropped —
+    * they carry no signal for this audit.
+    */
+  def noveltyAudit(
+      corpus: DataFrame, id: Column, text: Column,
+      bench: DataFrame, benchId: Column, benchText: Column,
+      shingleK: Int = 8): DataFrame = {
+    def postings(df: DataFrame, i: Column, t: Column, as: String) =
+      df.select(i.as(as), Dedup.shingles(t, shingleK).as("sh"))
+        .select(col(as), explode(col("sh")).as("g"))
+        .select(col(as), md5(col("g")).as("gh"))
+    val benchPost = postings(bench, benchId, benchText, "bench_id")
+    val totals = benchPost.groupBy("bench_id")
+      .agg(count(lit(1)).as("n_shingles")) // shingles are distinct per doc
+    val hits = postings(corpus, id, text, "doc_id").select("gh")
+      .join(broadcast(benchPost), Seq("gh"))
+      .groupBy("bench_id")
+      .agg(countDistinct(col("gh")).as("n_hit"))
+    totals.join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (lit(1.0) - coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_shingles")).as("novelty"))
+  }
+
   /** Token-budget document packing — group documents into training packs of
     * ≈`budget` tokens (the sequence-packing step before tokenized shards
     * are written). Deterministic and fully parallel:

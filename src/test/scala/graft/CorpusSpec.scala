@@ -1443,6 +1443,25 @@ class CorpusSpec extends SparkSpec {
     assert(got(7L)._4 === 1L, "closing-quote terminal keeps the line")
   }
 
+  test("LSH planner: steepest feasible s-curve within the hash budget") {
+    import graft.corpus.Dedup
+    def recall(j: Double, r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(j, r), b)
+    val (n, r) = Dedup.planLsh(0.5, 0.95, 256)
+    assert(n % r === 0 && n <= 256)
+    assert(recall(0.5, r, n / r) >= 0.95)
+    // r is the LARGEST feasible row count: r+1 cannot clear the floor
+    // even spending the whole hash budget on bands
+    val bMax = 256 / (r + 1)
+    assert(bMax === 0 || recall(0.5, r + 1, bMax) < 0.95)
+    // minimal b at the chosen r (one fewer band misses the floor)
+    assert(n / r === 1 || recall(0.5, r, n / r - 1) < 0.95)
+    // the fixture design point: a 16-hash plan at the measured 0.889
+    // jaccard floor must clear 0.999 recall (the 8x2 scheme's regime)
+    val (n2, r2) = Dedup.planLsh(0.889, 0.999, 16)
+    assert(n2 <= 16 && recall(0.889, r2, n2 / r2) >= 0.999)
+    intercept[IllegalArgumentException](Dedup.planLsh(0.01, 0.999, 4))
+  }
+
   test("BFD packing: strict capacity, dense ids, utilization >= first-fit") {
     import graft.corpus.Sampling
     // deterministic "random" lengths (content-derived, the repo's rule):
