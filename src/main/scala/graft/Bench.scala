@@ -38,7 +38,10 @@ object Bench {
     // corpus flagship), C4 cleaning, shard-export assignment, span-level
     // near-dup, and the transcript-tier SFT extraction
     "q_corpus_curate", "q_text_c4", "q_corpus_shards",
-    "q_dedup_paragraphs", "q_sft_pairs")
+    "q_dedup_paragraphs", "q_sft_pairs",
+    // round-5: WARC HTML extraction, strict best-fit packing, eval-side
+    // memorization audit
+    "q_warc_html", "q_corpus_pack_bfd", "q_corpus_novelty")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -88,6 +88,26 @@ class PlanSpec extends SparkSpec {
       s"shard assignment should shuffle once (the window), saw ${keyShuffles(sh)}:\n$sh")
   }
 
+  test("round-5 corpus queries keep their broadcast / single-shuffle shapes") {
+    def keyShuffles(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).length
+    // novelty audit: the corpus side must reach the bench postings via a
+    // BROADCAST join (corpus never key-shuffles for the probe); the only
+    // key shuffles are the tiny per-bench aggregations
+    val nov = planOf("q_corpus_novelty")
+    assert(nov.contains("BroadcastHashJoin"),
+      s"novelty audit must broadcast the bench postings:\n$nov")
+    // BFD packing: the packer is an InternalRow stage over a
+    // shard-repartitioned sort, so its shard Exchange lives BELOW the
+    // ExistingRDD boundary (same as the grok stage); the visible plan must
+    // add NO further key shuffle — everything above the stage is a pure
+    // projection
+    val bfd = planOf("q_corpus_pack_bfd")
+    assert(bfd.contains("Scan ExistingRDD"),
+      s"BFD packing should be an InternalRow stage:\n$bfd")
+    assert(keyShuffles(bfd) === 0,
+      s"no key shuffle above the packing stage, saw ${keyShuffles(bfd)}:\n$bfd")
+  }
+
   test("query-side filter pushes down into the parquet scan") {
     // q_embed_topk's query set is `vec_id < 5` — that predicate must reach
     // the embeddings scan as a pushed filter, not run post-scan only.
