@@ -1443,6 +1443,54 @@ class CorpusSpec extends SparkSpec {
     assert(got(7L)._4 === 1L, "closing-quote terminal keeps the line")
   }
 
+  test("unigram tokenizer: pinned Viterbi, whole-word pieces, EM monotone, id layout") {
+    import graft.corpus.Unigram
+    // hand-pinned Viterbi on a fixed model
+    val m = Unigram.Model(Map(
+      "ab" -> math.log(0.5), "a" -> math.log(0.2),
+      "b" -> math.log(0.2), "c" -> math.log(0.1)), maxPieceLen = 2)
+    assert(Unigram.encodeWord("abc", m).toSeq === Seq("ab", "c"))
+    assert(Unigram.encodeWord("aab", m).toSeq === Seq("a", "ab"))
+    assert(Unigram.encodeWord("xb", m).toSeq === Seq("x", "b"),
+      "OOV char falls back to a single-char piece")
+
+    // training on a tiny corpus: every frequent word collapses to ONE
+    // piece at a generous budget, and retraining is bit-identical
+    val docs = (0 until 50).map(i => (i.toLong, "hello world the spark engine"))
+      .toDF("doc_id", "text")
+    val model = Unigram.train(docs, col("text"), vocabSize = 64, maxPieceLen = 8)
+    for (w <- Seq("hello", "world", "spark", "engine", "the"))
+      assert(Unigram.encodeWord(w, model).toSeq === Seq(w), s"'$w' should be one piece")
+    val model2 = Unigram.train(docs, col("text"), vocabSize = 64, maxPieceLen = 8)
+    assert(model2.logProbs === model.logProbs, "deterministic retrain")
+
+    // EM monotonicity from the trained point: more steps never lower the
+    // corpus likelihood
+    val words = Unigram.wordTableOf(docs, col("text"))
+    var cur = model
+    var ll = Unigram.likelihood(words, cur)
+    for (_ <- 1 to 3) {
+      cur = Unigram.emOnce(words, cur)._1
+      val next = Unigram.likelihood(words, cur)
+      assert(next >= ll - 1e-9, s"EM lowered likelihood: $ll -> $next")
+      ll = next
+    }
+
+    // scan-stage columns: pieces and ids; OOV chars map to <unk>=0
+    val v = Unigram.vocab(model)
+    assert(v("<unk>") === 0)
+    val got = Seq((1L, "hello spark"), (2L, "zzz"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Unigram.encode(col("text"), model).as("toks"),
+        Unigram.encodeIds(col("text"), model, v).as("ids"))
+      .as[(Long, Seq[String], Seq[Int])].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === Seq("hello", "spark"))
+    assert(got(1L)._3 === Seq(v("hello"), v("spark")))
+    assert(got(2L)._2.nonEmpty && got(2L)._3.forall(_ === 0),
+      "unseen-character word segments to <unk> ids")
+  }
+
   test("LSH planner: steepest feasible s-curve within the hash budget") {
     import graft.corpus.Dedup
     def recall(j: Double, r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(j, r), b)
