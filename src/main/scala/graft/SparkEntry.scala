@@ -1397,6 +1397,17 @@ object SparkEntry {
           col("pack_id").cast("int").as("pack_id"), col("pack_pos"))
     }),
 
+    // context-length chunking with overlap: chunk i covers words
+    // [i*20, i*20+24) — pure index arithmetic, scan-stage explode, no
+    // shuffle; short docs emit themselves whole
+    "q_corpus_chunks" -> ((s, dir) => {
+      graft.corpus.Sampling.chunkByWords(
+        documents(s, dir).select(col("doc_id"), col("text")),
+        col("text"), chunkWords = 24, overlapWords = 4)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+          col("chunk_words"))
+    }),
+
     // best-fit-decreasing packing: strict-capacity packs (never overrun,
     // unlike the cumsum next-fit above); sequential per shard, parallel
     // across shards — the oracle replays the same largest-first best-fit
@@ -3048,6 +3059,19 @@ object SparkEntry {
            cast(row_number() OVER (PARTITION BY shard, (cum - n_tokens) // 512
                                    ORDER BY doc_id) AS int) AS pack_pos
          FROM c""",
+
+    "q_corpus_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         c AS (SELECT doc_id, w,
+                 greatest(1, cast(ceil((len(w) - 4) / 20.0) AS int)) AS n_chunks
+               FROM w),
+         e AS (SELECT doc_id, w,
+                 cast(unnest(generate_series(0, n_chunks - 1)) AS int) AS chunk_idx
+               FROM c)
+         SELECT doc_id, chunk_idx,
+           array_to_string(w[chunk_idx*20 + 1 : chunk_idx*20 + 24], ' ') AS chunk_text,
+           cast(least(24, len(w) - chunk_idx*20) AS int) AS chunk_words
+         FROM e""",
 
     // the recursive CTE steps the identical BFD rules: visit docs largest
     // first (ties by id), assign to the open pack with the smallest

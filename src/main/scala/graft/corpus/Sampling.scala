@@ -97,6 +97,42 @@ object Sampling {
       .filter(col("n_shared") >= minHits)
   }
 
+  /** Context-length chunking with overlap — split long documents into
+    * word-window chunks of `chunkWords` words advancing by
+    * `chunkWords − overlapWords` (the long-document splitter in front of
+    * tokenize/pack for pretraining, and the standard RAG chunker). Chunk
+    * boundaries are pure arithmetic on the whitespace token index, so the
+    * whole operator is a scan-stage explode — no shuffle at any corpus
+    * size — and any engine recomputes the identical chunks.
+    *
+    * Chunk i covers words [i·step, i·step + chunkWords); the count is
+    * ceil((n − overlap) / step) clamped to ≥ 1, so a doc shorter than one
+    * chunk emits itself whole and the final chunk may be short (never
+    * empty). Output: (input columns) + (chunk_idx int, chunk_text string,
+    * chunk_words int).
+    */
+  def chunkByWords(
+      docs: DataFrame, text: Column,
+      chunkWords: Int, overlapWords: Int = 0): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    require(overlapWords >= 0 && overlapWords < chunkWords,
+      s"overlap must be in [0, chunkWords), got $overlapWords")
+    val step = chunkWords - overlapWords
+    val w = split(text, " ")
+    val n = size(w)
+    val nChunks = greatest(lit(1),
+      ceil((n - lit(overlapWords)).cast("double") / lit(step)).cast("int"))
+    docs
+      .withColumn("__w", w)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), nChunks - lit(1))))
+      .withColumn("chunk_text",
+        array_join(slice(col("__w"), col("chunk_idx") * step + 1, lit(chunkWords)), " "))
+      .withColumn("chunk_words",
+        least(lit(chunkWords), size(col("__w")) - col("chunk_idx") * step))
+      .drop("__w")
+  }
+
   /** Per-eval-doc n-gram NOVELTY / memorization audit — [[contamination]]
     * run in the opposite direction and reported per BENCHMARK doc: what
     * fraction of each eval doc's distinct word k-shingles occurs anywhere

@@ -1443,6 +1443,32 @@ class CorpusSpec extends SparkSpec {
     assert(got(7L)._4 === 1L, "closing-quote terminal keeps the line")
   }
 
+  test("word chunking: overlap continuity, full coverage, short docs emit whole") {
+    import graft.corpus.Sampling
+    val doc = (1 to 53).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Sampling.chunkByWords(df, col("text"), chunkWords = 24, overlapWords = 4)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"), col("chunk_words"))
+      .as[(Long, Int, String, Int)].collect()
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // ceil((53-4)/20) = 3 chunks; last covers words 41..53
+    assert(d1.map(_._2).toSeq === Seq(0, 1, 2))
+    assert(d1(0)._3.startsWith("w1 ") && d1(0)._4 === 24)
+    assert(d1(2)._3 === (41 to 53).map(i => s"w$i").mkString(" ") && d1(2)._4 === 13)
+    // consecutive chunks share exactly the 4 overlap words
+    val c0 = d1(0)._3.split(" ")
+    val c1 = d1(1)._3.split(" ")
+    assert(c0.takeRight(4).toSeq === c1.take(4).toSeq)
+    // coverage: dropping each chunk's overlap prefix (except the first)
+    // and concatenating rebuilds the document
+    val rebuilt = (d1(0)._3.split(" ") ++
+      d1.drop(1).flatMap(_._3.split(" ").drop(4))).mkString(" ")
+    assert(rebuilt === doc)
+    // short doc: one whole chunk
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.length === 1 && d2(0)._3 === "a b c" && d2(0)._4 === 3)
+  }
+
   test("unigram tokenizer: pinned Viterbi, whole-word pieces, EM monotone, id layout") {
     import graft.corpus.Unigram
     // hand-pinned Viterbi on a fixed model
