@@ -899,6 +899,22 @@ object SparkEntry {
         docs.select(col("doc_id").as("member_id")), pairs, "doc_a", "doc_b")
     }),
 
+    // quality-priority keeper: same clusters, but each keeps its LONGEST
+    // member (word count, ties -> min id) instead of the min id — one
+    // combinable min(struct) agg, no window
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val pairs = Dedup.minhashLsh(docs, col("doc_id"), col("text"))
+      val clusters = Dedup.resolveClusters(
+        docs.select(col("doc_id").as("member_id")), pairs, "doc_a", "doc_b")
+      val scored = docs.select(col("doc_id").as("member_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      Dedup.keepBest(clusters.join(scored, Seq("member_id")),
+        col("cluster_id"), col("member_id"), col("n_words"))
+        .select(col("cluster_id"), col("keep_id"),
+          col("keep_score").cast("long").as("keep_score"), col("n_members"))
+    }),
+
     // ================= §2.4 grouping =================
     "q_group_lines" -> ((s, dir) => {
       transcripts(s, dir)
@@ -1186,6 +1202,19 @@ object SparkEntry {
         .select(col("doc_id"), col("cross_entropy"), col("n_grams"), col("perplexity"))
     }),
 
+    // CCNet head/middle/tail buckets under CALIBRATED cutoff constants
+    // (the production shape: a cutoff file computed once per language —
+    // LanguageModel.perplexityCutoffs — applied corpus-wide as a
+    // scan-stage CASE on the 6-sig-fig-rounded score)
+    "q_text_buckets" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val model = graft.corpus.LanguageModel.charNgramCounts(
+        d.filter(col("lang") === "en"), col("text"), n = 3)
+      graft.corpus.LanguageModel.perplexityBuckets(
+        d, col("doc_id"), col("text"), model, n = 3, cutoffs = (1.11, 1.14))
+        .select(col("doc_id"), col("cross_entropy"), col("n_grams"), col("bucket"))
+    }),
+
     // NEAR-dup paragraph removal: every doc gets a unique paragraph (its
     // own 60-char prefix) + a boilerplate banner in one of 3 VARIANTS
     // (doc_id%3 changes the trailing version word — exact dedup can't see
@@ -1395,6 +1424,28 @@ object SparkEntry {
         size = col("n_tokens"), order = col("doc_id"), budget = 512L)
         .select(col("doc_id"), col("shard").cast("int").as("shard"),
           col("pack_id").cast("int").as("pack_id"), col("pack_pos"))
+    }),
+
+    // pack ASSEMBLY: assignments -> one row per training sequence with the
+    // ordered member ids and the cross-doc attention boundary offsets
+    // [0, l1, l1+l2, ...]; arrays are comma-joined for the parity compare
+    // (the operator itself returns real arrays)
+    "q_corpus_pack_asm" -> ((s, dir) => {
+      val packed = graft.corpus.Sampling.packByBudget(
+        documents(s, dir).select(col("doc_id"),
+          TextStats.wsTokenCount(col("text")).as("n_tokens")),
+        shard = pmod(col("doc_id"), lit(4)),
+        size = col("n_tokens"), order = col("doc_id"), budget = 512L)
+      graft.corpus.Sampling.assemblePacks(packed,
+        col("shard"), col("pack_id"), col("pack_pos"),
+        col("doc_id"), col("n_tokens"), budget = 512L)
+        .select(col("shard").cast("int").as("shard"),
+          col("pack_id").cast("int").as("pack_id"), col("n_docs"),
+          array_join(transform(col("doc_ids"), x => x.cast("string")), ",")
+            .as("doc_ids"),
+          array_join(transform(col("boundaries"), x => x.cast("string")), ",")
+            .as("boundaries"),
+          col("total_tokens"), col("utilization"))
     }),
 
     // context-length chunking with overlap: chunk i covers words
@@ -2229,6 +2280,36 @@ object SparkEntry {
          SELECT id AS member_id, min(lab) AS cluster_id, min(lab) AS keep_id
          FROM walk GROUP BY id""",
 
+    // same transitive clusters, quality-priority keeper: longest member
+    // (word count), ties -> min id (DuckDB first(ORDER BY) — arg_max
+    // can't take a struct ordering)
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in generate_series(1, len(w) - 2)]) AS s
+                FROM tok),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s))::double /
+                      len(list_distinct(list_concat(a.s, b.s)))::double >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                   UNION SELECT doc_b, doc_a FROM pr),
+         walk(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
+         mem AS (SELECT id AS member_id, min(lab) AS cluster_id
+                 FROM walk GROUP BY id),
+         sc AS (SELECT doc_id, len(string_split(text, ' '))::bigint AS s
+                FROM documents)
+         SELECT cluster_id,
+           first(member_id ORDER BY s DESC, member_id) AS keep_id,
+           first(s ORDER BY s DESC, member_id) AS keep_score,
+           count(*)::bigint AS n_members
+         FROM mem JOIN sc ON mem.member_id = sc.doc_id
+         GROUP BY cluster_id""",
+
     "q_group_lines" -> Transcripts.oracle(
       """SELECT conv_id, count(*) AS n_turns,
            string_agg(text, chr(10) ORDER BY turn_idx) AS joined
@@ -2787,6 +2868,41 @@ object SparkEntry {
                 power(2.0, cross_entropy) AS perplexity
          FROM a""",
 
+    // head/middle/tail under calibrated cutoffs: the bucket CASE compares
+    // the 6-sig-fig-rounded score on BOTH sides (a raw cross-row double
+    // sum diverges between engines by ulps, and a flipped LABEL can't be
+    // absorbed by output rounding)
+    "q_text_buckets" ->
+      """WITH tg AS (SELECT unnest([substr(text, i, 3)
+                                    for i in generate_series(1, length(text) - 2)]) AS gram
+                     FROM documents WHERE lang = 'en' AND length(text) >= 3),
+         m3 AS (SELECT gram, count(*)::bigint AS cg FROM tg GROUP BY gram),
+         m2 AS (SELECT substr(gram, 1, 2) AS ctx, sum(cg)::bigint AS cc FROM m3 GROUP BY 1),
+         v AS (SELECT count(DISTINCT substr(gram, 3, 1))::double AS vs FROM m3),
+         sg AS (SELECT doc_id, unnest([substr(text, i, 3)
+                                       for i in generate_series(1, length(text) - 2)]) AS gram
+                FROM documents WHERE length(text) >= 3),
+         j AS (SELECT doc_id,
+                 ln((coalesce(m3.cg, 0) + 0.1) / (coalesce(m2.cc, 0) + 0.1 * v.vs)) AS lp
+               FROM sg LEFT JOIN m3 USING (gram)
+                       LEFT JOIN m2 ON substr(sg.gram, 1, 2) = m2.ctx
+                       CROSS JOIN v),
+         a AS (SELECT doc_id, -sum(lp) / ln(2.0) / count(*) AS cross_entropy,
+                      count(*)::bigint AS n_grams
+               FROM j GROUP BY doc_id),
+         u AS (SELECT d.doc_id, a.cross_entropy, a.n_grams
+               FROM documents d LEFT JOIN a USING (doc_id)),
+         r AS (SELECT doc_id, cross_entropy, n_grams,
+                 CASE WHEN cross_entropy IS NULL OR cross_entropy = 0 THEN cross_entropy
+                      ELSE round(cross_entropy / pow(10.0, floor(log10(abs(cross_entropy))) - 5))
+                           * pow(10.0, floor(log10(abs(cross_entropy))) - 5) END AS cer
+               FROM u)
+         SELECT doc_id, cross_entropy, n_grams,
+           CASE WHEN cer <= 1.11 THEN 'head'
+                WHEN cer <= 1.14 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM r""",
+
     "q_dedup_paragraphs" ->
       // recompute the span clusters from ground truth: exact word-shingle
       // Jaccard pairs over the planted paragraph units + recursive-CTE
@@ -3059,6 +3175,32 @@ object SparkEntry {
            cast(row_number() OVER (PARTITION BY shard, (cum - n_tokens) // 512
                                    ORDER BY doc_id) AS int) AS pack_pos
          FROM c""",
+
+    "q_corpus_pack_asm" ->
+      """WITH sized AS (
+           SELECT doc_id, doc_id % 4 AS shard,
+                  len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+           FROM sized),
+         p AS (SELECT doc_id, shard, n_tokens,
+                 (cum - n_tokens) // 512 AS pack_id FROM c),
+         g AS (SELECT shard, pack_id,
+                 list(doc_id ORDER BY doc_id) AS ids,
+                 list(n_tokens ORDER BY doc_id) AS ls
+               FROM p GROUP BY shard, pack_id)
+         SELECT cast(shard AS int) AS shard, cast(pack_id AS int) AS pack_id,
+           cast(len(ids) AS int) AS n_docs,
+           array_to_string(list_transform(ids, x -> cast(x AS varchar)), ',') AS doc_ids,
+           '0,' || array_to_string(
+             [cast(cast(list_sum(ls[1:i]) AS bigint) AS varchar)
+              for i in generate_series(1, len(ls))], ',') AS boundaries,
+           cast(list_sum(ls) AS bigint) AS total_tokens,
+           cast(list_sum(ls) AS bigint) / 512.0 AS utilization
+         FROM g""",
 
     "q_corpus_chunks" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

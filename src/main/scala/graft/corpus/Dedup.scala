@@ -261,6 +261,31 @@ object Dedup {
         coalesce(col("lab"), col("member_id")).as("keep_id"))
   }
 
+  /** Quality-priority duplicate resolution: per cluster keep the HIGHEST-
+    * scoring member (ties → minimum id) instead of [[resolveClusters]]'s
+    * minimum-id policy — the keeper rule real curation pipelines use once a
+    * quality signal exists (longest text, best Gopher/perplexity score,
+    * most trusted source): deduplication should discard the duplicates, not
+    * potentially the best copy.
+    *
+    * `members` is any (cluster, id, score) assignment — compose with
+    * [[resolveClusters]] output joined to a per-doc score (word count,
+    * [[TextStats.gopherQuality]] fields, a source-priority rank). Numeric
+    * score required; the keeper is one map-side-combinable
+    * `min(struct(-score, id))` aggregate — no window, no sort, no second
+    * shuffle, so a 10⁸-member viral cluster is one hash group like any
+    * other. Returns (cluster_id, keep_id, keep_score, n_members).
+    */
+  def keepBest(
+      members: DataFrame, cluster: Column, id: Column, score: Column): DataFrame =
+    members
+      .select(cluster.as("cluster_id"), id.as("__id"), score.as("__s"))
+      .groupBy("cluster_id")
+      .agg(min(struct((-col("__s")).as("ns"), col("__id").as("id"))).as("__b"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("__b.id").as("keep_id"),
+        (-col("__b.ns")).as("keep_score"), col("n_members"))
+
   /** The canonical corpus dedup pass, composed end-to-end: exact duplicate
     * pairs (same normalized content) ∪ MinHash-LSH near-dup pairs →
     * connected components → keep only each cluster's minimum-id survivor.

@@ -81,4 +81,68 @@ object LanguageModel {
         count(lit(1)).as("n_grams"))
       .withColumn("perplexity", pow(lit(2.0), col("cross_entropy")))
   }
+
+  /** CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): label each
+    * document by which side of two cross-entropy CUTOFFS it falls on —
+    * `head` (≤ c1, the best band, what they train on), `middle` (≤ c2),
+    * `tail` (the rest; docs too short to score land in `tail` too, CCNet
+    * likewise discards them). Cutoffs are CALLER-SUPPLIED constants, as in
+    * CCNet production, where per-language cutoff files are computed once in
+    * a calibration step and applied corpus-wide — see
+    * [[perplexityCutoffs]] for that step. The gate compares the
+    * 6-sig-fig-rounded cross-entropy (the [[Curate.roundSig6]] rule:
+    * cross-row double sums are association-order divergent between engines,
+    * and no output rounding can absorb a flipped LABEL), so any engine
+    * reproduces the identical buckets.
+    *
+    * Scale shape: scoring inherits [[crossEntropy]]'s contract (model
+    * broadcasts, corpus shuffles only (doc_id, logp) rows into one per-doc
+    * aggregate); the bucket label is a scan-stage CASE over the score —
+    * applying calibrated cutoffs costs nothing beyond the scoring pass.
+    * Returns docs' id + (cross_entropy, n_grams, bucket).
+    */
+  def perplexityBuckets(
+      docs: DataFrame, id: Column, text: Column,
+      model: DataFrame, n: Int, cutoffs: (Double, Double),
+      alpha: Double = 0.1): DataFrame = {
+    require(cutoffs._1 <= cutoffs._2,
+      s"cutoffs must be ordered (head <= middle), got $cutoffs")
+    val ce = crossEntropy(docs, id, text, model, n, alpha)
+    val r = Curate.roundSig6(col("cross_entropy"))
+    docs.select(id.as("doc_id"))
+      .join(ce, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cross_entropy"), col("n_grams"),
+        when(r <= cutoffs._1, lit("head"))
+          .when(r <= cutoffs._2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** The calibration step producing [[perplexityBuckets]] cutoffs: the
+    * q1/q2 DISCRETE quantiles (actual data values, no interpolation — an
+    * interpolated midpoint is arithmetic the two engines associate
+    * differently) of the 6-sig-fig-rounded cross-entropy. CCNet computes
+    * its per-language cutoff file from a sample of the corpus; do the same
+    * here — pass `calibration = Sampling.sample(docs, id, f)` at scale.
+    * The k-th smallest is taken with `orderBy.limit(k)` = Spark's
+    * distributed TakeOrderedAndProject (a per-partition top-k + merge, no
+    * global sort), which bounds k to driver memory — exactly why this runs
+    * on the calibration sample, not the corpus.
+    */
+  def perplexityCutoffs(
+      calibration: DataFrame, id: Column, text: Column,
+      model: DataFrame, n: Int, q1: Double = 1.0 / 3, q2: Double = 2.0 / 3,
+      alpha: Double = 0.1): (Double, Double) = {
+    require(0 < q1 && q1 <= q2 && q2 < 1, s"need 0 < q1 <= q2 < 1, got ($q1, $q2)")
+    val ce = crossEntropy(calibration, id, text, model, n, alpha)
+      .select(Curate.roundSig6(col("cross_entropy")).as("ce"))
+      .localCheckpoint() // score once, probe twice
+    val cnt = ce.count()
+    require(cnt > 0, "calibration frame scored no documents")
+    def kth(q: Double): Double = {
+      val k = math.max(1L, math.ceil(q * cnt).toLong)
+      ce.orderBy(col("ce").asc).limit(k.toInt)
+        .agg(max(col("ce"))).head().getDouble(0)
+    }
+    (kth(q1), kth(q2))
+  }
 }

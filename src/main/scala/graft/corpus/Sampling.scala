@@ -302,6 +302,39 @@ object Sampling {
       .drop("__bfd_sz")
   }
 
+  /** Pack ASSEMBLY — turn pack assignments ([[packByBudget]] /
+    * [[packByBudgetBfd]] output) into one row per training sequence: the
+    * member doc ids in pack order plus the token BOUNDARY offsets
+    * (`[0, l₁, l₁+l₂, …, total]` — the cross-document attention-mask /
+    * position-reset offsets a packed-sequence dataloader needs; boundary
+    * array length = n_docs + 1, last element = total_tokens) and the
+    * pack's budget utilization.
+    *
+    * Scale shape: one hash aggregate keyed (shard, pack_id) — a pack is
+    * budget-bounded by construction, so every collect_list is a few dozen
+    * structs and the per-group running sum (an `aggregate` HOF over the
+    * sorted members; interpreted, but post-shuffle over tiny arrays) is
+    * O(pack). No window, no second shuffle.
+    */
+  def assemblePacks(
+      packed: DataFrame, shard: Column, packId: Column, packPos: Column,
+      id: Column, size: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val m = col("__m")
+    packed
+      .groupBy(shard.as("shard"), packId.as("pack_id"))
+      .agg(sort_array(collect_list(struct(
+        packPos.as("pos"), id.as("id"), size.cast("long").as("sz")))).as("__m"))
+      .select(col("shard"), col("pack_id"),
+        org.apache.spark.sql.functions.size(m).cast("int").as("n_docs"),
+        transform(m, x => x("id")).as("doc_ids"),
+        aggregate(m, array(lit(0L)),
+          (acc, x) => concat(acc, array(element_at(acc, -1) + x("sz"))))
+          .as("boundaries"),
+        aggregate(m, lit(0L), (a, x) => a + x("sz")).as("total_tokens"))
+      .withColumn("utilization", col("total_tokens").cast("double") / budget)
+  }
+
   /** Temperature-flattened source mixing (the mT5 / Pile recipe, Xue et
     * al. 2021 §3.1): given per-source natural shares p_s = n_s/N, the
     * target mixture is q_s ∝ p_s^(1/τ) — τ>1 flattens the distribution,

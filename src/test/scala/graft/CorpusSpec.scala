@@ -1469,6 +1469,64 @@ class CorpusSpec extends SparkSpec {
     assert(d2.length === 1 && d2(0)._3 === "a b c" && d2(0)._4 === 3)
   }
 
+  test("keepBest: highest score wins, ties break to min id, singletons survive") {
+    val members = Seq(
+      (1L, 1L, 5L), (1L, 2L, 9L), (1L, 3L, 9L), // tie at 9 -> id 2
+      (10L, 10L, 1L))                            // singleton
+      .toDF("cluster", "id", "score")
+    val got = Dedup.keepBest(members, col("cluster"), col("id"), col("score"))
+      .select("cluster_id", "keep_id", "keep_score", "n_members")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Seq((1L, 2L, 9L, 3L), (10L, 10L, 1L, 1L)))
+  }
+
+  test("perplexity buckets: cutoffs calibrate terciles, labels follow the score order") {
+    import graft.corpus.LanguageModel
+    val model = LanguageModel.charNgramCounts(
+      docs.filter(col("lang") === "en"), col("text"), n = 3)
+    val (c1, c2) = LanguageModel.perplexityCutoffs(
+      docs, col("doc_id"), col("text"), model, n = 3)
+    assert(c1 <= c2)
+    val b = LanguageModel.perplexityBuckets(
+      docs, col("doc_id"), col("text"), model, n = 3, cutoffs = (c1, c2))
+      .select(col("bucket"), col("cross_entropy"))
+      .as[(String, Double)].collect()
+    val byBucket = b.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // discrete-quantile cutoffs: each tercile within ±1 of n/3
+    val n = b.length
+    assert(math.abs(byBucket("head").length - n / 3) <= 1)
+    // ordering: every head ce <= every middle ce <= every tail ce
+    assert(byBucket("head").max <= byBucket("middle").min + 1e-12)
+    assert(byBucket("middle").max <= byBucket("tail").min + 1e-12)
+    // a doc too short to score lands in tail with null ce
+    val short = Seq((1L, "ab")).toDF("doc_id", "text")
+    val sb = LanguageModel.perplexityBuckets(
+      short, col("doc_id"), col("text"), model, n = 3, cutoffs = (c1, c2))
+      .select("bucket").as[String].head()
+    assert(sb === "tail")
+  }
+
+  test("assemblePacks: pack order, boundary offsets, totals, utilization") {
+    import graft.corpus.Sampling
+    val d = Seq((1L, 5L), (2L, 3L), (3L, 4L)).toDF("doc_id", "sz")
+    val packed = Sampling.packByBudget(
+      d, shard = lit(0), size = col("sz"), order = col("doc_id"), budget = 8L)
+    val got = Sampling.assemblePacks(packed,
+      col("shard"), col("pack_id"), col("pack_pos"),
+      col("doc_id"), col("sz"), budget = 8L)
+      .select(col("pack_id").cast("long"), col("n_docs"), col("doc_ids"),
+        col("boundaries"), col("total_tokens"), col("utilization"))
+      .as[(Long, Int, Seq[Long], Seq[Long], Long, Double)]
+      .collect().sortBy(_._1)
+    // cumsum next-fit: cum 5,8,12 -> packs {1,2} and {3}
+    assert(got.length === 2)
+    val (p0, p1) = (got(0), got(1))
+    assert(p0._2 === 2 && p0._3 === Seq(1L, 2L) &&
+      p0._4 === Seq(0L, 5L, 8L) && p0._5 === 8L && p0._6 === 1.0)
+    assert(p1._2 === 1 && p1._3 === Seq(3L) &&
+      p1._4 === Seq(0L, 4L) && p1._5 === 4L && p1._6 === 0.5)
+  }
+
   test("unigram tokenizer: pinned Viterbi, whole-word pieces, EM monotone, id layout") {
     import graft.corpus.Unigram
     // hand-pinned Viterbi on a fixed model
