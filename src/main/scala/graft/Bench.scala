@@ -41,7 +41,12 @@ object Bench {
     "q_dedup_paragraphs", "q_sft_pairs",
     // round-5: WARC HTML extraction, strict best-fit packing, eval-side
     // memorization audit
-    "q_warc_html", "q_corpus_pack_bfd", "q_corpus_novelty")
+    "q_warc_html", "q_corpus_pack_bfd", "q_corpus_novelty",
+    // round-5 late additions: overlap chunking (scan-stage explode),
+    // CCNet buckets (scoring + scan CASE), pack assembly (window + group).
+    // q_dedup_keep_best is deliberately absent: its cost IS
+    // q_dedup_clusters + one combinable agg, already measured there.
+    "q_corpus_chunks", "q_text_buckets", "q_corpus_pack_asm")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -108,6 +108,25 @@ class PlanSpec extends SparkSpec {
       s"no key shuffle above the packing stage, saw ${keyShuffles(bfd)}:\n$bfd")
   }
 
+  test("round-5 additions: chunking/buckets/assembly keep their scale shapes") {
+    def keyShuffles(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).length
+    // word-window chunking: index arithmetic + explode — a per-row
+    // projection, zero key shuffles at any corpus size
+    val ch = planOf("q_corpus_chunks")
+    assert(keyShuffles(ch) === 0, s"chunking must not key-shuffle:\n$ch")
+    // perplexity buckets: the bucket CASE rides the scoring plan — the
+    // model dims must broadcast (the corpus never key-shuffles to meet the
+    // model; its only key shuffle is the per-doc aggregate)
+    val bk = planOf("q_text_buckets")
+    assert(bk.contains("BroadcastHashJoin"),
+      s"bucket scoring must broadcast the model dims:\n$bk")
+    // pack assembly: the assignment window (shard) + the (shard, pack)
+    // group — two key shuffles, nothing more (no window re-sort, no join)
+    val asm = planOf("q_corpus_pack_asm")
+    assert(keyShuffles(asm) <= 2,
+      s"assembly adds at most the group shuffle over the window, saw ${keyShuffles(asm)}:\n$asm")
+  }
+
   test("query-side filter pushes down into the parquet scan") {
     // q_embed_topk's query set is `vec_id < 5` — that predicate must reach
     // the embeddings scan as a pushed filter, not run post-scan only.
