@@ -1215,6 +1215,19 @@ object SparkEntry {
         .select(col("doc_id"), col("cross_entropy"), col("n_grams"), col("bucket"))
     }),
 
+    // per-language corpus datasheet: one combinable hash agg — docs,
+    // tokens, Gopher-gate pass rate, exact-duplicate ratio. Every 11th doc
+    // is replaced by a fixed banner so the dup columns are non-trivial
+    "q_corpus_datasheet" -> ((s, dir) => {
+      val t = when(pmod(col("doc_id"), lit(11)) === 0,
+        lit("duplicate banner page please accept cookies")).otherwise(col("text"))
+      TextStats.datasheet(documents(s, dir),
+        source = col("lang"),
+        words = TextStats.wsTokenCount(t),
+        quality = TextStats.gopherQuality(t).getField("pass"),
+        contentHash = Dedup.contentHash(t))
+    }),
+
     // NEAR-dup paragraph removal: every doc gets a unique paragraph (its
     // own 60-char prefix) + a boilerplate banner in one of 3 VARIANTS
     // (doc_id%3 changes the trailing version word — exact dedup can't see
@@ -3019,6 +3032,47 @@ object SparkEntry {
             symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND
             alpha_frac >= 0.8 AND stop_hits >= 2) AS pass
          FROM m""",
+
+    // datasheet: the gopher-pass CTE chain over the banner-planted text,
+    // folded into one per-language aggregate; every derived double is a
+    // single division of exact integers
+    "q_corpus_datasheet" ->
+      """WITH base AS (SELECT doc_id, lang,
+             CASE WHEN doc_id % 11 = 0
+                  THEN 'duplicate banner page please accept cookies'
+                  ELSE text END AS t
+           FROM documents),
+         u AS (SELECT lang, t,
+             regexp_split_to_array(t, '\s+') AS w,
+             string_split(t, chr(10)) AS ls
+           FROM base),
+         m AS (SELECT lang, t,
+             len(string_split(t, ' '))::bigint AS wtok,
+             len(w)::double AS nw,
+             coalesce(list_sum([length(x) for x in w]), 0)::double / len(w)::double AS mean_len,
+             (len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.')))::double
+               / len(w)::double AS symbol_ratio,
+             len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'))::double
+               / len(ls)::double AS bullet_frac,
+             len(list_filter(ls, l -> l LIKE '%...'))::double / len(ls)::double AS ellipsis_frac,
+             len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::double
+               / len(w)::double AS alpha_frac,
+             len(list_filter([lower(x) for x in w],
+                             x -> x IN ('the','be','to','of','and','that','have','with')))::bigint AS stop_hits
+           FROM u),
+         q AS (SELECT lang, t, wtok,
+             CASE WHEN nw >= 50 AND nw <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0 AND
+                       symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND
+                       alpha_frac >= 0.8 AND stop_hits >= 2
+                  THEN 1 ELSE 0 END AS qp
+           FROM m)
+         SELECT lang AS source, count(*)::bigint AS n_docs,
+           sum(wtok)::bigint AS total_words,
+           sum(wtok)::double / count(*) AS mean_words,
+           sum(qp)::double / count(*) AS quality_rate,
+           count(DISTINCT sha256(lower(trim(t))))::bigint AS n_distinct,
+           1.0 - count(DISTINCT sha256(lower(trim(t))))::double / count(*) AS dup_ratio
+         FROM q GROUP BY lang""",
 
     "q_text_c4" ->
       """WITH base AS (SELECT doc_id,

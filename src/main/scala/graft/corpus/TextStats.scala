@@ -1,6 +1,6 @@
 package graft.corpus
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis columns for corpus pipelines: language-ID heuristic,
@@ -224,6 +224,36 @@ object TextStats {
       hasLorem.as("has_lorem_ipsum"), hasBrace.as("has_brace"),
       hasBad.as("has_bad_word"), pass.as("pass"))
   }
+
+  /** Per-source corpus DATASHEET — the audit table a mixing/curation step
+    * reads before deciding rates ("Datasheets for Datasets", Gebru et al.
+    * 2021, the quantitative rows): per source (language, domain, crawl id —
+    * any bounded grouping) the document count, total/mean whitespace
+    * tokens, the fraction passing a caller-supplied quality gate, and the
+    * exact-duplicate ratio (1 − distinct content hashes / docs).
+    *
+    * One hash aggregate — every measure is map-side combinable (count, long
+    * sum, 0/1 sum, distinct-count), and the derived doubles are single
+    * divisions of exact integers, so any engine reproduces them bit-for-bit
+    * (no cross-row double sums). At 100 TB this is one pass over the scan
+    * with a bounded-cardinality group key.
+    */
+  def datasheet(
+      docs: DataFrame, source: Column, words: Column,
+      quality: Column, contentHash: Column): DataFrame =
+    docs
+      .select(source.as("source"), words.cast("long").as("__w"),
+        quality.cast("int").as("__q"), contentHash.as("__ch"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("total_words"),
+        sum(col("__q")).as("__nq"),
+        countDistinct(col("__ch")).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("total_words"),
+        (col("total_words").cast("double") / col("n_docs")).as("mean_words"),
+        (col("__nq").cast("double") / col("n_docs")).as("quality_rate"),
+        col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_docs")).as("dup_ratio"))
 
   /** Document fingerprint: the minimum seeded md5 over word 3-shingles — a
     * 1-hash MinHash, stable under shingle reordering; docs sharing a

@@ -1527,6 +1527,22 @@ class CorpusSpec extends SparkSpec {
       p1._4 === Seq(0L, 4L) && p1._5 === 4L && p1._6 === 0.5)
   }
 
+  test("datasheet: per-source counts, token sums, quality rate, dup ratio") {
+    val d = Seq(
+      ("a", "x y", true), ("a", "x y", false), ("a", "p q r", true),
+      ("b", "only doc", true))
+      .toDF("src", "text", "q")
+    val got = TextStats.datasheet(d, col("src"),
+        words = size(split(col("text"), " ")),
+        quality = col("q"), contentHash = Dedup.contentHash(col("text")))
+      .select("source", "n_docs", "total_words", "mean_words",
+        "quality_rate", "n_distinct", "dup_ratio")
+      .as[(String, Long, Long, Double, Double, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(got(0) === ("a", 3L, 7L, 7.0 / 3, 2.0 / 3, 2L, 1.0 - 2.0 / 3))
+    assert(got(1) === ("b", 1L, 2L, 2.0, 1.0, 1L, 0.0))
+  }
+
   test("unigram tokenizer: pinned Viterbi, whole-word pieces, EM monotone, id layout") {
     import graft.corpus.Unigram
     // hand-pinned Viterbi on a fixed model
