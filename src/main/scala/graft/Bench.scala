@@ -46,7 +46,8 @@ object Bench {
     // CCNet buckets (scoring + scan CASE), pack assembly (window + group).
     // q_dedup_keep_best is deliberately absent: its cost IS
     // q_dedup_clusters + one combinable agg, already measured there.
-    "q_corpus_chunks", "q_text_buckets", "q_corpus_pack_asm")
+    "q_corpus_chunks", "q_text_buckets", "q_corpus_pack_asm",
+    "q_corpus_datasheet")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

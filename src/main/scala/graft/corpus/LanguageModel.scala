@@ -140,6 +140,9 @@ object LanguageModel {
     require(cnt > 0, "calibration frame scored no documents")
     def kth(q: Double): Double = {
       val k = math.max(1L, math.ceil(q * cnt).toLong)
+      require(k <= Int.MaxValue,
+        s"calibration frame too large for a top-$k cutoff — run this on a " +
+          s"sample (Sampling.sample), as CCNet's calibration step does")
       ce.orderBy(col("ce").asc).limit(k.toInt)
         .agg(max(col("ce"))).head().getDouble(0)
     }
