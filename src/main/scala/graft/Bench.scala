@@ -47,7 +47,8 @@ object Bench {
     // q_dedup_keep_best is deliberately absent: its cost IS
     // q_dedup_clusters + one combinable agg, already measured there.
     "q_corpus_chunks", "q_text_buckets", "q_corpus_pack_asm",
-    "q_corpus_datasheet")
+    "q_corpus_datasheet", "q_dedup_soft", "q_corpus_upsample",
+    "q_skew_profile")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -196,8 +197,12 @@ object Bench {
     var tpLow = throughputAt(scaleN, 4)
     var tpHigh = throughputAt(scaleN * 4, 6)
     def effNow = (tpHigh / tpLow) / 4.0
+    // 4 bounded rounds: observed (round 5) a persistent-noise window where
+    // 2 rounds still left the high level steal-corrupted (0.73 on a binary
+    // whose clean reading is 0.82-0.93) — each extra round only runs when
+    // the ratio is outside the plausible band, so quiet boxes pay nothing.
     var rounds = 0
-    while ((effNow < 0.8 || effNow > 1.02) && rounds < 2) {
+    while ((effNow < 0.8 || effNow > 1.02) && rounds < 4) {
       tpLow = math.max(tpLow, throughputAt(scaleN, 4))
       tpHigh = math.max(tpHigh, throughputAt(scaleN * 4, 6))
       rounds += 1

@@ -915,6 +915,13 @@ object SparkEntry {
           col("keep_score").cast("long").as("keep_score"), col("n_members"))
     }),
 
+    // SOFT dedup: keep every doc, weight = n_members^-beta over the same
+    // transitive clusters — reweight-instead-of-remove (SoftDedup shape)
+    "q_dedup_soft" -> ((s, dir) => {
+      Dedup.softDedup(documents(s, dir), col("doc_id"), col("text"), beta = 0.75)
+        .select(col("doc_id"), col("cluster_id"), col("n_members"), col("weight"))
+    }),
+
     // ================= §2.4 grouping =================
     "q_group_lines" -> ((s, dir) => {
       transcripts(s, dir)
@@ -1093,6 +1100,31 @@ object SparkEntry {
         documents(s, dir), col("doc_id"), col("lang"),
         temperature = 2.0, targetFraction = 0.5)
         .select(col("doc_id"), col("lang"), col("mix_rate"), col("mix_keep"))
+    }),
+
+    // token-budget epoch up-sampling (LLaMA-style mixture stated in
+    // tokens): the plan computes per-lang epochs from the measured token
+    // mass, every doc emits floor(e) copies + a deterministic md5-decided
+    // fractional copy; the cap never binds on these fixtures (the
+    // water-filling branch is spec-pinned in CorpusSpec)
+    "q_corpus_upsample" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val toks = d.groupBy(col("lang"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("tk"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val plan = graft.corpus.Sampling.epochPlan(
+        toks, Map("en" -> 0.3, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1),
+        budget = 60000L, maxEpochs = 50.0)
+      graft.corpus.Sampling.upsampleEpochs(d, col("doc_id"), col("lang"), plan)
+        .select(col("doc_id"), col("lang"), col("copy_idx"), col("n_epochs"))
+    }),
+
+    // key-skew profiler over the transcript conv ids: hottest keys, table
+    // share, recommended salt count (ceil(n/target)) — the measurement
+    // step in front of the salted operators
+    "q_skew_profile" -> ((s, dir) => {
+      graft.operators.Skew.profile(
+        transcripts(s, dir), col("conv_id"), topK = 25, targetRowsPerTask = 3L)
     }),
 
     "q_corpus_vocab" -> ((s, dir) => {
@@ -2323,6 +2355,33 @@ object SparkEntry {
          FROM mem JOIN sc ON mem.member_id = sc.doc_id
          GROUP BY cluster_id""",
 
+    // same transitive clusters, soft keeper: every member kept with
+    // weight = n_members^-0.75 (parity's 6-sig-fig rounding absorbs the
+    // cross-engine pow ulp — the weight gates no boolean)
+    "q_dedup_soft" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in generate_series(1, len(w) - 2)]) AS s
+                FROM tok),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s))::double /
+                      len(list_distinct(list_concat(a.s, b.s)))::double >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                   UNION SELECT doc_b, doc_a FROM pr),
+         walk(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
+         mem AS (SELECT id AS member_id, min(lab) AS cluster_id
+                 FROM walk GROUP BY id),
+         sz AS (SELECT cluster_id, count(*)::bigint AS n_members
+                FROM mem GROUP BY cluster_id)
+         SELECT m.member_id AS doc_id, m.cluster_id, s.n_members,
+           pow(s.n_members::double, -0.75) AS weight
+         FROM mem m JOIN sz s USING (cluster_id)""",
+
     "q_group_lines" -> Transcripts.oracle(
       """SELECT conv_id, count(*) AS n_turns,
            string_agg(text, chr(10) ORDER BY turn_idx) AS joined
@@ -2544,6 +2603,45 @@ object SparkEntry {
            (('0x' || substr(md5('mix:' || d.doc_id), 1, 8))::BIGINT <
             floor(r6.mix_rate * 4294967296.0)::BIGINT) AS mix_keep
          FROM documents d JOIN r6 USING (lang)""",
+
+    // replicate epochPlan (nothing caps at 50 on these fixtures, so
+    // e = roundSig6(B·w/Σw/tok)) + upsampleEpochs's copy rule: floor(e)
+    // full copies, one more iff the md5 draw on (id, copy) clears the
+    // fractional part — the identical fixed-width-hex threshold compare
+    "q_corpus_upsample" ->
+      """WITH tok AS (SELECT lang, sum(len(string_split(text, ' ')))::double AS tk
+                      FROM documents GROUP BY lang),
+         w(lang, wt) AS (VALUES ('en', 0.3), ('de', 0.2), ('es', 0.2),
+                                ('fr', 0.2), ('zh', 0.1)),
+         act AS (SELECT t.lang, t.tk, w.wt FROM tok t JOIN w USING (lang)
+                 WHERE w.wt > 0 AND t.tk > 0),
+         e0 AS (SELECT lang,
+                  60000.0 * (wt / (SELECT sum(wt) FROM act)) / tk AS e
+                FROM act),
+         e6 AS (SELECT lang,
+                  CASE WHEN e = 0 THEN 0.0
+                       ELSE round(e / pow(10.0, floor(log10(abs(e))) - 5))
+                            * pow(10.0, floor(log10(abs(e))) - 5) END AS e
+                FROM e0),
+         x AS (SELECT d.doc_id, d.lang, e6.e, g.copy_idx
+               FROM documents d JOIN e6 USING (lang),
+                 LATERAL (SELECT unnest(generate_series(0,
+                   greatest(0, ceil(e6.e)::int - 1))) AS copy_idx) g)
+         SELECT doc_id, lang, copy_idx::int AS copy_idx, e AS n_epochs
+         FROM x
+         WHERE copy_idx < floor(e)::int
+            OR ('0x' || substr(md5('epoch:' || doc_id || ':' || copy_idx), 1, 8))::BIGINT
+               < floor((e - floor(e)) * 4294967296.0)::BIGINT""",
+
+    // hottest conv ids: count, share of the table (exact ints, single
+    // division), integral-DIV salt recommendation; ties at the top-k
+    // boundary break by key ascending on both engines
+    "q_skew_profile" -> Transcripts.oracle(
+      """SELECT conv_id AS key, count(*)::bigint AS n_rows,
+           count(*)::double / (SELECT count(*) FROM transcripts)::double AS share,
+           ((count(*) + 2) // 3)::int AS salts_recommended
+         FROM transcripts GROUP BY conv_id
+         ORDER BY n_rows DESC, key ASC LIMIT 25"""),
 
     "q_corpus_vocab" ->
       """SELECT token, count(*)::bigint AS freq

@@ -332,6 +332,44 @@ object Dedup {
       .unionByName(repNearPairs(docs, id, text, hashed, shingleK, threshold))
   }
 
+  /** SOFT deduplication — keep every document but attach a training
+    * sampling weight that down-weights duplicate clusters:
+    * `weight = n_members^(−beta)` over the same near-dup clusters
+    * [[dedupCorpus]] resolves (the reweight-instead-of-remove recipe:
+    * SoftDedup, He et al. 2024, arXiv:2407.04203 — down-weighting high-
+    * commonness data beats dropping it when the duplicates carry
+    * variation). `beta = 1` makes each cluster contribute one
+    * document-equivalent of total training mass regardless of its size;
+    * `beta = 0` degenerates to plain counting. Unlike [[dedupCorpus]]
+    * nothing is dropped — but a 10⁸-copy viral page no longer dominates
+    * the loss (its members each weigh 10⁻⁸·ᵝ).
+    *
+    * Scale shape: the viral-safe edge set ([[corpusEdges]]) →
+    * [[resolveClusters]] → ONE combinable count per cluster → two id-keyed
+    * hash joins (cluster sizes back to members, members back to docs).
+    * The weight itself is a single pow of an exact integer — engine
+    * parity's 6-sig-fig rounding absorbs libm differences (it gates no
+    * boolean).
+    *
+    * Output: input columns + (cluster_id, n_members, weight).
+    */
+  def softDedup(
+      docs: DataFrame, id: Column, text: Column, beta: Double = 1.0,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(beta >= 0.0, s"beta must be >= 0, got $beta")
+    val clusters = resolveClusters(
+      docs.select(id.as("member_id")),
+      corpusEdges(docs, id, text, shingleK, threshold), "doc_a", "doc_b")
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val weights = clusters.join(sizes, Seq("cluster_id"))
+      .select(col("member_id"), col("cluster_id"), col("n_members"),
+        pow(col("n_members").cast("double"), lit(-beta)).as("weight"))
+    docs.withColumn("__sd_id", id)
+      .join(weights, col("__sd_id") === col("member_id"))
+      .drop("__sd_id", "member_id")
+  }
+
   def dedupCorpus(
       docs: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {

@@ -31,6 +31,20 @@ object Sampling {
       f"${(t * 4294967296.0).toLong}%08x"
     }
 
+  /** Round to 6 significant figures with the exact double arithmetic a SQL
+    * oracle reproduces (`round(x/p)*p`, half-up for positive = DuckDB
+    * `round()`). Applied to every driver-computed rate/threshold that
+    * gates a BOOLEAN downstream: the raw value comes from pow/sum doubles
+    * the two engines associate differently, a ulp flips the boolean, and
+    * no output rounding can absorb a flipped boolean.
+    */
+  private[corpus] def roundSig6d(x: Double): Double =
+    if (x == 0.0) 0.0
+    else {
+      val p = math.pow(10.0, math.floor(math.log10(math.abs(x))) - 5)
+      math.round(x / p) * p
+    }
+
   /** Uniform deterministic sample: keep ≈`fraction` of rows, decided by
     * md5(key). Scan-stage predicate, no shuffle, no state.
     */
@@ -364,20 +378,13 @@ object Sampling {
     val n = counts.map(_._2).sum // integer-valued doubles: exact in any order
     val ws = counts.map { case (s, c) => s -> math.pow(c / n, 1.0 / temperature) }
     val wSum = ws.map(_._2).sum
-    // round each rate to 6 significant figures with the same double
-    // arithmetic the SQL oracle uses: r_s comes from pow/sum doubles the
-    // two engines compute independently, and floor(r·2^32) at a ulp
-    // boundary would flip mix_keep — a boolean no output rounding can
-    // absorb. After this both engines floor the IDENTICAL double.
-    // (math.round = half-up for positive = DuckDB round().)
-    def roundSig6(x: Double): Double =
-      if (x == 0.0) 0.0
-      else {
-        val p = math.pow(10.0, math.floor(math.log10(math.abs(x))) - 5)
-        math.round(x / p) * p
-      }
+    // rates are rounded to 6 significant figures ([[roundSig6d]]): r_s
+    // comes from pow/sum doubles the two engines compute independently,
+    // and floor(r·2^32) at a ulp boundary would flip mix_keep — a boolean
+    // no output rounding can absorb. After this both engines floor the
+    // IDENTICAL double.
     val rates = ws.zip(counts).map { case ((s, w), (_, c)) =>
-      s -> roundSig6(math.min(1.0, targetFraction * n * (w / wSum) / c))
+      s -> roundSig6d(math.min(1.0, targetFraction * n * (w / wSum) / c))
     }.toMap
     // map LITERALS, not a per-source when-chain: a mixture over thousands
     // of sources (domains, crawls) would otherwise build a thousands-deep
@@ -388,6 +395,104 @@ object Sampling {
     df.withColumn("mix_rate", rate)
       .withColumn("mix_keep",
         substring(md5(concat(lit("mix:"), key.cast("string"))), 1, 8) < threshold)
+  }
+
+  /** Token-budget EPOCH planner — the mixture recipe stated in tokens, not
+    * documents (how the published pretraining mixes are actually specified:
+    * per-source token budgets with small sources repeated for several
+    * epochs — LLaMA, Touvron et al. 2023 Table 1 lists per-source epochs up
+    * to 3.03; the diminishing-returns cap follows the data-constrained
+    * scaling result that ~4 epochs of a source are nearly as good as fresh
+    * data and more decays fast, Muennighoff et al. 2023).
+    *
+    * Given per-source token totals `tokens`, target mixture weights
+    * `weights`, and a total token `budget`: e_s = budget·ŵ_s / tokens_s,
+    * with ŵ the weights renormalized over participating sources. Sources
+    * that would exceed `maxEpochs` are FIXED at the cap and their unused
+    * budget water-fills the rest (iterative, ≤ |sources| rounds,
+    * deterministic sorted iteration). Sources with zero weight or zero
+    * tokens get 0 epochs. Returned epochs are [[roundSig6d]]-rounded —
+    * they gate per-row keep booleans in [[upsampleEpochs]], so both
+    * engines must floor the identical double.
+    *
+    * Driver-side arithmetic over a bounded source enum (the same contract
+    * as [[temperatureMixture]]): the corpus is never touched — pass
+    * `tokens` from one count aggregate.
+    */
+  def epochPlan(
+      tokens: Map[String, Long], weights: Map[String, Double],
+      budget: Long, maxEpochs: Double = 4.0): Map[String, Double] = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(maxEpochs > 0.0, s"maxEpochs must be > 0, got $maxEpochs")
+    require(weights.values.forall(w => w >= 0.0 && !w.isNaN),
+      s"weights must be finite and >= 0")
+    val out = scala.collection.mutable.Map.empty[String, Double]
+    var active = tokens.keys.toSeq.sorted
+      .filter(k => weights.getOrElse(k, 0.0) > 0.0 && tokens(k) > 0L)
+    tokens.keys.filterNot(active.contains).foreach(k => out(k) = 0.0)
+    var rem = budget.toDouble
+    var stable = false
+    while (!stable && active.nonEmpty) {
+      val wSum = active.iterator.map(weights).sum
+      val e = active.map(k => k -> rem * (weights(k) / wSum) / tokens(k).toDouble)
+      val capped = e.filter(_._2 > maxEpochs)
+      if (capped.isEmpty) {
+        e.foreach { case (k, v) => out(k) = roundSig6d(v) }
+        stable = true
+      } else {
+        capped.foreach { case (k, _) =>
+          out(k) = roundSig6d(maxEpochs)
+          rem = math.max(0.0, rem - maxEpochs * tokens(k).toDouble)
+        }
+        active = active.filterNot(k => capped.exists(_._1 == k))
+      }
+    }
+    out.toMap
+  }
+
+  /** Deterministic fractional UP-sampling to per-source epochs — the other
+    * half of mixture realization next to [[temperatureMixture]]'s
+    * subsample-only rates: every document emits floor(e_s) full copies
+    * plus one more iff the md5 of (key, copy index) clears the fractional
+    * part (same fixed-width-hex threshold contract as [[sample]] — stage
+    * retries, resumed jobs and the oracle reproduce identical copies).
+    * `copy_idx` distinguishes replicas; downstream,
+    * [[graft.corpus.Export.shardAssignment]]'s independent md5 draw keyed
+    * on (key, copy_idx) scatters them across shards so repeated epochs
+    * never ride adjacent in training order.
+    *
+    * Scale shape: the epochs map rides the plan as a literal
+    * (`element_at`, one hash lookup — thousands of sources stay one map),
+    * and the whole operator is a scan-stage explode of at most
+    * ceil(e_s) rows per input row — zero shuffles at any corpus size.
+    * Sources absent from `epochs` produce NO rows (null lookup → null
+    * sequence → explode drops the row), mirroring a mixture that excludes
+    * a source. Epoch values are [[roundSig6d]]-rounded on entry (the
+    * boolean-gate rule).
+    *
+    * Output: input columns + (copy_idx int, n_epochs double).
+    */
+  def upsampleEpochs(
+      df: DataFrame, key: Column, source: Column,
+      epochs: Map[String, Double]): DataFrame = {
+    require(epochs.nonEmpty, "epochs map must not be empty")
+    require(epochs.values.forall(e => e >= 0.0 && !e.isNaN && !e.isInfinite),
+      "epochs must be finite and >= 0")
+    val rounded = epochs.map { case (s, e) => s -> roundSig6d(e) }
+    val fracThr = rounded.map { case (s, e) =>
+      s -> thresholdHex(e - math.floor(e))
+    }
+    val src = source.cast("string")
+    df.withColumn("__e", element_at(typedlit(rounded), src))
+      .withColumn("copy_idx",
+        explode(sequence(lit(0),
+          greatest(lit(0), ceil(col("__e")).cast("int") - 1))))
+      .filter(col("copy_idx") < floor(col("__e")).cast("int") ||
+        substring(md5(concat(lit("epoch:"), key.cast("string"),
+          lit(":"), col("copy_idx").cast("string"))), 1, 8) <
+          element_at(typedlit(fracThr), src))
+      .withColumn("n_epochs", col("__e"))
+      .drop("__e")
   }
 
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with

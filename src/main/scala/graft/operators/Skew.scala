@@ -309,4 +309,46 @@ object Skew {
           transform(array_sort(collect_list(struct(col("slice"), col("joined_part")))),
             x => x("joined_part"))).as("joined"))
   }
+
+  /** Key-skew PROFILER — the measurement step in front of the salted
+    * operators (choosing `salts` by guesswork either under-splits the hot
+    * key or shatters every cold one): per-key row counts → the `topK`
+    * hottest keys with their share of the table and a recommended salt
+    * count `ceil(n_rows / targetRowsPerTask)` — the number of tasks that
+    * key needs so no single reducer owns more than `targetRowsPerTask` of
+    * its rows. Keys with `salts_recommended = 1` don't need salting at
+    * all; feed the max to [[salt]] / the salted operators.
+    *
+    * Scale shape: ONE map-side-combinable hash aggregate over the key
+    * (the profiler must itself survive the skew it measures — a count
+    * combines on the map side, so the hot key arrives at its reducer as
+    * one partial per map task, never raw rows), then a distributed
+    * top-k (per-partition ordered take + single merge of `topK` rows —
+    * no global sort). The total for `share` is collected with `.head()`
+    * and inlined as a literal (the BroadcastNestedLoopJoin rule for
+    * 1-row scalar frames); the counts frame is localCheckpointed so the
+    * aggregate runs once for both the total and the take.
+    *
+    * Deterministic: ties at the `topK` boundary break by key ascending in
+    * both the ordering and any re-execution. Output: (key, n_rows,
+    * share double, salts_recommended int).
+    */
+  def profile(
+      df: DataFrame, key: Column, topK: Int = 20,
+      targetRowsPerTask: Long = 1000000L): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(targetRowsPerTask >= 1,
+      s"targetRowsPerTask must be >= 1, got $targetRowsPerTask")
+    val counts = df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint()
+    val totalRow = counts.agg(sum(col("n_rows"))).head()
+    val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
+    counts.orderBy(col("n_rows").desc, col("key").asc).limit(topK)
+      .select(col("key"), col("n_rows"),
+        (col("n_rows").cast("double") / lit(total.toDouble)).as("share"),
+        // integral DIV, not a double divide+floor: exact at any count
+        expr(s"(n_rows + ${targetRowsPerTask - 1L}) DIV $targetRowsPerTask")
+          .cast("int").as("salts_recommended"))
+  }
 }

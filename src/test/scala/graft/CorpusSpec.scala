@@ -1665,4 +1665,104 @@ class CorpusSpec extends SparkSpec {
       assert(bfd <= ff, s"shard $sh: BFD $bfd packs > first-fit $ff")
     }
   }
+
+  test("epochPlan: proportional when uncapped; capped sources water-fill the rest") {
+    import graft.corpus.Sampling
+    // uncapped: e_s = B·w_s / tok_s (weights already normalized)
+    val flat = Sampling.epochPlan(
+      Map("a" -> 100L, "b" -> 400L), Map("a" -> 0.5, "b" -> 0.5),
+      budget = 400L, maxEpochs = 4.0)
+    assert(math.abs(flat("a") - 2.0) < 1e-9 && math.abs(flat("b") - 0.5) < 1e-9)
+
+    // capped: a alone would get 1000·0.5/10 = 100 epochs → fixed at 4
+    // (consuming 40 tokens), the remaining 1960 all water-fills b
+    val wf = Sampling.epochPlan(
+      Map("a" -> 10L, "b" -> 1000L), Map("a" -> 0.5, "b" -> 0.5),
+      budget = 2000L, maxEpochs = 4.0)
+    assert(wf("a") === 4.0)
+    assert(math.abs(wf("b") - 1.96) < 1e-6, s"water-filled b = ${wf("b")}")
+
+    // zero-weight and zero-token sources plan 0 epochs
+    val z = Sampling.epochPlan(
+      Map("a" -> 100L, "b" -> 100L, "c" -> 0L),
+      Map("a" -> 1.0, "b" -> 0.0, "c" -> 1.0), budget = 100L)
+    assert(z("b") === 0.0 && z("c") === 0.0 && math.abs(z("a") - 1.0) < 1e-9)
+
+    // cascading caps: fixing one source pushes another over the cap
+    val casc = Sampling.epochPlan(
+      Map("a" -> 10L, "b" -> 50L, "c" -> 10000L),
+      Map("a" -> 0.4, "b" -> 0.3, "c" -> 0.3),
+      budget = 3000L, maxEpochs = 4.0)
+    assert(casc("a") === 4.0 && casc("b") === 4.0)
+    // 3000 − 40 − 200 = 2760 tokens left for c
+    assert(math.abs(casc("c") - 0.276) < 1e-6)
+  }
+
+  test("upsampleEpochs: integer epochs copy exactly; fractional part is the md5 rule") {
+    import graft.corpus.Sampling
+    val d = ((1 to 40).map(i => (i.toLong, "dup")) ++
+      (41 to 80).map(i => (i.toLong, "frac")) ++
+      (81 to 90).map(i => (i.toLong, "gone"))).toDF("doc_id", "src")
+
+    val out = Sampling.upsampleEpochs(
+        d, col("doc_id"), col("src"), Map("dup" -> 2.0, "frac" -> 1.5))
+      .select(col("doc_id"), col("src"), col("copy_idx"), col("n_epochs"))
+      .as[(Long, String, Int, Double)].collect()
+
+    // e = 2.0: every doc exactly twice, copies 0 and 1
+    val dup = out.filter(_._2 == "dup")
+    assert(dup.length === 80)
+    assert(dup.groupBy(_._1).forall(_._2.map(_._3).sorted.sameElements(Seq(0, 1))))
+
+    // e = 1.5: copy 0 always; copy 1 iff the md5 draw clears 0.5 —
+    // recompute the rule row by row
+    val frac = out.filter(_._2 == "frac")
+    assert(frac.count(_._3 == 0) === 40)
+    val thr = Sampling.thresholdHex(0.5)
+    val expectExtra = (41 to 80).filter { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"epoch:$i:1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      hex < thr
+    }.map(_.toLong).toSet
+    assert(frac.filter(_._3 == 1).map(_._1).toSet === expectExtra)
+    assert(expectExtra.nonEmpty && expectExtra.size < 40, "fractional draw is non-trivial")
+
+    // sources absent from the plan emit nothing; n_epochs rides along
+    assert(out.forall(_._2 != "gone"))
+    // n_epochs is the roundSig6-rounded plan value (ulp-level wobble is
+    // by design — see Sampling.roundSig6d)
+    assert(frac.forall(r => math.abs(r._4 - 1.5) < 1e-9))
+
+    // deterministic: a rerun reproduces the identical multiset
+    val again = Sampling.upsampleEpochs(
+        d, col("doc_id"), col("src"), Map("dup" -> 2.0, "frac" -> 1.5))
+      .select(col("doc_id"), col("copy_idx")).as[(Long, Int)].collect().sorted
+    assert(again.sameElements(out.map(r => (r._1, r._3)).sorted))
+  }
+
+  test("softDedup: every doc kept, weight = n_members^-beta over the near-dup clusters") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, base), (2L, base), (3L, base), // exact-dup cluster of 3
+      (4L, "completely different text about spark physical plans here"),
+      (5L, "another unrelated document body with its own words entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.softDedup(d, col("doc_id"), col("text"), beta = 0.5)
+      .select(col("doc_id"), col("cluster_id"), col("n_members"), col("weight"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L), "nothing is dropped")
+    val trio = out.filter(_._1 <= 3L)
+    assert(trio.forall(_._2 == 1L) && trio.forall(_._3 == 3L))
+    assert(trio.forall(r => math.abs(r._4 - math.pow(3.0, -0.5)) < 1e-12))
+    assert(out.filter(_._1 >= 4L).forall(r =>
+      r._3 == 1L && r._4 === 1.0 && r._2 == r._1), "singletons weigh 1.0")
+
+    // beta = 1: each cluster contributes ONE document-equivalent in total
+    val mass = Dedup.softDedup(d, col("doc_id"), col("text"), beta = 1.0)
+      .groupBy(col("cluster_id")).agg(sum(col("weight")).as("m"))
+      .select(col("m")).as[Double].collect()
+    assert(mass.length === 3 && mass.forall(m => math.abs(m - 1.0) < 1e-12))
+  }
 }

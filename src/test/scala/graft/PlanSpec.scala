@@ -125,6 +125,21 @@ class PlanSpec extends SparkSpec {
     val asm = planOf("q_corpus_pack_asm")
     assert(keyShuffles(asm) <= 2,
       s"assembly adds at most the group shuffle over the window, saw ${keyShuffles(asm)}:\n$asm")
+    // epoch up-sampling: the plan rides as a map literal, the copies are a
+    // scan-stage explode — the corpus must never key-shuffle (the token
+    // counts behind the plan are a separate bounded-enum aggregate)
+    val up = planOf("q_corpus_upsample")
+    assert(keyShuffles(up) === 0, s"upsampling must not key-shuffle:\n$up")
+    // skew profiler: the count aggregate sits BEFORE the localCheckpoint
+    // (its one key shuffle is gated in SkewSpec on the pre-checkpoint
+    // plan); the visible tail must be a TakeOrdered merge over the
+    // checkpointed counts — a distributed top-k, never a global Sort or a
+    // second hash exchange
+    val pr = planOf("q_skew_profile")
+    assert(pr.contains("TakeOrderedAndProject"),
+      s"profiler top-k must be TakeOrdered, not a global sort:\n$pr")
+    assert(keyShuffles(pr) === 0,
+      s"no hash exchange after the checkpointed counts:\n$pr")
   }
 
   test("query-side filter pushes down into the parquet scan") {

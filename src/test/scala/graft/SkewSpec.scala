@@ -168,4 +168,30 @@ class SkewSpec extends SparkSpec {
     assert(direct.toSeq === Seq(1L, 3L)) // equal-gap rows merged
     assert(salted.toSeq === direct.toSeq)
   }
+
+  test("profile: hot key tops the list with the right share and salt recommendation") {
+    val prof = Skew.profile(skewed, col("conv_id"), topK = 5,
+        targetRowsPerTask = 1000L)
+      .as[(String, Long, Double, Int)].collect()
+    assert(prof.length === 5)
+    val (k, n, share, salts) = prof.head
+    assert(k === "conv-hot" && n === 5000L)
+    assert(math.abs(share - 5000.0 / 5500.0) < 1e-12)
+    assert(salts === 5, "ceil(5000/1000) tasks for the hot key")
+    // cold keys: 10 rows → 1 salt, i.e. no salting needed
+    assert(prof.tail.forall { case (_, cn, _, cs) => cn == 10L && cs == 1 })
+    // ties at the boundary break by key ascending (deterministic take)
+    assert(prof.tail.map(_._1).toSeq === prof.tail.map(_._1).toSeq.sorted)
+    assert(prof.tail.map(_._1).toSeq === Seq("conv-0", "conv-1", "conv-10", "conv-11"))
+
+    // the counts aggregate itself must partial-aggregate map-side: the
+    // profiler has to survive the very skew it measures (the hot key
+    // reaches its reducer as one partial per map task, never raw rows)
+    val countsPlan = skewed.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_rows")).queryExecution.executedPlan.toString
+    assert(countsPlan.contains("partial_count") || countsPlan.contains("Partial"),
+      s"per-key count must map-side combine:\n$countsPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(countsPlan).length === 1,
+      s"profiler counts are one key shuffle:\n$countsPlan")
+  }
 }
