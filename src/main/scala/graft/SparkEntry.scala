@@ -44,6 +44,23 @@ object SparkEntry {
     s.read.parquet(s"$dir/embeddings.parquet")
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** Deterministic registrable-domain edge fixture for the web-graph
+    * queries: src = d(i mod 13).com, dst = d(i²+1 mod 17).com, edge kept
+    * iff i² mod 7 < 3 — the gate plus the 500-doc truncation (< the
+    * 7·13·17 CRT cycle) makes degrees irregular, and dst residues outside
+    * the src range leave d13–d16.com dangling. */
+  private def webGraphEdges(docs: DataFrame): DataFrame = {
+    val i = col("doc_id").cast("long")
+    docs
+      .where(pmod(i * i, lit(7)) < 3)
+      .select(
+        concat(lit("d"), pmod(i, lit(13)).cast("string"), lit(".com")).as("src"),
+        concat(lit("d"), pmod(i * i + 1, lit(17)).cast("string"),
+          lit(".com")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   private def f(key: String): Column = col("fields")(key)
 
   // ---- shared oracle fragments: corpus ops (DuckDB dialect) --------------
@@ -1669,6 +1686,66 @@ object SparkEntry {
         transcripts(s, dir),
         key = col("conv_id"), order = col("turn_idx"), text = col("text"),
         isStart = col("role") === "user", sliceSize = 16)
+    }),
+
+    // ================= web-graph tier =================
+    // href extraction + per-link destination-host resolution over fixture
+    // pages: one absolute link, one protocol-relative, one path-relative,
+    // one fragment-only — the resolved registrable domains must land on
+    // other{k}.org / example.net / the page's own example{source}.com
+    "q_web_links" -> ((s, dir) => {
+      val page = concat(lit("https://www.example"), col("source"),
+        lit(".com/p/"), col("doc_id").cast("string"))
+      val html = concat(
+        lit("<p>Intro</p><a href=\"https://www.Other"),
+        pmod(col("doc_id"), lit(5)).cast("string"), lit(".org/x\">abs</a>"),
+        lit("<a href=\"//cdn"), pmod(col("doc_id"), lit(3)).cast("string"),
+        lit(".Example.net/y\">proto</a>"),
+        lit("<a href=\"/relative/path\">rel</a>"),
+        lit("<a href=\"#frag\">frag</a>"))
+      val hrefs = graft.corpus.WebGraph.links(html)
+      documents(s, dir).select(col("doc_id"),
+        size(hrefs).as("n_links"),
+        array_join(array_sort(array_distinct(transform(hrefs, h =>
+          graft.corpus.WebGraph.registrableDomain(
+            graft.corpus.WebGraph.linkHost(page, h))))), ",").as("dst_domains"))
+    }),
+
+    // PageRank over a deterministic 17-node registrable-domain graph
+    // (edge existence gated on doc_id arithmetic so degrees are irregular
+    // and d13-d16.com are dangling): 3 power iterations with uniform
+    // dangling-mass redistribution, oracle unrolled as 3 SQL CTE rounds
+    "q_web_pagerank" -> ((s, dir) => {
+      graft.corpus.WebGraph.pagerank(
+        webGraphEdges(documents(s, dir)), iterations = 3, damping = 0.85)
+    }),
+
+    // domain rank joined back onto every document as a curation signal —
+    // the ranks frame is graph-sized, so the join broadcasts and the
+    // corpus side never shuffles
+    "q_web_importance" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val ranks = graft.corpus.WebGraph.pagerank(
+        webGraphEdges(d), iterations = 3, damping = 0.85)
+      graft.corpus.WebGraph.importance(d, col("doc_id"),
+        concat(lit("https://www.d"), pmod(col("doc_id"), lit(13)).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string")),
+        ranks)
+    }),
+
+    // per-domain quota cap (RefinedWeb/FineWeb shape): planted domains are
+    // skewed (one mega-domain holding half the corpus, a mid tier, a long
+    // tail) and at most 10 docs per domain survive, best-first by length
+    "q_corpus_domcap" -> ((s, dir) => {
+      val dom = when(pmod(col("doc_id"), lit(4)) < 2, lit("mega.com"))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("mid"), pmod(col("doc_id"), lit(3)).cast("string"), lit(".org")))
+        .otherwise(
+          concat(lit("tail"), pmod(col("doc_id"), lit(50)).cast("string"), lit(".net")))
+      val url = concat(lit("https://www."), dom, lit("/p/"), col("doc_id").cast("string"))
+      graft.corpus.Url.domainCap(documents(s, dir), col("doc_id"), url,
+          length(col("text")).cast("double"), cap = 10)
+        .select(col("doc_id"), col("domain"), col("domain_rank"), col("cap_keeper"))
     }),
 
     // ================= relational baseline =================
@@ -3504,8 +3581,86 @@ object SparkEntry {
                      ELSE greatest(1, h * 24 // greatest(w, h)) END AS int) AS height
          FROM geo""",
 
+    "q_web_links" ->
+      // href extraction (group-1 regexp_extract_all — portable), per-link
+      // destination-host resolution (absolute / protocol-relative /
+      // page-relative), registrable-domain collapse, sorted-distinct join
+      """WITH d0 AS (SELECT doc_id,
+             'https://www.example' || source || '.com/p/' || doc_id AS page,
+             '<p>Intro</p><a href="https://www.Other' || (doc_id % 5) || '.org/x">abs</a>'
+             || '<a href="//cdn' || (doc_id % 3) || '.Example.net/y">proto</a>'
+             || '<a href="/relative/path">rel</a>'
+             || '<a href="#frag">frag</a>' AS h
+           FROM documents),
+         l AS (SELECT doc_id, page,
+             regexp_extract_all(h, '(?i)<a\b[^>]*?href\s*=\s*"([^"]*)"', 1) AS hrefs
+           FROM d0),
+         hosts AS (SELECT doc_id, len(hrefs)::int AS n_links,
+             [CASE WHEN regexp_matches(x, '(?i)^https?://')
+                   THEN lower(regexp_extract(x, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1))
+                   WHEN x LIKE '//%'
+                   THEN lower(regexp_extract('http:' || x, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1))
+                   ELSE lower(regexp_extract(page, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1))
+              END for x in hrefs] AS hs
+           FROM l)
+         SELECT doc_id, n_links,
+           array_to_string(list_sort(list_distinct([array_to_string(
+               string_split(h, '.')[greatest(len(string_split(h, '.')) - 1, 1):len(string_split(h, '.'))], '.')
+             for h in hs])), ',') AS dst_domains
+         FROM hosts""",
+
+    "q_web_pagerank" ->
+      (webGraphPagerankCte + " SELECT node, rank FROM r3"),
+
+    "q_web_importance" ->
+      (webGraphPagerankCte + """
+         SELECT d.doc_id, 'd' || (d.doc_id % 13) || '.com' AS domain,
+           coalesce(r3.rank, 0.0::double) AS importance
+         FROM documents d LEFT JOIN r3 ON r3.node = 'd' || (d.doc_id % 13) || '.com'"""),
+
+    "q_corpus_domcap" ->
+      """WITH d0 AS (SELECT doc_id, text,
+             CASE WHEN doc_id % 4 < 2 THEN 'mega.com'
+                  WHEN doc_id % 4 = 2 THEN 'mid' || (doc_id % 3) || '.org'
+                  ELSE 'tail' || (doc_id % 50) || '.net' END AS domain
+           FROM documents)
+         SELECT doc_id, domain,
+           row_number() OVER (PARTITION BY domain ORDER BY length(text) DESC, doc_id)::int AS domain_rank,
+           (row_number() OVER (PARTITION BY domain ORDER BY length(text) DESC, doc_id)) <= 10 AS cap_keeper
+         FROM d0""",
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY 1, 2"""
   )
+
+  /** Shared pagerank oracle prefix: the deterministic edge fixture
+    * (mirrors [[webGraphEdges]]) + 3 unrolled power-iteration rounds with
+    * uniform dangling-mass redistribution — every arithmetic step casts
+    * to double so both engines run the identical IEEE ops (DuckDB bare
+    * numeric literals are DECIMAL). */
+  private def webGraphPagerankCte: String =
+    """WITH e0 AS (SELECT DISTINCT
+           'd' || (doc_id % 13) || '.com' AS src,
+           'd' || ((doc_id * doc_id + 1) % 17) || '.com' AS dst
+         FROM documents WHERE (doc_id * doc_id) % 7 < 3),
+       e1 AS (SELECT src, dst FROM e0 WHERE src <> dst),
+       nodes AS (SELECT DISTINCT node
+         FROM (SELECT src AS node FROM e1 UNION ALL SELECT dst AS node FROM e1)),
+       nn AS (SELECT count(*)::double AS n FROM nodes),
+       deg AS (SELECT src, count(*) AS outdeg FROM e1 GROUP BY 1),
+       e AS (SELECT e1.src, e1.dst, deg.outdeg FROM e1 JOIN deg USING (src)),
+       r0 AS (SELECT node, 1.0::double / (SELECT n FROM nn) AS rank FROM nodes),""" +
+      (0 until 3).map { t =>
+        s"""
+       d$t AS (SELECT coalesce(sum(rank), 0.0::double) AS dm FROM r$t
+               WHERE node NOT IN (SELECT src FROM e1)),
+       c$t AS (SELECT e.dst AS node, sum(r.rank / e.outdeg) AS in_rank
+               FROM e JOIN r$t r ON e.src = r.node GROUP BY 1),
+       r${t + 1} AS (SELECT n.node,
+           (1.0::double - 0.85::double) / (SELECT n FROM nn)
+           + 0.85::double * (coalesce(c.in_rank, 0.0::double)
+                             + (SELECT dm FROM d$t) / (SELECT n FROM nn)) AS rank
+         FROM nodes n LEFT JOIN c$t c USING (node))"""
+      }.mkString(",")
 }

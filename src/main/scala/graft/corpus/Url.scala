@@ -75,16 +75,21 @@ object Url {
     *
     * Output: surviving docs + `url_host`.
     */
+  /** Registrable domain of a host — last two labels (`a.b.c.com` →
+    * `c.com`), the bucketing key for blocklists, per-domain caps and the
+    * web graph. A public-suffix-aware version would swap in the PSL
+    * table here. */
+  def registrableDomain(h: Column): Column = {
+    val ls = split(h, "\\.")
+    array_join(slice(ls, greatest(size(ls) - 1, lit(1)), lit(2)), ".")
+  }
+
   def filterBlockedDomains(
       docs: DataFrame, url: Column, block: DataFrame, domain: Column): DataFrame = {
-    def regKey(h: Column): Column = {
-      val ls = split(h, "\\.")
-      array_join(slice(ls, greatest(size(ls) - 1, lit(1)), lit(2)), ".")
-    }
     val b = block.select(lower(domain).as("__dom"))
-      .withColumn("__bkey", regKey(col("__dom")))
+      .withColumn("__bkey", registrableDomain(col("__dom")))
     val withHost = docs.withColumn("url_host", host(url))
-      .withColumn("__hkey", regKey(col("url_host")))
+      .withColumn("__hkey", registrableDomain(col("url_host")))
     withHost.join(broadcast(b),
       col("__hkey") === col("__bkey") &&
         (col("url_host") === col("__dom") ||
@@ -105,5 +110,31 @@ object Url {
     c.join(keep, Seq("canonical_url"))
       .withColumn("is_keeper", col("__id") === col("__keep"))
       .drop("__id", "__keep")
+  }
+
+  /** Per-domain quota cap — keep at most `cap` documents per registrable
+    * domain, best-first (highest `quality`, ties broken by lowest id so
+    * the choice is deterministic). Web-scale pipelines cap per-domain
+    * contribution so no single site dominates the corpus (RefinedWeb,
+    * Penedo et al. 2023 §3, and FineWeb apply exactly this shape after
+    * URL dedup). Output: input columns + `domain`, `domain_rank` (1 =
+    * best on its domain), `cap_keeper`.
+    *
+    * Scale shape: ONE window partitioned by domain — the shuffle key is
+    * the domain, and the per-partition state is a running counter. A
+    * mega-domain (10⁸ pages) makes that partition large but the window
+    * still streams it; if a corpus has domains hot enough to matter, rank
+    * within (domain, salt-bucket) first and cap per bucket at
+    * cap/buckets — the [[graft.operators.Skew]] salting pattern.
+    */
+  def domainCap(
+      docs: DataFrame, id: Column, url: Column, quality: Column,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(quality.desc, id.asc)
+    docs.withColumn("domain", registrableDomain(host(url)))
+      .withColumn("domain_rank", row_number().over(w))
+      .withColumn("cap_keeper", col("domain_rank") <= cap)
   }
 }

@@ -142,6 +142,26 @@ class PlanSpec extends SparkSpec {
       s"no hash exchange after the checkpointed counts:\n$pr")
   }
 
+  test("web-graph tier: link scan stays shuffle-free, importance broadcasts, cap is one window") {
+    def keyShuffles(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).length
+    // href extraction + resolution is a pure per-row projection
+    val lk = planOf("q_web_links")
+    assert(keyShuffles(lk) === 0, s"link extraction must not key-shuffle:\n$lk")
+    // importance: the ranks frame is graph-sized and localCheckpoint'd, so
+    // the corpus picks its ranks up through a BROADCAST join — zero key
+    // shuffles on the doc side at any corpus size
+    val imp = planOf("q_web_importance")
+    assert(imp.contains("BroadcastHashJoin"),
+      s"importance must broadcast the domain ranks:\n$imp")
+    assert(keyShuffles(imp) === 0,
+      s"the corpus must never key-shuffle to meet its ranks, saw ${keyShuffles(imp)}:\n$imp")
+    // per-domain cap: exactly ONE key shuffle — the domain window
+    val cap = planOf("q_corpus_domcap")
+    assert(keyShuffles(cap) === 1,
+      s"domain cap is one window partitioned by domain, saw ${keyShuffles(cap)}:\n$cap")
+    assert(cap.contains("Window"), s"expected a window stage:\n$cap")
+  }
+
   test("query-side filter pushes down into the parquet scan") {
     // q_embed_topk's query set is `vec_id < 5` — that predicate must reach
     // the embeddings scan as a pushed filter, not run post-scan only.
