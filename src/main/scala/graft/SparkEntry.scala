@@ -1688,6 +1688,14 @@ object SparkEntry {
         isStart = col("role") === "user", sliceSize = 16)
     }),
 
+    // SFT sequence assembly with loss-mask spans: one row per
+    // conversation — rendered `role: text` sequence + the [start:end)
+    // char spans of assistant TEXT (prefix masked out), the masking rule
+    // an SFT trainer consumes; one window + one group-by on the same key
+    "q_sft_masked" -> ((s, dir) => {
+      graft.transcripts.Sft.lossMaskedSequence(transcripts(s, dir))
+    }),
+
     // ================= web-graph tier =================
     // href extraction + per-link destination-host resolution over fixture
     // pages: one absolute link, one protocol-relative, one path-relative,
@@ -1731,6 +1739,26 @@ object SparkEntry {
         concat(lit("https://www.d"), pmod(col("doc_id"), lit(13)).cast("string"),
           lit(".com/p/"), col("doc_id").cast("string")),
         ranks)
+    }),
+
+    // aggregated anchor text: what the web calls each target domain — the
+    // top-k anchor phrasings per destination by frequency (inner tags
+    // stripped, whitespace collapsed; relative/self links dropped); count
+    // keyed (dst, anchor), window only over the counted vocabulary
+    "q_web_anchors" -> ((s, dir) => {
+      val k4 = pmod(col("doc_id"), lit(4)).cast("string")
+      val html = concat(
+        lit("<a href=\"https://www.target"), k4,
+        lit(".org/x\">Read <b>the</b> article</a>"),
+        lit("<a href=\"https://www.target"), k4,
+        lit(".org/y\">visit site "), pmod(col("doc_id"), lit(2)).cast("string"),
+        lit("</a>"),
+        lit("<a href=\"https://www.target"), k4,
+        lit(".org/z\">"), col("source"), lit(" news</a>"),
+        lit("<a href=\"/nav\">Home</a>"))
+      val anchors = graft.corpus.WebGraph.anchorTexts(documents(s, dir),
+        lit("https://www.example.com/p"), html)
+      graft.corpus.WebGraph.topAnchors(anchors, k = 3)
     }),
 
     // per-domain quota cap (RefinedWeb/FineWeb shape): planted domains are
@@ -3581,6 +3609,23 @@ object SparkEntry {
                      ELSE greatest(1, h * 24 // greatest(w, h)) END AS int) AS height
          FROM geo""",
 
+    "q_sft_masked" -> Transcripts.oracle(
+      """, sm0 AS (SELECT conv_id, turn_idx, role, text,
+             role || ': ' || text AS seg FROM transcripts),
+         sm1 AS (SELECT *, coalesce(sum(length(seg) + 1) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS off
+           FROM sm0)
+         SELECT conv_id,
+           string_agg(seg, chr(10) ORDER BY turn_idx) AS text,
+           coalesce(string_agg(CASE WHEN role = 'assistant'
+               THEN (off + length(role) + 2) || ':' || (off + length(seg)) END,
+               ',' ORDER BY turn_idx), '') AS mask_spans,
+           sum(CASE WHEN role = 'assistant' THEN length(text) ELSE 0 END)::bigint
+             AS n_loss_chars,
+           count(*) AS n_turns
+         FROM sm1 GROUP BY conv_id"""),
+
     "q_web_links" ->
       // href extraction (group-1 regexp_extract_all — portable), per-link
       // destination-host resolution (absolute / protocol-relative /
@@ -3617,6 +3662,43 @@ object SparkEntry {
          SELECT d.doc_id, 'd' || (d.doc_id % 13) || '.com' AS domain,
            coalesce(r3.rank, 0.0::double) AS importance
          FROM documents d LEFT JOIN r3 ON r3.node = 'd' || (d.doc_id % 13) || '.com'"""),
+
+    "q_web_anchors" ->
+      // whole-anchor extraction, per-anchor href + tag-stripped text,
+      // destination-domain collapse, count per (dst, anchor), top-3 window
+      """WITH a0 AS (SELECT doc_id, source,
+             '<a href="https://www.target' || (doc_id % 4) || '.org/x">Read <b>the</b> article</a>'
+             || '<a href="https://www.target' || (doc_id % 4) || '.org/y">visit site ' || (doc_id % 2) || '</a>'
+             || '<a href="https://www.target' || (doc_id % 4) || '.org/z">' || source || ' news</a>'
+             || '<a href="/nav">Home</a>' AS h
+           FROM documents),
+         ex AS (SELECT unnest(regexp_extract_all(h,
+             '(?is)<a\b[^>]*?href\s*=\s*"[^"]*"[^>]*>.*?</a\s*>', 0)) AS a
+           FROM a0),
+         p AS (SELECT
+             regexp_extract(a, '(?i)<a\b[^>]*?href\s*=\s*"([^"]*)"', 1) AS href,
+             trim(regexp_replace(regexp_replace(a, '(?is)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS anchor
+           FROM ex),
+         hh AS (SELECT anchor, CASE
+             WHEN regexp_matches(href, '(?i)^https?://')
+             THEN lower(regexp_extract(href,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1))
+             WHEN href LIKE '//%'
+             THEN lower(regexp_extract('http:' || href,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1))
+             ELSE '' END AS hst
+           FROM p),
+         sp AS (SELECT anchor, hst, string_split(hst, '.') AS ls FROM hh),
+         d AS (SELECT CASE WHEN hst = '' THEN ''
+             ELSE array_to_string(ls[greatest(len(ls) - 1, 1):len(ls)], '.')
+             END AS dst, anchor
+           FROM sp),
+         f AS (SELECT dst, anchor FROM d
+           WHERE dst <> '' AND dst <> 'example.com' AND anchor <> ''),
+         c AS (SELECT dst, anchor, count(*)::bigint AS n FROM f GROUP BY 1, 2)
+         SELECT dst, anchor, n,
+           row_number() OVER (PARTITION BY dst ORDER BY n DESC, anchor ASC)::int AS anchor_rank
+         FROM c QUALIFY anchor_rank <= 3""",
 
     "q_corpus_domcap" ->
       """WITH d0 AS (SELECT doc_id, text,

@@ -57,6 +57,46 @@ object WebGraph {
   /** Registrable-domain key — shared with the blocklist/cap operators. */
   def registrableDomain(h: Column): Column = Url.registrableDomain(h)
 
+  /** Whole anchor elements (`<a …href…>…</a>`), innermost-match, in
+    * document order — the unit [[anchorTexts]] splits into (href, text). */
+  val AnchorRe = "(?is)<a\\b[^>]*?href\\s*=\\s*\"[^\"]*\"[^>]*>.*?</a\\s*>"
+
+  /** One row per anchor: the link's destination registrable domain + the
+    * anchor's visible text (inner tags stripped, whitespace collapsed) —
+    * the classic aggregated-anchor-text signal (retrieval and pretraining
+    * corpora attach "what the web calls this page" to every target;
+    * anchors are also the raw material for query–document pairs). Pure
+    * scan-stage work: extract anchors, per-anchor regex splits, explode.
+    * Empty anchor texts and self-domain links are dropped. */
+  def anchorTexts(docs: DataFrame, pageUrl: Column, html: Column): DataFrame =
+    docs.select(
+        registrableDomain(Url.host(pageUrl)).as("src"),
+        explode(regexp_extract_all(html, lit(AnchorRe), lit(0))).as("__a"))
+      .select(col("src"),
+        registrableDomain(linkHost(lit(""),
+          regexp_extract(col("__a"), HrefRe, 1))).as("dst"),
+        trim(regexp_replace(regexp_replace(col("__a"),
+          "(?is)<[^>]*>", " "), "\\s+", " ")).as("anchor"))
+      .where(col("dst") =!= "" && col("dst") =!= col("src") &&
+        col("anchor") =!= "")
+      .select(col("dst"), col("anchor"))
+
+  /** Top-k anchor texts per destination domain by frequency (ties → the
+    * lexicographically first anchor, deterministic). One combinable count
+    * keyed (dst, anchor), then one window over the COUNTED rows — the
+    * window's partition is bounded by a domain's distinct anchor
+    * vocabulary, never by its raw in-link count (a 10⁸-in-link page with
+    * 40 distinct anchor phrasings is 40 rows here). */
+  def topAnchors(anchors: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = anchors.groupBy(col("dst"), col("anchor"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("dst"))
+      .orderBy(col("n").desc, col("anchor").asc)
+    counted.withColumn("anchor_rank", row_number().over(w))
+      .where(col("anchor_rank") <= k)
+  }
+
   /** Distinct registrable-domain edge list (src → dst) from the corpus's
     * pages: explode extracted hrefs, resolve each destination host,
     * collapse both ends to registrable domains, drop self-loops and

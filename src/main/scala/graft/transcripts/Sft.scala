@@ -43,6 +43,49 @@ object Sft {
         size(clipped).cast("long").as("n_context_turns")) // turns IN the emitted context
   }
 
+  /** SFT sequence assembly with loss-mask spans — the step after pair/
+    * conversation extraction that training actually consumes: ONE row per
+    * conversation holding the full rendered sequence (`role: text` turns
+    * joined by newlines, stable turn order) plus the char-offset spans
+    * `[start:end)` of every `lossRole` turn's TEXT (the `role: ` prefix
+    * and all other roles are masked out — loss lands only on what the
+    * assistant said, the standard SFT masking rule).
+    *
+    * Output: conv_id, text, mask_spans (`start:end` joined by `,`, empty
+    * when the conversation has no `lossRole` turn), n_loss_chars,
+    * n_turns.
+    *
+    * Scale shape: one cumulative-length window per conversation followed
+    * by one group-by on the SAME key — the planner reuses the window's
+    * hash partitioning, so the whole assembly is a single shuffle, and
+    * every frame/group is bounded by the conversation length.
+    */
+  def lossMaskedSequence(
+      turns: DataFrame, lossRole: String = "assistant"): DataFrame = {
+    val wPrior = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withOff = turns
+      .withColumn("__seg", concat_ws(": ", col("role"), col("text")))
+      // chars before this turn's segment: prior segments + their '\n's
+      .withColumn("__off",
+        coalesce(sum(length(col("__seg")).cast("long") + 1L).over(wPrior),
+          lit(0L)))
+    val span = struct(col("turn_idx"),
+      (col("__off") + length(col("role")).cast("long") + 2L).as("s"),
+      (col("__off") + length(col("__seg")).cast("long")).as("e"))
+    withOff.groupBy(col("conv_id")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("__seg").as("seg")))),
+        x => x.getField("seg")), "\n").as("text"),
+      array_join(transform(
+        array_sort(collect_list(when(col("role") === lossRole, span))),
+        x => concat(x.getField("s").cast("string"), lit(":"),
+          x.getField("e").cast("string"))), ",").as("mask_spans"),
+      sum(when(col("role") === lossRole, length(col("text")).cast("long"))
+        .otherwise(0L)).as("n_loss_chars"),
+      count(lit(1)).as("n_turns"))
+  }
+
   /** Conversation-level quality gate — the transcript tier's analog of the
     * document Gopher rules: agent-training sets drop degenerate
     * conversations (too short, no assistant turns, trivial text) BEFORE

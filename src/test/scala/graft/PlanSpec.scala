@@ -160,6 +160,23 @@ class PlanSpec extends SparkSpec {
     assert(keyShuffles(cap) === 1,
       s"domain cap is one window partitioned by domain, saw ${keyShuffles(cap)}:\n$cap")
     assert(cap.contains("Window"), s"expected a window stage:\n$cap")
+    // SFT loss-mask assembly: the offset window and the per-conversation
+    // aggregate share the conv_id partitioning — ONE shuffle beyond the
+    // transcript derivation's own user_id exchange (q_sft_pairs shows the
+    // same 2 total), and no exchange may sit between window and aggregate
+    val sm = planOf("q_sft_masked")
+    assert(keyShuffles(sm) === 2,
+      s"window + same-key group-by must add one shuffle over the transcript CTE, saw ${keyShuffles(sm)}:\n$sm")
+    assert("hashpartitioning\\(conv_id".r.findAllIn(sm).length === 1,
+      s"the aggregate must reuse the window's conv_id partitioning:\n$sm")
+    // anchor aggregation: the (dst, anchor) count + the per-dst rank
+    // window — two key shuffles, and the window only ever sees the
+    // counted anchor vocabulary, never raw in-links
+    val an = planOf("q_web_anchors")
+    assert(keyShuffles(an) <= 2,
+      s"anchor top-k is count + rank window, saw ${keyShuffles(an)}:\n$an")
+    assert(an.contains("HashAggregate"),
+      s"anchor counts must partial-aggregate map-side:\n$an")
   }
 
   test("query-side filter pushes down into the parquet scan") {

@@ -65,6 +65,34 @@ class TranscriptsSpec extends SparkSpec {
     assert(none.forall(r => r._3 == "" && r._5 == 0L))
   }
 
+  test("loss-masked sequence: hand-computed spans; spans slice back to the assistant text") {
+    import spark.implicits._
+    val t = Seq(
+      ("c1", 0, "user", "hi"),
+      ("c1", 1, "assistant", "hello"),
+      ("c1", 2, "user", "how are you"),
+      ("c1", 3, "assistant", "fine"),
+      ("c2", 0, "assistant", "opener")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val got = Sft.lossMaskedSequence(t)
+      .as[(String, String, String, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // c1: "user: hi\nassistant: hello\nuser: how are you\nassistant: fine"
+    //  hello at [20,25), fine at [55,59)
+    assert(got("c1") === (("c1",
+      "user: hi\nassistant: hello\nuser: how are you\nassistant: fine",
+      "20:25,55:59", 9L, 4L)))
+    assert(got("c2") === (("c2", "assistant: opener", "11:17", 6L, 1L)))
+    // reconstruction property: every span slices exactly an assistant text
+    val assistants = Set("hello", "fine", "opener")
+    got.values.foreach { case (_, text, spans, _, _) =>
+      spans.split(",").filter(_.nonEmpty).foreach { sp =>
+        val Array(s, e) = sp.split(":").map(_.toInt)
+        assert(assistants.contains(text.substring(s, e)), s"span $sp in $text")
+      }
+    }
+  }
+
   test("conversation stats gate degenerate conversations") {
     import spark.implicits._
     def ts(m: Int) = new java.sql.Timestamp(86400000L + m * 60000L)

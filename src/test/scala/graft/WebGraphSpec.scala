@@ -90,6 +90,32 @@ class WebGraphSpec extends SparkSpec {
     assert(got(1L) === 0.7 && got(2L) === 0.0)
   }
 
+  test("anchorTexts: inner tags stripped, whitespace collapsed, self/relative/empty dropped") {
+    val html =
+      """<a href="https://www.other.org/1">Read <b>the</b>
+        |  article</a><a href="/rel">Nav</a><a href="https://mysite.com/x">self</a>""".stripMargin +
+        """<a href="https://third.net/y"><img src="i.png"/></a>"""
+    val d = Seq(("https://www.mysite.com/a", html)).toDF("url", "h")
+    val got = WebGraph.anchorTexts(d, col("url"), col("h"))
+      .as[(String, String)].collect().toSet
+    // the image-only anchor strips to empty and is dropped; the multiline
+    // bold anchor collapses to one clean phrase
+    assert(got === Set(("other.org", "Read the article")))
+  }
+
+  test("topAnchors: frequency rank with lexicographic ties, cutoff at k") {
+    val a = Seq(
+      ("t.org", "beta"), ("t.org", "beta"), ("t.org", "alpha"), ("t.org", "alpha"),
+      ("t.org", "gamma"), ("t.org", "delta"),
+      ("u.net", "only")).toDF("dst", "anchor")
+    val got = WebGraph.topAnchors(a, k = 3)
+      .select("dst", "anchor", "n", "anchor_rank")
+      .as[(String, String, Long, Int)].collect().toSet
+    assert(got === Set(
+      ("t.org", "alpha", 2L, 1), ("t.org", "beta", 2L, 2), ("t.org", "delta", 1L, 3),
+      ("u.net", "only", 1L, 1)))
+  }
+
   test("domainCap: at most cap keepers per domain, best-first, ties by id") {
     val docs = (0 until 40).map { i =>
       (i.toLong, s"https://www.host${i % 2}.com/p/$i", "x" * (i % 5 + 1))
