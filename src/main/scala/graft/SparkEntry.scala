@@ -1688,6 +1688,30 @@ object SparkEntry {
         isStart = col("role") === "user", sliceSize = 16)
     }),
 
+    // corpus snapshot diff: the release-to-release change report —
+    // old = docs except the %5==4 slice, new = docs except %5==0 with a
+    // planted edit on %7==0; statuses must land removed/added/changed/
+    // unchanged exactly; only (id, hash) pairs ever shuffle
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val old = d.where(pmod(col("doc_id"), lit(5)) =!= 4)
+      val cur = d.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("__t",
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.corpus.Export.snapshotDiff(
+        old, col("doc_id"), col("text"), cur, col("doc_id"), col("__t"))
+    }),
+
+    // per-source exemplar rows (the datasheet's "examples" column):
+    // k docs per source whose seeded md5 sorts first — deterministic,
+    // position-unbiased, one streaming window per stratum
+    "q_corpus_exemplars" -> ((s, dir) => {
+      graft.corpus.Sampling.exemplars(
+        documents(s, dir).select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"), k = 5)
+    }),
+
     // SFT sequence assembly with loss-mask spans: one row per
     // conversation — rendered `role: text` sequence + the [start:end)
     // char spans of assistant TEXT (prefix masked out), the masking rule
@@ -3608,6 +3632,28 @@ object SparkEntry {
            cast(CASE WHEN greatest(w, h) <= 24 THEN h
                      ELSE greatest(1, h * 24 // greatest(w, h)) END AS int) AS height
          FROM geo""",
+
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, sha256(lower(trim(text))) AS oh
+           FROM documents WHERE doc_id % 5 <> 4),
+         c AS (SELECT doc_id,
+             sha256(lower(trim(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                                    ELSE text END))) AS ch
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN c.doc_id IS NULL THEN 'removed'
+                WHEN oh <> ch THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id""",
+
+    "q_corpus_exemplars" ->
+      """WITH h AS (SELECT doc_id, source,
+             md5('exemplar:' || doc_id) AS hx FROM documents)
+         SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY hx, doc_id)::int
+             AS exemplar_rank
+         FROM h QUALIFY exemplar_rank <= 5""",
 
     "q_sft_masked" -> Transcripts.oracle(
       """, sm0 AS (SELECT conv_id, turn_idx, role, text,

@@ -68,6 +68,30 @@ object Export {
   /** Recompute counts + checksums from the written files and compare to
     * the manifest: (shard, n_docs, checksum, ok). A shard missing from the
     * data side reports ok=false with null recomputed fields. */
+  /** Corpus snapshot diff — the change report between two dataset
+    * versions an iterative corpus build publishes with each release:
+    * per doc id, `added` (new only), `removed` (old only), `changed`
+    * (both, content hash differs) or `unchanged`. Content compared via
+    * [[Dedup.contentHash]] (normalized sha-256), so formatting-identical
+    * re-crawls do not read as changes.
+    *
+    * Scale shape: hashes are computed scan-stage on both sides, then ONE
+    * id-keyed full outer join — no content ever shuffles, only
+    * (id, hash) pairs.
+    */
+  def snapshotDiff(
+      old: DataFrame, oldId: Column, oldText: Column,
+      cur: DataFrame, curId: Column, curText: Column): DataFrame = {
+    val o = old.select(oldId.as("doc_id"), Dedup.contentHash(oldText).as("__oh"))
+    val c = cur.select(curId.as("doc_id"), Dedup.contentHash(curText).as("__ch"))
+    o.join(c, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__ch").isNull, lit("removed"))
+          .when(col("__oh") =!= col("__ch"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   def verifyShards(spark: SparkSession, id: Column, outDir: String): DataFrame = {
     val manifest = spark.read.parquet(s"$outDir/_manifest")
     val actual = spark.read.parquet(s"$outDir/data")

@@ -68,6 +68,24 @@ object Sampling {
     df.filter(substring(md5(key.cast("string")), 1, 8) < threshold)
   }
 
+  /** Deterministic per-stratum exemplars: the k docs per stratum whose
+    * md5(seed ⧺ key) sorts first — the "example rows per source" a corpus
+    * datasheet publishes next to its aggregates (unbiased w.r.t. position
+    * in the input, stable across reruns and engines). One window per
+    * stratum ordered by the hash; the frame streams, so a mega-stratum
+    * costs a scan, not memory. Output: input columns + `exemplar_rank`
+    * (1..k).
+    */
+  def exemplars(
+      df: DataFrame, key: Column, stratum: Column, k: Int,
+      seed: String = "exemplar:"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit(seed), key.cast("string")))
+    val w = Window.partitionBy(stratum).orderBy(h.asc, key.asc)
+    df.withColumn("exemplar_rank", row_number().over(w))
+      .filter(col("exemplar_rank") <= k)
+  }
+
   /** Leakage-safe dataset-split label ("train"/"valid"/"test" or any
     * names + weights, normalized): decided by md5 of the KEY, so pass the
     * near-dup CLUSTER id (from [[Dedup.resolveClusters]]) and every member

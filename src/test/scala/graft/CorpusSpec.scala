@@ -1765,4 +1765,31 @@ class CorpusSpec extends SparkSpec {
       .select(col("m")).as[Double].collect()
     assert(mass.length === 3 && mass.forall(m => math.abs(m - 1.0) < 1e-12))
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged via normalized content hash") {
+    import graft.corpus.Export
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "  SAME "), (2L, "changed!"), (4L, "new"))
+      .toDF("doc_id", "text")
+    val got = Export.snapshotDiff(old, col("doc_id"), col("text"),
+        cur, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    // 1 differs only in case/padding -> the normalized hash calls it unchanged
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("exemplars: k per stratum, rank dense, rerun-identical") {
+    import graft.corpus.Sampling
+    val d = (0 until 50).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    def run() = Sampling.exemplars(d, col("doc_id"), col("source"), 4)
+      .select("source", "doc_id", "exemplar_rank")
+      .as[(String, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    val g1 = run()
+    assert(g1.count(_._1 == "a") === 4 && g1.count(_._1 == "b") === 4)
+    assert(g1.filter(_._1 == "a").map(_._3).toSeq === Seq(1, 2, 3, 4))
+    assert(g1.toSeq === run().toSeq, "seeded md5 order is rerun-stable")
+  }
 }

@@ -177,6 +177,16 @@ class PlanSpec extends SparkSpec {
       s"anchor top-k is count + rank window, saw ${keyShuffles(an)}:\n$an")
     assert(an.contains("HashAggregate"),
       s"anchor counts must partial-aggregate map-side:\n$an")
+    // snapshot diff: one id-keyed full outer join over (id, hash) pairs —
+    // the two sides' exchanges, nothing more, and never the texts
+    val df = planOf("q_corpus_diff")
+    assert(keyShuffles(df) <= 2,
+      s"diff is one id join (two side exchanges max), saw ${keyShuffles(df)}:\n$df")
+    assert(df.contains("FullOuter"), s"expected a full outer join:\n$df")
+    // exemplars: one stratum window
+    val ex = planOf("q_corpus_exemplars")
+    assert(keyShuffles(ex) === 1,
+      s"exemplars is one stratum window, saw ${keyShuffles(ex)}:\n$ex")
   }
 
   test("query-side filter pushes down into the parquet scan") {
