@@ -48,7 +48,14 @@ object Bench {
     // q_dedup_clusters + one combinable agg, already measured there.
     "q_corpus_chunks", "q_text_buckets", "q_corpus_pack_asm",
     "q_corpus_datasheet", "q_dedup_soft", "q_corpus_upsample",
-    "q_skew_profile")
+    "q_skew_profile",
+    // round-5 web-graph + release tier: anchor aggregation (extract +
+    // count + rank window), PageRank (3 power iterations incl. the
+    // per-round driver sync), SFT loss-mask assembly (window + same-key
+    // agg over every transcript turn), snapshot diff (id-keyed full
+    // outer). q_web_links/q_corpus_exemplars/q_corpus_domcap absent:
+    // strict subsets of the anchor/exemplar/datasheet costs already here.
+    "q_web_anchors", "q_web_pagerank", "q_sft_masked", "q_corpus_diff")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -1688,6 +1688,53 @@ object SparkEntry {
         isStart = col("role") === "user", sliceSize = 16)
     }),
 
+    // training JSONL rendering (the interchange line format): fixed key
+    // order, standard escapes proven by planted quotes/backslash/newline —
+    // both engines must produce byte-identical lines
+    "q_corpus_jsonl" -> ((s, dir) => {
+      val spiced = concat(col("text"), lit(" \"quoted\\path\"\nline2"))
+      documents(s, dir).select(col("doc_id"),
+        graft.corpus.Export.jsonlLine(
+          "id" -> col("doc_id"), "source" -> col("source"),
+          "text" -> spiced).as("line"))
+    }),
+
+    // near-dup cluster-size histogram (the release report's dedup
+    // section): power-of-two buckets over the resolved clusters, integer
+    // comparisons only — two combinable aggregates, viral-group safe
+    "q_dedup_histogram" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val clusters = Dedup.resolveClusters(
+        d.select(col("doc_id").as("member_id")),
+        Dedup.minhashLsh(d, col("doc_id"), col("text")), "doc_a", "doc_b")
+      Dedup.clusterStats(clusters)
+    }),
+
+    // compliance signals on the HTML front door: robots meta directives
+    // (both attribute orders), the noai/noindex opt-out decision, and
+    // CC-license link extraction — planted per doc_id residue; all
+    // scan-stage expressions
+    "q_corpus_optout" -> ((s, dir) => {
+      val meta = when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("<meta name=\"robots\" content=\"index, noai\">"))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          lit("<meta content=\"noindex\" name=\"robots\">"))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          lit("<meta name=\"robots\" content=\"all\">"))
+        .otherwise(lit(""))
+      val lic = when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("<a href=\"https://creativecommons.org/licenses/by-sa/4.0/\">CC</a>"))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          lit("<a href=\"https://creativecommons.org/licenses/by/3.0/\">CC</a>"))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head>"), meta, lit("</head><body><p>"),
+        col("text"), lit("</p>"), lic, lit("</body></html>"))
+      documents(s, dir).select(col("doc_id"),
+        graft.corpus.HtmlText.robotsDirectives(html).as("robots"),
+        graft.corpus.HtmlText.optedOut(html).as("opted_out"),
+        graft.corpus.HtmlText.ccLicense(html).as("license"))
+    }),
+
     // corpus snapshot diff: the release-to-release change report —
     // old = docs except the %5==4 slice, new = docs except %5==0 with a
     // planted edit on %7==0; statuses must land removed/added/changed/
@@ -3632,6 +3679,64 @@ object SparkEntry {
            cast(CASE WHEN greatest(w, h) <= 24 THEN h
                      ELSE greatest(1, h * 24 // greatest(w, h)) END AS int) AS height
          FROM geo""",
+
+    "q_corpus_jsonl" ->
+      """SELECT doc_id,
+           to_json(struct_pack(id := doc_id, source := source,
+             text := text || ' "quoted\path"' || chr(10) || 'line2'))::varchar AS line
+         FROM documents""",
+
+    "q_dedup_histogram" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in generate_series(1, len(w) - 2)]) AS s
+                FROM tok),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s))::double /
+                      len(list_distinct(list_concat(a.s, b.s)))::double >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                   UNION SELECT doc_b, doc_a FROM pr),
+         walk(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
+         mem AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id),
+         sz AS (SELECT cluster_id, count(*) AS n FROM mem GROUP BY 1),
+         bk AS (SELECT (CASE
+             ${(10 to 1 by -1).map(b => s"WHEN n >= ${1L << b} THEN ${1L << b}").mkString(" ")}
+             ELSE 1 END)::bigint AS bucket_lo, n
+           FROM sz)
+         SELECT bucket_lo, count(*) AS n_clusters, sum(n)::bigint AS n_docs
+         FROM bk GROUP BY 1""",
+
+    "q_corpus_optout" ->
+      """WITH h0 AS (SELECT doc_id,
+             '<html><head>' ||
+             CASE WHEN doc_id % 4 = 0 THEN '<meta name="robots" content="index, noai">'
+                  WHEN doc_id % 4 = 1 THEN '<meta content="noindex" name="robots">'
+                  WHEN doc_id % 4 = 2 THEN '<meta name="robots" content="all">'
+                  ELSE '' END ||
+             '</head><body><p>' || text || '</p>' ||
+             CASE WHEN doc_id % 3 = 0 THEN '<a href="https://creativecommons.org/licenses/by-sa/4.0/">CC</a>'
+                  WHEN doc_id % 3 = 1 THEN '<a href="https://creativecommons.org/licenses/by/3.0/">CC</a>'
+                  ELSE '' END || '</body></html>' AS h
+           FROM documents),
+         r AS (SELECT doc_id, h,
+             lower(CASE WHEN regexp_extract(h, '(?is)<meta\b[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"([^"]*)"', 1) <> ''
+                   THEN regexp_extract(h, '(?is)<meta\b[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"([^"]*)"', 1)
+                   ELSE regexp_extract(h, '(?is)<meta\b[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*"robots"', 1)
+               END) AS robots
+           FROM h0)
+         SELECT doc_id, robots,
+           len([d for d in [trim(x) for x in string_split(robots, ',')]
+                if d IN ('noindex', 'noai', 'noimageai', 'notrain')]) > 0 AS opted_out,
+           CASE WHEN regexp_extract(h, '(?i)creativecommons\.org/licenses/([a-z-]+)/([0-9.]+)', 1) = '' THEN ''
+                ELSE lower(regexp_extract(h, '(?i)creativecommons\.org/licenses/([a-z-]+)/([0-9.]+)', 1))
+                     || '-' || regexp_extract(h, '(?i)creativecommons\.org/licenses/([a-z-]+)/([0-9.]+)', 2)
+           END AS license
+         FROM r""",
 
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id, sha256(lower(trim(text))) AS oh

@@ -286,6 +286,25 @@ object Dedup {
       .select(col("cluster_id"), col("__b.id").as("keep_id"),
         (-col("__b.ns")).as("keep_score"), col("n_members"))
 
+  /** Cluster-size histogram over resolved clusters — the dedup section of
+    * a corpus release report (how much of the crawl is singletons vs
+    * small families vs viral mega-groups). Power-of-two buckets keyed by
+    * `bucket_lo` (1, 2, 4, …, 2^maxBucketLog2 = the open-ended top),
+    * chosen by INTEGER comparisons so both engines bucket identically
+    * (never floor(log2(n)) — a double ulp at a boundary flips the
+    * bucket). Two combinable aggregates: a 10⁸-member viral cluster is
+    * one size row, then one histogram row.
+    */
+  def clusterStats(clusters: DataFrame, maxBucketLog2: Int = 10): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+    val bucketLo = (1 to maxBucketLog2).foldLeft(lit(1L): Column) {
+      case (acc, b) => when(col("n") >= (1L << b), lit(1L << b)).otherwise(acc)
+    }
+    sizes.withColumn("bucket_lo", bucketLo)
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("n")).as("n_docs"))
+  }
+
   /** The canonical corpus dedup pass, composed end-to-end: exact duplicate
     * pairs (same normalized content) ∪ MinHash-LSH near-dup pairs →
     * connected components → keep only each cluster's minimum-id survivor.

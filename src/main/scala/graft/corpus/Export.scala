@@ -65,6 +65,36 @@ object Export {
     manifest
   }
 
+  /** One training JSONL line per row — the interchange format most
+    * training stacks ingest. Fixed key order = argument order; rendering
+    * is the engine's JSON marshal (standard `\"`/`\\`/`\n` escapes,
+    * unquoted ints/bools), so the line is byte-stable across reruns.
+    * Avoid null fields (Spark's marshal omits them — same rule as the
+    * FilterX dict stores) and avoid doubles where byte-identity across
+    * engines matters (shortest-repr deltas, declared at format_json). */
+  def jsonlLine(fields: (String, Column)*): Column =
+    to_json(struct(fields.map { case (n, c) => c.as(n) }: _*))
+
+  /** JSONL shard export: the same deterministic shuffle + verifiable
+    * manifest as [[writeShards]], with plain-text `.jsonl` data files
+    * (one directory per shard, rows pre-sorted by the order key). */
+  def writeJsonlShards(
+      docs: DataFrame, id: Column, nShards: Int, outDir: String,
+      fields: (String, Column)*): DataFrame = {
+    val assigned = shardAssignment(docs, id, nShards)
+      .withColumn("__line", jsonlLine(fields: _*))
+    assigned
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ok"), id)
+      .select(col("__line"), col("shard"))
+      .write.mode("overwrite").partitionBy("shard").text(s"$outDir/data")
+    val manifest = assigned
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ok")).as("checksum"))
+    manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
+    manifest
+  }
+
   /** Recompute counts + checksums from the written files and compare to
     * the manifest: (shard, n_docs, checksum, ok). A shard missing from the
     * data side reports ok=false with null recomputed fields. */

@@ -113,4 +113,42 @@ object HtmlText {
       size(bs).as("n_blocks"),
       size(good).as("n_good"))
   }
+
+  // ---- compliance signals ------------------------------------------------
+  // The opt-out / licensing checks a responsible crawl-to-corpus pipeline
+  // runs per page (robots meta directives incl. the `noai` convention;
+  // Creative-Commons license links, the signal license-filtered corpora
+  // key on). All scan-stage column expressions with portable group-1
+  // extraction; double-quoted attributes only (the same declared fixture
+  // subset as [[graft.corpus.WebGraph.HrefRe]]).
+
+  /** Lowercased content of the page's `<meta name="robots" …>` tag —
+    * attribute order free (name-then-content or content-then-name),
+    * empty string when absent. */
+  def robotsDirectives(html: Column): Column = {
+    val nameFirst = regexp_extract(html,
+      "(?is)<meta\\b[^>]*name\\s*=\\s*\"robots\"[^>]*content\\s*=\\s*\"([^\"]*)\"", 1)
+    val contentFirst = regexp_extract(html,
+      "(?is)<meta\\b[^>]*content\\s*=\\s*\"([^\"]*)\"[^>]*name\\s*=\\s*\"robots\"", 1)
+    lower(when(nameFirst =!= "", nameFirst).otherwise(contentFirst))
+  }
+
+  /** True iff the robots directives opt the page out of indexing or of
+    * AI/training use (`noindex`, `noai`, `noimageai`, `notrain` — the
+    * directive set the opt-out conventions use). Comma/space tolerant. */
+  def optedOut(html: Column): Column = {
+    val dirs = transform(split(robotsDirectives(html), ","), d => trim(d))
+    exists(dirs, d => d.isin("noindex", "noai", "noimageai", "notrain"))
+  }
+
+  /** Creative-Commons license of the page as `by-sa-4.0`-style ids: the
+    * first `creativecommons.org/licenses/<type>/<version>` link found, or
+    * empty string. */
+  def ccLicense(html: Column): Column = {
+    val t = regexp_extract(html,
+      "(?i)creativecommons\\.org/licenses/([a-z-]+)/([0-9.]+)", 1)
+    val v = regexp_extract(html,
+      "(?i)creativecommons\\.org/licenses/([a-z-]+)/([0-9.]+)", 2)
+    when(t === "", lit("")).otherwise(concat(lower(t), lit("-"), v))
+  }
 }

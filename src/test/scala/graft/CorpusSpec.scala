@@ -1280,6 +1280,32 @@ class CorpusSpec extends SparkSpec {
     assert(!after(3) && Seq(0, 1, 2).forall(after))
   }
 
+  test("jsonl export: escaped lines, shard manifest agrees, rerun byte-identical") {
+    import graft.corpus.Export
+    val docs = Seq(
+      (1L, "plain text"),
+      (2L, "with \"quotes\" and \\backslash\\"),
+      (3L, "line one\nline two")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val manifest = Export.writeJsonlShards(docs, col("doc_id"), 2, dir,
+      "id" -> col("doc_id"), "text" -> col("text"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(manifest.map(_._2).sum === 3L)
+    val lines = spark.read.text(s"$dir/data")
+      .select(col("value")).as[String].collect().sorted
+    assert(lines.length === 3)
+    // the embedded newline is escaped: every row is exactly one line
+    assert(lines.exists(_.contains("""line one\nline two""")))
+    assert(lines.exists(_.contains("""with \"quotes\" and \\backslash\\""")))
+    assert(lines.forall(l => l.startsWith("{\"id\":") && l.endsWith("\"}") || l.endsWith("}")))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-jsonl2").toString
+    Export.writeJsonlShards(docs, col("doc_id"), 2, dir2,
+      "id" -> col("doc_id"), "text" -> col("text"))
+    val lines2 = spark.read.text(s"$dir2/data")
+      .select(col("value")).as[String].collect().sorted
+    assert(lines2.toSeq === lines.toSeq)
+  }
+
   test("bpe: trained merges match the hand-derived greedy sequence; encode applies by rank") {
     import graft.corpus.Bpe
     // Sennrich's worked multiset: low×5 lower×2 newest×6 widest×3
@@ -1764,6 +1790,21 @@ class CorpusSpec extends SparkSpec {
       .groupBy(col("cluster_id")).agg(sum(col("weight")).as("m"))
       .select(col("m")).as[Double].collect()
     assert(mass.length === 3 && mass.forall(m => math.abs(m - 1.0) < 1e-12))
+  }
+
+  test("clusterStats: power-of-two buckets by integer compare, counts add up") {
+    // cluster sizes 1,1,2,3,5,9 -> buckets 1:{1,1} 2:{2,3} 4:{5} 8:{9}
+    val members = Seq(
+      (10L, "a"), (11L, "b"),
+      (20L, "c"), (21L, "c"),
+      (30L, "d"), (31L, "d"), (32L, "d"),
+      (40L, "e"), (41L, "e"), (42L, "e"), (43L, "e"), (44L, "e"),
+      (50L, "f"), (51L, "f"), (52L, "f"), (53L, "f"), (54L, "f"),
+      (55L, "f"), (56L, "f"), (57L, "f"), (58L, "f"))
+      .toDF("member_id", "cluster_id")
+    val got = Dedup.clusterStats(members)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(1L -> (2L, 2L), 2L -> (2L, 5L), 4L -> (1L, 5L), 8L -> (1L, 9L)))
   }
 
   test("snapshotDiff: added/removed/changed/unchanged via normalized content hash") {

@@ -187,6 +187,11 @@ class PlanSpec extends SparkSpec {
     val ex = planOf("q_corpus_exemplars")
     assert(keyShuffles(ex) === 1,
       s"exemplars is one stratum window, saw ${keyShuffles(ex)}:\n$ex")
+    // compliance signals and JSONL rendering are pure scan projections
+    for (q <- Seq("q_corpus_optout", "q_corpus_jsonl")) {
+      val p = planOf(q)
+      assert(keyShuffles(p) === 0, s"$q must not key-shuffle:\n$p")
+    }
   }
 
   test("query-side filter pushes down into the parquet scan") {

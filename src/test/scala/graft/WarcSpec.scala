@@ -184,6 +184,30 @@ class WarcSpec extends SparkSpec {
     assert(!junk._3 && !junk._4, "a boilerplate-only page fails the quality gate")
   }
 
+  test("compliance signals: robots directives both orders, opt-out set, cc license") {
+    import graft.corpus.HtmlText
+    val d = Seq(
+      // name-first, mixed directives incl. noai
+      ("""<head><META NAME="robots" CONTENT="index, NoAI"></head>""", "index, noai", true, ""),
+      // content-first order
+      ("""<head><meta content="noindex" name="robots"></head>""", "noindex", true, ""),
+      // benign directives
+      ("""<head><meta name="robots" content="all, follow"></head>""", "all, follow", false, ""),
+      // no robots tag; CC license link present
+      ("""<a href="http://CREATIVECOMMONS.org/licenses/BY-SA/4.0/">cc</a>""", "", false, "by-sa-4.0"),
+      ("""<a href="https://creativecommons.org/licenses/by/3.0/deed.en">cc</a>""", "", false, "by-3.0"),
+      ("plain page", "", false, "")
+    ).toDF("h", "wantRobots", "wantOut", "wantLic")
+    val got = d.select(
+      HtmlText.robotsDirectives(col("h")), col("wantRobots"),
+      HtmlText.optedOut(col("h")), col("wantOut"),
+      HtmlText.ccLicense(col("h")), col("wantLic"))
+      .as[(String, String, Boolean, Boolean, String, String)].collect()
+    got.foreach { case (r, wr, o, wo, l, wl) =>
+      assert(r === wr); assert(o === wo); assert(l === wl)
+    }
+  }
+
   test("warc: WET feeds the corpus operators end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warcc")
     java.nio.file.Files.write(dir.resolve("shard.wet"), wet ++
