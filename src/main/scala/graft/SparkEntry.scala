@@ -1688,6 +1688,27 @@ object SparkEntry {
         isStart = col("role") === "user", sliceSize = 16)
     }),
 
+    // directed containment pairs (the asymmetric overlap Jaccard misses):
+    // planted quote pages (first 12 words of every %10 doc, offset ids)
+    // must be flagged as contained in their source at C >= 0.8 while the
+    // long side stays unflagged; containment is a single exact-integer
+    // division, so the gate is engine-bit-identical
+    "q_dedup_containment" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val quotes = d.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"))
+      Dedup.containmentPairs(d.unionByName(quotes), col("doc_id"), col("text"),
+        shingleK = 3, threshold = 0.8)
+    }),
+
+    // TF-IDF keyword extraction: top-5 distinctive terms per doc against
+    // corpus document frequencies; scores 6-sig-fig-rounded BEFORE the
+    // rank so a 1-ulp ln() difference cannot flip neighbors
+    "q_text_keywords" -> ((s, dir) => {
+      TextStats.tfidfKeywords(documents(s, dir), col("doc_id"), col("text"), k = 5)
+    }),
+
     // training JSONL rendering (the interchange line format): fixed key
     // order, standard escapes proven by planted quotes/backslash/newline —
     // both engines must produce byte-identical lines
@@ -3679,6 +3700,44 @@ object SparkEntry {
            cast(CASE WHEN greatest(w, h) <= 24 THEN h
                      ELSE greatest(1, h * 24 // greatest(w, h)) END AS int) AS height
          FROM geo""",
+
+    "q_dedup_containment" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, array_to_string(string_split(text, ' ')[1:12], ' ')
+           FROM documents WHERE doc_id % 10 = 0),
+         tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM base
+                 WHERE len(string_split(text, ' ')) >= 3),
+         sh AS (SELECT doc_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in generate_series(1, len(w) - 2)]) AS s
+                FROM tok),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  len(list_intersect(a.s, b.s))::double / len(a.s)::double AS containment
+                FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+                WHERE len(a.s) > 0)
+         SELECT doc_a, doc_b, containment FROM pr WHERE containment >= 0.8""",
+
+    "q_text_keywords" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                       FROM documents),
+         t1 AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks
+                WHERE tok <> '' GROUP BY 1, 2),
+         d1 AS (SELECT tok, count(*)::bigint AS df FROM t1 GROUP BY 1),
+         nn AS (SELECT count(*)::double AS n FROM documents),
+         sc AS (SELECT doc_id, tok, tf, df,
+                  tf::double * ln(((SELECT n FROM nn) + 1.0) / (df::double + 1.0)) AS s
+                FROM t1 JOIN d1 USING (tok)),
+         r AS (SELECT doc_id, tok, tf, df,
+                 CASE WHEN s = 0 THEN s
+                      ELSE round(s / pow(10.0, floor(log10(abs(s))) - 5))
+                           * pow(10.0, floor(log10(abs(s))) - 5) END AS tfidf
+               FROM sc)
+         SELECT doc_id, tok, tf, df, tfidf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC)::int
+             AS kw_rank
+         FROM r QUALIFY kw_rank <= 5""",
 
     "q_corpus_jsonl" ->
       """SELECT doc_id,

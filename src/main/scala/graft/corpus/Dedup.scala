@@ -200,6 +200,45 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** Directed containment pairs — C(a→b) = |A∩B| / |A| over word
+    * k-shingle sets: the ASYMMETRIC overlap Jaccard misses (a short quote
+    * page fully contained in a long aggregator scores J ≈ |A|/|B| ≈ 0 but
+    * containment 1.0). The sub-document duplication check quote/mirror
+    * detection runs. Output one row per direction: (doc_a, doc_b,
+    * containment) with doc_a the CONTAINED side, containment ≥ threshold.
+    *
+    * `containment` is a single division of two exact integers (shared
+    * shingle count / |A|), so the threshold gate compares bit-identical
+    * doubles in any engine — no rounding needed (the datasheet rule).
+    *
+    * Scale shape: only (shingle_md5, id) postings shuffle; candidate
+    * aggregation is one combinable count keyed (doc_a, doc_b). Same
+    * pair-API caveat as [[ngramJaccardPairs]]: an exact-duplicate group
+    * yields quadratic pairs by definition — collapse identical content to
+    * representatives first ([[corpusEdges]] shape) when groups can go
+    * viral. */
+  def containmentPairs(
+      docs: DataFrame, id: Column, text: Column,
+      shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = docs
+      .filter(size(split(text, " ")) >= shingleK)
+      .select(id.as("doc_id"), shingles(text, shingleK).as("sh"))
+    val sizes = sh.select(col("doc_id").as("doc_a"),
+      size(col("sh")).cast("long").as("n_a"))
+    val posts = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    posts.as("a")
+      .join(posts.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes, Seq("doc_a"))
+      .withColumn("containment",
+        col("shared").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Resolve near-dup pairs into clusters and pick survivors: connected
     * components by iterative min-label propagation — pure joins +
     * aggregations, no driver collect of vertices (the driver sees one

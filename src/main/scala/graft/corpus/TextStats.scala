@@ -264,4 +264,40 @@ object TextStats {
     when(size(sh) > 0, array_min(transform(sh, s => md5(concat(lit("fp:"), s)))))
       .otherwise(md5(concat(lit("fp:"), text)))
   }
+
+  /** TF-IDF keyword extraction: the top-k most distinctive terms per
+    * document against the corpus's document frequencies — the keyword
+    * metadata a retrieval/labeling pipeline attaches per doc. Smoothed
+    * idf = ln((N+1)/(df+1)) ≥ 0 (arguments strictly positive — the ln(0)
+    * portability rule), and the score is [[Curate.roundSig6]]-rounded
+    * BEFORE ranking so both engines order identical doubles (the
+    * engine-divergent-boolean rule applied to a rank; a 1-ulp ln()
+    * difference must not flip neighbors). Ties → lexicographic token.
+    *
+    * Scale shape: (doc, token) counts and token document frequencies are
+    * combinable aggregates; the df join shuffles on the token; the top-k
+    * window partitions by doc (frame bounded by the doc's vocabulary). N
+    * is one count() collected and inlined as a literal (never a scalar
+    * crossJoin — the BroadcastNestedLoopJoin rule). */
+  def tfidfKeywords(
+      docs: DataFrame, id: Column, text: Column, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.count().toDouble
+    val toks = docs
+      .select(id.as("doc_id"), explode(split(lower(text), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfr, Seq("tok"))
+      .withColumn("tfidf", Curate.roundSig6(
+        col("tf").cast("double") *
+          log(lit(nDocs + 1.0) / (col("df").cast("double") + 1.0))))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    scored.withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("tfidf"), col("kw_rank"))
+  }
 }

@@ -1792,6 +1792,37 @@ class CorpusSpec extends SparkSpec {
     assert(mass.length === 3 && mass.forall(m => math.abs(m - 1.0) < 1e-12))
   }
 
+  test("containmentPairs: quote contained in source flags one direction only") {
+    val d = Seq(
+      (1L, "a b c d e f g h"), // 6 shingles
+      (2L, "a b c d"),         // 2 shingles, both in doc 1
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, col("doc_id"), col("text"),
+        shingleK = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    // C(2->1) = 2/2 = 1.0 flagged; C(1->2) = 2/6 stays under; 3 untouched
+    assert(got === Set((2L, 1L, 1.0)))
+  }
+
+  test("tfidfKeywords: hand-computed idf ordering with rounded scores") {
+    val d = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val got = TextStats.tfidfKeywords(d, col("doc_id"), col("text"), k = 2)
+      .select("doc_id", "tok", "tfidf", "kw_rank")
+      .as[(Long, String, Double, Int)].collect()
+      .map(r => (r._1, r._4) -> (r._2, r._3)).toMap
+    // df: apple 1, banana 2, cherry 2; N = 3
+    // d1: apple 2*ln(4/2)=1.38629 > banana ln(4/3)=0.287682
+    assert(got((1L, 1))._1 === "apple")
+    assert(math.abs(got((1L, 1))._2 - 2 * math.log(2.0)) < 1e-4)
+    assert(got((1L, 2))._1 === "banana")
+    // d3: cherry 3*ln(4/3)=0.863046
+    assert(got((3L, 1))._1 === "cherry")
+    assert(math.abs(got((3L, 1))._2 - 3 * math.log(4.0 / 3.0)) < 1e-4)
+  }
+
   test("clusterStats: power-of-two buckets by integer compare, counts add up") {
     // cluster sizes 1,1,2,3,5,9 -> buckets 1:{1,1} 2:{2,3} 4:{5} 8:{9}
     val members = Seq(

@@ -192,6 +192,21 @@ class PlanSpec extends SparkSpec {
       val p = planOf(q)
       assert(keyShuffles(p) === 0, s"$q must not key-shuffle:\n$p")
     }
+    // containment: the candidate join must be a hash join on the shingle
+    // md5 (postings only — never a cartesian verify), counts combinable
+    // keyed join on the shingle md5 in any flavor (broadcast at unit SF,
+    // sort-merge at scale) — never cartesian/nested-loop
+    val ct = planOf("q_dedup_containment")
+    assert(ct.contains("HashJoin") || ct.contains("SortMergeJoin"),
+      s"containment candidates come from a keyed posting join:\n$ct")
+    assert(!ct.contains("CartesianProduct") && !ct.contains("BroadcastNestedLoopJoin"),
+      s"containment must never go quadratic in the plan:\n$ct")
+    // tf-idf: two combinable aggregates + the token join + one doc window
+    val kw = planOf("q_text_keywords")
+    assert(kw.contains("HashAggregate") && kw.contains("Window"),
+      s"tf-idf is aggregates + a rank window:\n$kw")
+    assert(keyShuffles(kw) <= 5,
+      s"tf-idf shuffles: tf, df, join sides, window only — saw ${keyShuffles(kw)}:\n$kw")
   }
 
   test("query-side filter pushes down into the parquet scan") {
