@@ -1688,6 +1688,51 @@ object SparkEntry {
         isStart = col("role") === "user", sliceSize = 16)
     }),
 
+    // robots.txt fetch policy: parse per-domain robots bodies (comments,
+    // consecutive user-agent groups, empty-value no-ops) and evaluate
+    // every URL for agent "graftbot" — agent groups shadow '*', longest
+    // matching path wins, allow beats disallow on ties
+    "q_corpus_robots" -> ((s, dir) => {
+      val doms = documents(s, dir)
+        .select(pmod(col("doc_id"), lit(5)).cast("int").as("k")).distinct()
+      val txt = concat(
+        lit("# graft robots fixture\nUser-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow:\n"),
+        when(pmod(col("k"), lit(2)) === 0,
+          lit("\nUser-agent: graftbot\nUser-agent: otherbot\nDisallow: /\nAllow: /public\n"))
+          .otherwise(lit("")))
+      val robots = doms.select(
+        concat(lit("d"), col("k").cast("string"), lit(".com")).as("domain"),
+        txt.as("txt"))
+      val rules = graft.corpus.Robots.parse(robots, col("domain"), col("txt"))
+      val urls = documents(s, dir).select(col("doc_id"),
+        concat(lit("d"), pmod(col("doc_id"), lit(5)).cast("string"), lit(".com")).as("domain"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("/private/x"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit("/private/ok/y"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit("/public/z"))
+          .otherwise(lit("/other")).as("path"))
+      graft.corpus.Robots.allowed(urls, col("doc_id"), col("domain"),
+        col("path"), rules, "graftbot")
+    }),
+
+    // markdown/code structure stats: headings, fence pairs, list items,
+    // links, the code-likeness vote — planted structure varies by doc_id
+    // residue; one scan pass of portable regex counts
+    "q_text_markdown" -> ((s, dir) => {
+      val md = concat(
+        lit("# Title\n"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("## Sub\n")).otherwise(lit("")),
+        lit("- item one\n- item two\n"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("```\nint x = f(a);\ny = g(b);\nz = h(c);\nif (x) { y(); }\n```\n"))
+          .otherwise(lit("")),
+        lit("[link](https://x.example)\n"), col("text"))
+      documents(s, dir)
+        .select(col("doc_id"), TextStats.markdownStats(md).as("__m"))
+        .select(col("doc_id"), col("__m.n_lines"), col("__m.n_headings"),
+          col("__m.n_code_fences"), col("__m.n_list_items"), col("__m.n_links"),
+          col("__m.code_like"), col("__m.heading_ratio"))
+    }),
+
     // directed containment pairs (the asymmetric overlap Jaccard misses):
     // planted quote pages (first 12 words of every %10 doc, offset ids)
     // must be flagged as contained in their source at C >= 0.8 while the
@@ -3700,6 +3745,93 @@ object SparkEntry {
            cast(CASE WHEN greatest(w, h) <= 24 THEN h
                      ELSE greatest(1, h * 24 // greatest(w, h)) END AS int) AS height
          FROM geo""",
+
+    "q_corpus_robots" ->
+      // the full parse mirrored relationally: line explode with ordinals,
+      // comment strip, directive classify, consecutive-ua grouping via
+      // lag + running sum, group join, agent shadowing, prefix match,
+      // max(struct) winner with the allow tiebreak
+      """WITH ks AS (SELECT DISTINCT (doc_id % 5)::int AS k FROM documents),
+         rb AS (SELECT 'd' || k || '.com' AS domain,
+             '# graft robots fixture' || chr(10) ||
+             'User-agent: *' || chr(10) ||
+             'Disallow: /private' || chr(10) ||
+             'Allow: /private/ok' || chr(10) ||
+             'Disallow:' || chr(10) ||
+             CASE WHEN k % 2 = 0 THEN chr(10) || 'User-agent: graftbot' || chr(10)
+                  || 'User-agent: otherbot' || chr(10) || 'Disallow: /' || chr(10)
+                  || 'Allow: /public' || chr(10) ELSE '' END AS txt
+           FROM ks),
+         ls0 AS (SELECT domain, string_split(txt, chr(10)) AS ls FROM rb),
+         lns AS (SELECT domain, unnest([{'ln': i, 'line': ls[i]}
+                                        for i in generate_series(1, len(ls))],
+                                       recursive := true)
+                 FROM ls0),
+         kd AS (SELECT domain, ln,
+             CASE WHEN starts_with(lower(trim(regexp_replace(line, '#.*$', ''))), 'user-agent:') THEN 'ua'
+                  WHEN starts_with(lower(trim(regexp_replace(line, '#.*$', ''))), 'allow:') THEN 'allow'
+                  WHEN starts_with(lower(trim(regexp_replace(line, '#.*$', ''))), 'disallow:') THEN 'disallow'
+                  ELSE '' END AS kind,
+             trim(regexp_extract(trim(regexp_replace(line, '#.*$', '')), '^[^:]*:(.*)$', 1)) AS value
+           FROM lns),
+         rel AS (SELECT * FROM kd WHERE kind <> ''),
+         g1 AS (SELECT *, CASE WHEN kind = 'ua' AND
+                    coalesce(lag(kind) OVER (PARTITION BY domain ORDER BY ln), '') <> 'ua'
+                  THEN 1 ELSE 0 END AS newg FROM rel),
+         g2 AS (SELECT *, sum(newg) OVER (PARTITION BY domain ORDER BY ln
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM g1),
+         ags AS (SELECT domain, grp, lower(value) AS agent FROM g2 WHERE kind = 'ua'),
+         rls AS (SELECT domain, grp, kind AS rule, value AS rpath
+                 FROM g2 WHERE kind <> 'ua' AND value <> ''),
+         rr AS (SELECT a.domain, a.agent, r.rule, r.rpath
+                FROM ags a JOIN rls r USING (domain, grp)),
+         eff0 AS (SELECT * FROM rr WHERE agent IN ('graftbot', '*')),
+         hasag AS (SELECT DISTINCT domain FROM eff0 WHERE agent = 'graftbot'),
+         eff AS (SELECT e.* FROM eff0 e LEFT JOIN hasag h USING (domain)
+                 WHERE CASE WHEN h.domain IS NOT NULL THEN e.agent = 'graftbot'
+                       ELSE e.agent = '*' END),
+         urls AS (SELECT doc_id AS id, 'd' || (doc_id % 5) || '.com' AS domain,
+             CASE WHEN doc_id % 4 = 0 THEN '/private/x'
+                  WHEN doc_id % 4 = 1 THEN '/private/ok/y'
+                  WHEN doc_id % 4 = 2 THEN '/public/z'
+                  ELSE '/other' END AS path
+           FROM documents),
+         m AS (SELECT u.id, u.domain, u.path, e.rule, e.rpath
+               FROM urls u LEFT JOIN eff e
+                 ON u.domain = e.domain AND starts_with(u.path, e.rpath)),
+         wn AS (SELECT id, domain, path,
+             max(CASE WHEN rpath IS NOT NULL
+                 THEN {'l': length(rpath),
+                       'a': CASE WHEN rule = 'allow' THEN 1 ELSE 0 END} END) AS w
+           FROM m GROUP BY 1, 2, 3)
+         SELECT id, domain, path, coalesce(w.a = 1, true) AS allowed FROM wn""",
+
+    "q_text_markdown" ->
+      """WITH m0 AS (SELECT doc_id,
+             '# Title' || chr(10)
+             || CASE WHEN doc_id % 3 = 0 THEN '## Sub' || chr(10) ELSE '' END
+             || '- item one' || chr(10) || '- item two' || chr(10)
+             || CASE WHEN doc_id % 2 = 0
+                THEN '```' || chr(10) || 'int x = f(a);' || chr(10) || 'y = g(b);' || chr(10)
+                     || 'z = h(c);' || chr(10) || 'if (x) { y(); }' || chr(10) || '```' || chr(10)
+                ELSE '' END
+             || '[link](https://x.example)' || chr(10) || text AS md
+           FROM documents),
+         c AS (SELECT doc_id, md,
+             len(string_split(md, chr(10)))::int AS n_lines,
+             len(regexp_extract_all(md, '(?m)^#{1,6} ', 0))::int AS n_headings,
+             (len(regexp_extract_all(md, '(?m)^```', 0)) // 2)::int AS n_code_fences,
+             len(regexp_extract_all(md, '(?m)^ {0,3}(?:[-*+]|[0-9]+\.) ', 0))::int AS n_list_items,
+             len(regexp_extract_all(md, '\[[^\]\[]*\]\([^()]*\)', 0))::int AS n_links,
+             len(regexp_extract_all(md, '(?m);[ \t]*$', 0)) AS semis,
+             len(regexp_extract_all(md, '(?m)^(?:    |\t)[^ \t\n]', 0)) AS inds
+           FROM m0)
+         SELECT doc_id, n_lines, n_headings, n_code_fences, n_list_items, n_links,
+           ((CASE WHEN contains(md, '{') AND contains(md, '}') THEN 1 ELSE 0 END)
+            + (CASE WHEN semis >= 3 THEN 1 ELSE 0 END)
+            + (CASE WHEN inds >= 3 THEN 1 ELSE 0 END))::int AS code_like,
+           n_headings::double / n_lines::double AS heading_ratio
+         FROM c""",
 
     "q_dedup_containment" ->
       """WITH base AS (

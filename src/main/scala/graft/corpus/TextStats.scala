@@ -265,6 +265,41 @@ object TextStats {
       .otherwise(md5(concat(lit("fp:"), text)))
   }
 
+  /** Markdown / code structure signals — the document-structure features
+    * code-and-docs corpus filters key on (heading density, fenced code
+    * blocks, list share, link share, and a braces/semicolon/indent
+    * code-likeness vote). One scan pass of portable regex counts; counts
+    * are exact integers and the derived ratio is a single division
+    * (engine-bit-identical — the datasheet rule).
+    *
+    * Returns a struct: n_lines, n_headings, n_code_fences (PAIRS of ```
+    * fences, i.e. fence markers / 2), n_list_items, n_links,
+    * code_like (int vote 0..3: `{`+`}` present, `;` ends ≥ 3 lines,
+    * ≥ 3 indented lines), heading_ratio. */
+  def markdownStats(text: Column): Column = {
+    def count(re: String): Column =
+      size(regexp_extract_all(text, lit(re), lit(0)))
+    val nLines = size(split(text, "\n"))
+    val headings = count("(?m)^#{1,6} ")
+    val fences = count("(?m)^```")
+    val listItems = count("(?m)^ {0,3}(?:[-*+]|[0-9]+\\.) ")
+    val links = count("\\[[^\\]\\[]*\\]\\([^()]*\\)")
+    val semiLines = count("(?m);[ \\t]*$")
+    val indented = count("(?m)^(?:    |\\t)[^ \\t\\n]")
+    val codeLike = (when(text.contains("{") && text.contains("}"), 1)
+      .otherwise(0)
+      + when(semiLines >= 3, 1).otherwise(0)
+      + when(indented >= 3, 1).otherwise(0)).cast("int")
+    struct(
+      nLines.as("n_lines"),
+      headings.as("n_headings"),
+      (fences / 2).cast("int").as("n_code_fences"),
+      listItems.as("n_list_items"),
+      links.as("n_links"),
+      codeLike.as("code_like"),
+      (headings.cast("double") / nLines.cast("double")).as("heading_ratio"))
+  }
+
   /** TF-IDF keyword extraction: the top-k most distinctive terms per
     * document against the corpus's document frequencies — the keyword
     * metadata a retrieval/labeling pipeline attaches per doc. Smoothed

@@ -1792,6 +1792,18 @@ class CorpusSpec extends SparkSpec {
     assert(mass.length === 3 && mass.forall(m => math.abs(m - 1.0) < 1e-12))
   }
 
+  test("markdownStats: hand-counted structure signals") {
+    val md = "# Title\n## Sub\n- a\n- b\n1. c\n```\nx = 1;\ny = 2;\nz = 3;\nif (a) { b(); }\n```\n[l](http://x) plain [m](y)\n    indented code\n\tmore"
+    val got = Seq(Tuple1(md)).toDF("t")
+      .select(graft.corpus.TextStats.markdownStats(col("t")).as("m"))
+      .select("m.n_headings", "m.n_code_fences", "m.n_list_items",
+        "m.n_links", "m.code_like")
+      .as[(Int, Int, Int, Int, Int)].head()
+    // 2 headings, 1 fence pair, 3 list items, 2 links;
+    // code vote: braces + 3 ';'-lines + indented(2 < 3 -> no) = 2
+    assert(got === ((2, 1, 3, 2, 2)))
+  }
+
   test("containmentPairs: quote contained in source flags one direction only") {
     val d = Seq(
       (1L, "a b c d e f g h"), // 6 shingles

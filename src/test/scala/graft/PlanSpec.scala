@@ -201,6 +201,20 @@ class PlanSpec extends SparkSpec {
       s"containment candidates come from a keyed posting join:\n$ct")
     assert(!ct.contains("CartesianProduct") && !ct.contains("BroadcastNestedLoopJoin"),
       s"containment must never go quadratic in the plan:\n$ct")
+    // markdown structure: pure scan projection
+    val mk = planOf("q_text_markdown")
+    assert(keyShuffles(mk) === 0, s"markdown stats must not key-shuffle:\n$mk")
+    // robots policy: the rule table is domain-sized and must BROADCAST to
+    // the corpus's URLs; the only corpus-keyed shuffle is the winner agg
+    val rb = planOf("q_corpus_robots")
+    assert(rb.contains("BroadcastHashJoin"),
+      s"robots rules must broadcast onto the URLs (equi-key domain + prefix residual):\n$rb")
+    // the remaining key shuffles all sit on the rule-derivation side
+    // (domain-sized frames — parse windows, group joins, the duplicated
+    // subtree under both parse branches); the corpus-sized URL side meets
+    // the rules ONLY through the broadcast and its one winner aggregate
+    assert(!rb.contains("CartesianProduct"),
+      s"robots matching must stay keyed:\n$rb")
     // tf-idf: two combinable aggregates + the token join + one doc window
     val kw = planOf("q_text_keywords")
     assert(kw.contains("HashAggregate") && kw.contains("Window"),
