@@ -1688,6 +1688,32 @@ object SparkEntry {
         isStart = col("role") === "user", sliceSize = 16)
     }),
 
+    // perceptual image hash (dHash 9x8) over REAL decoded PNGs: gradient
+    // fixtures whose pixel formula the oracle recomputes arithmetically;
+    // %3 docs carry a local top-left-corner edit (wrap-add 40)
+    "q_multimodal_dhash" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .withColumn("__pert", pmod(col("doc_id"), lit(3)) === 0)
+      Multimodal.dHash(Multimodal.withGradientPng(d, "text", "__pert"))
+        .select(col("doc_id"), col("dhash"))
+    }),
+
+    // near-dup image pairs: banded hamming join over the dHashes — docs
+    // sharing a geometry class have identical gradients (hamming 0 to the
+    // unperturbed ones); the corner-edited variants land a small positive
+    // distance away and must still be caught
+    "q_multimodal_dhash_pairs" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .where(col("doc_id") < 60) // bound the identical-hash pair blowup
+        .withColumn("__pert", pmod(col("doc_id"), lit(3)) === 0)
+      val hashes = Multimodal.dHash(Multimodal.withGradientPng(d, "text", "__pert"))
+      // 8 bands: pigeonhole guarantees a shared band for hamming <= 7, so
+      // banded recall is EXACT at maxHamming 6 and the oracle's full
+      // pairwise recompute is the correct reference
+      Multimodal.dhashPairs(hashes, col("doc_id"), col("dhash"),
+        maxHamming = 6, bands = 8)
+    }),
+
     // robots.txt fetch policy: parse per-domain robots bodies (comments,
     // consecutive user-agent groups, empty-value no-ops) and evaluate
     // every URL for agent "graftbot" — agent groups shadow '*', longest
@@ -3746,6 +3772,16 @@ object SparkEntry {
                      ELSE greatest(1, h * 24 // greatest(w, h)) END AS int) AS height
          FROM geo""",
 
+    "q_multimodal_dhash" ->
+      (dhashOracleCte("") + " SELECT doc_id, dhash FROM hs"),
+
+    "q_multimodal_dhash_pairs" ->
+      (dhashOracleCte("WHERE doc_id < 60") + """,
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len([k for k in generate_series(1, 64) if a.dhash[k] <> b.dhash[k]])::int AS hamming
+           FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 6"""),
+
     "q_corpus_robots" ->
       // the full parse mirrored relationally: line explode with ordinals,
       // comment strip, directive classify, consecutive-ua grouping via
@@ -4057,6 +4093,42 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY 1, 2"""
   )
+
+  /** Shared dHash oracle prefix: recompute the 9×8 box means of the
+    * gradient-PNG fixture ARITHMETICALLY — the pixel formula
+    * (x·7+y·13+7) mod 256 (+40 wrap on the perturbed top-left quarter) is
+    * the ground truth, PNG is lossless, and every cell boundary is an
+    * integer division, so each mean is one exact-integer sum divided
+    * once. Bits via lead() per (doc, row), string_agg in (cj, ci) order —
+    * the same bit order [[Multimodal.dHash]] emits. */
+  private def dhashOracleCte(where: String): String =
+    s"""WITH g0 AS (SELECT doc_id, (doc_id % 3 = 0) AS pert,
+           16 + (ascii(substr(text, 1, 1)) % 8) * 4 AS w,
+           16 + (length(text) % 8) * 4 AS h
+         FROM documents $where),
+       cells AS (SELECT doc_id, pert, w, h,
+           unnest([{'ci': c // 8, 'cj': c % 8} for c in generate_series(0, 71)],
+                  recursive := true)
+         FROM g0),
+       cb AS (SELECT doc_id, pert, w, h, ci, cj,
+           (ci * w) // 9 AS xa, (cj * h) // 8 AS ya,
+           ((ci + 1) * w) // 9 - (ci * w) // 9 AS bw,
+           ((cj + 1) * h) // 8 - (cj * h) // 8 AS bh
+         FROM cells),
+       mm AS (SELECT doc_id, ci, cj,
+           (list_sum([
+              CASE WHEN pert AND (xa + p // bh) < (w // 4) AND (ya + p % bh) < (h // 4)
+                   THEN (((xa + p // bh) * 7 + (ya + p % bh) * 13 + 7) % 256 + 40) % 256
+                   ELSE ((xa + p // bh) * 7 + (ya + p % bh) * 13 + 7) % 256 END
+              for p in generate_series(0, bw * bh - 1)]))::double
+             / (bw * bh)::double AS m
+         FROM cb),
+       bits AS (SELECT doc_id, ci, cj, m,
+           lead(m) OVER (PARTITION BY doc_id, cj ORDER BY ci) AS mn
+         FROM mm),
+       hs AS (SELECT doc_id,
+           string_agg(CASE WHEN m > mn THEN '1' ELSE '0' END, '' ORDER BY cj, ci) AS dhash
+         FROM bits WHERE ci < 8 GROUP BY doc_id)"""
 
   /** Shared pagerank oracle prefix: the deterministic edge fixture
     * (mirrors [[webGraphEdges]]) + 3 unrolled power-iteration rounds with

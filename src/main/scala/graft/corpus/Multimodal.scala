@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -531,6 +531,146 @@ object Multimodal {
         Row.fromSeq(row.toSeq :+ v.toSeq)
       }
     }(Encoders.row(outSchema))
+  }
+
+  // ------------------------------------------- perceptual hash (dHash)
+
+  /** Deterministic gradient PNG payload for the dHash oracle fixtures:
+    * geometry from [[geometryOf]] but always PNG (lossless — decoded
+    * pixels equal the generator formula exactly, so an oracle recomputes
+    * every cell mean arithmetically), pixel gray g(x,y) =
+    * (x·7 + y·13 + 7) mod 256, plus a wrap-add of 40 on the top-left
+    * quarter (x < w/4 ∧ y < h/4) when `perturbed` — a local edit whose
+    * dHash lands a small hamming distance away, unlike the global
+    * brightness shifts dHash is invariant to. */
+  def withGradientPng(
+      docs: DataFrame, textCol: String, perturbedCol: String): DataFrame = {
+    val inSchema = docs.schema
+    val outSchema = inSchema.add(StructField("payload", BinaryType, nullable = false))
+    val textIdx = inSchema.fieldIndex(textCol)
+    val pertIdx = inSchema.fieldIndex(perturbedCol)
+    docs.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { row =>
+        val text = row.getString(textIdx)
+        val pert = row.getBoolean(pertIdx)
+        val (_, w, h) = geometryOf(text)
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = (x * 7 + y * 13 + 7) % 256
+            val g =
+              if (pert && x < w / 4 && y < h / 4) (base + 40) % 256 else base
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new ByteArrayOutputStream()
+        require(ImageIO.write(img, "png", out), "no JDK png writer")
+        Row.fromSeq(row.toSeq :+ out.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Perceptual difference hash (dHash, the classic 9×8 form): decode the
+    * payload with the REAL JDK codec, box-average the luma onto a 9-wide ×
+    * 8-tall grid with integer-exact cell boundaries (xa = i·w/9 … — an
+    * oracle recomputes every mean as an integer sum over the box divided
+    * once), then emit 64 bits — bit (j,i) = mean(i,j) > mean(i+1,j),
+    * row-major j outer — as a '0'/'1' string. Brightness/contrast shifts
+    * preserve the hash; local edits flip only the cells they touch.
+    * Unreadable payloads hash to the empty string. Narrow per-partition
+    * transform, no shuffle. */
+  def dHash(df: DataFrame): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("dhash", StringType, nullable = false))
+    val payloadIdx = inSchema.fieldIndex("payload")
+    df.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        val img =
+          try ImageIO.read(new ByteArrayInputStream(bytes)) catch { case _: Exception => null }
+        val hash =
+          if (img == null) ""
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val means = Array.ofDim[Double](9, 8)
+            var i = 0
+            while (i < 9) {
+              var j = 0
+              while (j < 8) {
+                val xa = i * w / 9; val xb = (i + 1) * w / 9
+                val ya = j * h / 8; val yb = (j + 1) * h / 8
+                var sum = 0L
+                var y = ya
+                while (y < yb) {
+                  var x = xa
+                  while (x < xb) {
+                    val rgb = img.getRGB(x, y)
+                    sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = (xb - xa).toLong * (yb - ya)
+                means(i)(j) = if (n == 0) 0.0 else sum.toDouble / n
+                j += 1
+              }
+              i += 1
+            }
+            val sb = new java.lang.StringBuilder(64)
+            var j = 0
+            while (j < 8) {
+              var i2 = 0
+              while (i2 < 8) {
+                sb.append(if (means(i2)(j) > means(i2 + 1)(j)) '1' else '0')
+                i2 += 1
+              }
+              j += 1
+            }
+            sb.toString
+          }
+        Row.fromSeq(row.toSeq :+ hash)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Near-dup image pairs by dHash hamming distance: band the 64-bit
+    * string into `bands` equal substrings and hash-join on any equal band
+    * (pigeonhole: hamming < bands guarantees a shared band, so recall is
+    * exact up to bands−1 flipped bits; beyond that the banding is
+    * best-effort — the standard trade, raise `bands` for a higher exact
+    * floor), then filter candidates by exact hamming ≤ `maxHamming`.
+    * Only (id, band) rows shuffle. Same viral caveat as the other pair
+    * APIs: identical images share all bands. */
+  def dhashPairs(
+      hashes: DataFrame, id: Column, hash: Column,
+      maxHamming: Int = 6, bands: Int = 4): DataFrame = {
+    val width = 64 / bands
+    val posts = hashes.select(id.as("doc_id"), hash.as("__h"))
+      .where(length(col("__h")) === 64)
+      .select(col("doc_id"), col("__h"),
+        explode(array((0 until bands).map(b =>
+          concat(lit(b.toString), lit(":"),
+            substring(col("__h"), b * width + 1, width))): _*)).as("band"))
+    posts.as("a")
+      .join(posts.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.__h").as("__ha"), col("b.__h").as("__hb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(
+          transform(sequence(lit(1), lit(64)),
+            k => when(substring(col("__ha"), k, lit(1)) =!=
+              substring(col("__hb"), k, lit(1)), 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   // -------------------------------------------------- video (MP4 / ISO BMFF)

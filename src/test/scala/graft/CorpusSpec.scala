@@ -1792,6 +1792,28 @@ class CorpusSpec extends SparkSpec {
     assert(mass.length === 3 && mass.forall(m => math.abs(m - 1.0) < 1e-12))
   }
 
+  test("dHash: real PNG roundtrip, local edit flips few bits, banded pairs catch it") {
+    import graft.corpus.Multimodal
+    val d = Seq(
+      (1L, "alpha text sample", false),
+      (2L, "alpha text sample", true), // same geometry, corner-edited
+      (3L, "completely different doc zzz", false))
+      .toDF("doc_id", "text", "p")
+    val hashes = Multimodal.dHash(Multimodal.withGradientPng(d, "text", "p"))
+    val h = hashes.select("doc_id", "dhash").as[(Long, String)].collect().toMap
+    assert(h.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    val ham12 = h(1L).zip(h(2L)).count { case (a, b) => a != b }
+    assert(ham12 > 0 && ham12 <= 6, s"corner edit should move 1-6 bits, moved $ham12")
+    val pairs = Multimodal.dhashPairs(hashes, col("doc_id"), col("dhash"),
+        maxHamming = 6, bands = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, ham12)), s"banded join must catch the edited pair: $pairs")
+    // rerun-deterministic (real encode+decode path, no rand anywhere)
+    val h2 = Multimodal.dHash(Multimodal.withGradientPng(d, "text", "p"))
+      .select("doc_id", "dhash").as[(Long, String)].collect().toMap
+    assert(h2 === h)
+  }
+
   test("markdownStats: hand-counted structure signals") {
     val md = "# Title\n## Sub\n- a\n- b\n1. c\n```\nx = 1;\ny = 2;\nz = 3;\nif (a) { b(); }\n```\n[l](http://x) plain [m](y)\n    indented code\n\tmore"
     val got = Seq(Tuple1(md)).toDF("t")
