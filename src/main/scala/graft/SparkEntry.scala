@@ -1688,6 +1688,40 @@ object SparkEntry {
         isStart = col("role") === "user", sliceSize = 16)
     }),
 
+    // language-ID confusion matrix: the evaluation table for the
+    // classifier — planted ground-truth labels vs langId predictions,
+    // one combinable (actual, predicted) count
+    "q_text_lang_confusion" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(8))
+      val planted =
+        when(m === 1, lit("der Mann ist nicht mit dem Auto und ich das für"))
+          .when(m === 2, lit("le monde est dans la vie et les gens que je vous"))
+          .when(m === 3, lit("el mundo es para los que no se con una por"))
+          .when(m === 4, lit("il mondo che di per non sono della anche come"))
+          .when(m === 5, lit("русский текст для проверки языка"))
+          .when(m === 6, lit("这是一个中文测试文本"))
+          .when(m === 7, lit("これはにほんごのテストです"))
+          .otherwise(col("text"))
+      val actual =
+        when(m === 1, "de").when(m === 2, "fr").when(m === 3, "es")
+          .when(m === 4, "it").when(m === 5, "ru").when(m === 6, "zh")
+          .when(m === 7, "ja").otherwise(lit("en"))
+      documents(s, dir)
+        .select(actual.as("actual"), TextStats.langId(planted).as("predicted"))
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // perceptual audio hash: REAL PCM sample-body decode (RIFF LE / AIFF
+    // BE), 33 integer-exact envelope windows, 32 comparison bits — the
+    // oracle recomputes every window mean from the fixture's sample
+    // formula
+    "q_multimodal_audiohash" -> ((s, dir) => {
+      Multimodal.audioEnvelopeHash(
+        Multimodal.withAudioPayload(documents(s, dir), "text"))
+        .select(col("doc_id"), col("ahash"))
+    }),
+
     // perceptual image hash (dHash 9x8) over REAL decoded PNGs: gradient
     // fixtures whose pixel formula the oracle recomputes arithmetically;
     // %3 docs carry a local top-left-corner edit (wrap-add 40)
@@ -3675,50 +3709,12 @@ object SparkEntry {
          FROM fit WHERE rn > 0""",
 
     "q_text_lang" ->
-      """WITH l0 AS (
-           SELECT doc_id,
-             CASE (doc_id % 8)
-               WHEN 1 THEN 'der Mann ist nicht mit dem Auto und ich das für'
-               WHEN 2 THEN 'le monde est dans la vie et les gens que je vous'
-               WHEN 3 THEN 'el mundo es para los que no se con una por'
-               WHEN 4 THEN 'il mondo che di per non sono della anche come'
-               WHEN 5 THEN 'русский текст для проверки языка'
-               WHEN 6 THEN '这是一个中文测试文本'
-               WHEN 7 THEN 'これはにほんごのテストです'
-               ELSE text END AS t2
-           FROM documents),
-         sc AS (
-           SELECT doc_id,
-             len([x for x in string_split(lower(t2), ' ') if list_contains(
-               ['the','and','of','to','is','that','for','with','you','have'], x)]) AS s_en,
-             len([x for x in string_split(lower(t2), ' ') if list_contains(
-               ['der','die','das','und','ist','nicht','ein','mit','für','ich'], x)]) AS s_de,
-             len([x for x in string_split(lower(t2), ' ') if list_contains(
-               ['le','la','les','et','est','que','pour','dans','je','vous'], x)]) AS s_fr,
-             len([x for x in string_split(lower(t2), ' ') if list_contains(
-               ['el','los','y','es','para','con','una','por','no','se'], x)]) AS s_es,
-             len([x for x in string_split(lower(t2), ' ') if list_contains(
-               ['il','di','che','per','non','sono','della','anche','più','come'], x)]) AS s_it,
-             length(regexp_replace(t2, '\s', '', 'g')) AS c_all,
-             length(regexp_replace(t2, '[^\x{3040}-\x{30ff}]', '', 'g')) AS c_ja,
-             length(regexp_replace(t2, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS c_zh,
-             length(regexp_replace(t2, '[^\x{ac00}-\x{d7af}]', '', 'g')) AS c_ko,
-             length(regexp_replace(t2, '[^\x{0400}-\x{04ff}]', '', 'g')) AS c_ru,
-             length(regexp_replace(t2, '[^\x{0600}-\x{06ff}]', '', 'g')) AS c_ar
-           FROM l0)
-         SELECT doc_id,
-           CASE WHEN c_all > 0 AND c_ja::double / c_all > 0.3 THEN 'ja'
-                WHEN c_all > 0 AND c_zh::double / c_all > 0.3 THEN 'zh'
-                WHEN c_all > 0 AND c_ko::double / c_all > 0.3 THEN 'ko'
-                WHEN c_all > 0 AND c_ru::double / c_all > 0.3 THEN 'ru'
-                WHEN c_all > 0 AND c_ar::double / c_all > 0.3 THEN 'ar'
-                WHEN greatest(s_en, s_de, s_fr, s_es, s_it) < 2 THEN 'unknown'
-                WHEN s_it >= greatest(s_en, s_de, s_fr, s_es) THEN 'it'
-                WHEN s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
-                WHEN s_es >= greatest(s_en, s_de) THEN 'es'
-                WHEN s_en >= s_de THEN 'en'
-                ELSE 'de' END AS lang
-         FROM sc""",
+      (langIdOracleCte + s" SELECT doc_id, $langIdOracleCase AS lang FROM sc"),
+
+    "q_text_lang_confusion" ->
+      (langIdOracleCte + s"""
+         SELECT actual, $langIdOracleCase AS predicted, count(*)::bigint AS n
+         FROM sc GROUP BY 1, 2"""),
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
@@ -3771,6 +3767,27 @@ object SparkEntry {
            cast(CASE WHEN greatest(w, h) <= 24 THEN h
                      ELSE greatest(1, h * 24 // greatest(w, h)) END AS int) AS height
          FROM geo""",
+
+    "q_multimodal_audiohash" ->
+      // window means recomputed arithmetically: channel-0 sample(f) =
+      // ((f*37 + seed) % 65536) - 32768 with seed = length(text); every
+      // mean is one exact-integer division (same rule as the dHash oracle)
+      """WITH a0 AS (SELECT doc_id, length(text) AS seed,
+             400 + (length(text) % 50) * 40 AS n
+           FROM documents),
+         wins AS (SELECT doc_id, seed, n,
+             unnest([{'k': k} for k in generate_series(0, 32)], recursive := true)
+           FROM a0),
+         wm AS (SELECT doc_id, k,
+             (list_sum([abs(((f * 37 + seed) % 65536) - 32768)
+                        for f in generate_series((k * n) // 33, ((k + 1) * n) // 33 - 1)]))::double
+               / (((k + 1) * n) // 33 - (k * n) // 33)::double AS m
+           FROM wins),
+         wb AS (SELECT doc_id, k, m,
+             lead(m) OVER (PARTITION BY doc_id ORDER BY k) AS mn FROM wm)
+         SELECT doc_id,
+           string_agg(CASE WHEN m > mn THEN '1' ELSE '0' END, '' ORDER BY k) AS ahash
+         FROM wb WHERE k < 32 GROUP BY doc_id""",
 
     "q_multimodal_dhash" ->
       (dhashOracleCte("") + " SELECT doc_id, dhash FROM hs"),
@@ -4093,6 +4110,60 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY 1, 2"""
   )
+
+  /** Shared language-ID oracle prefix (planted per-residue texts + the
+    * stopword/script scores) — `sc` carries the ground-truth `actual`
+    * label so the confusion matrix groups on it; [[langIdOracleCase]] is
+    * the classifier's decision CASE, shared by both final selects. */
+  private def langIdOracleCte: String =
+    """WITH l0 AS (
+         SELECT doc_id,
+           CASE (doc_id % 8)
+             WHEN 1 THEN 'de' WHEN 2 THEN 'fr' WHEN 3 THEN 'es'
+             WHEN 4 THEN 'it' WHEN 5 THEN 'ru' WHEN 6 THEN 'zh'
+             WHEN 7 THEN 'ja' ELSE 'en' END AS actual,
+           CASE (doc_id % 8)
+             WHEN 1 THEN 'der Mann ist nicht mit dem Auto und ich das für'
+             WHEN 2 THEN 'le monde est dans la vie et les gens que je vous'
+             WHEN 3 THEN 'el mundo es para los que no se con una por'
+             WHEN 4 THEN 'il mondo che di per non sono della anche come'
+             WHEN 5 THEN 'русский текст для проверки языка'
+             WHEN 6 THEN '这是一个中文测试文本'
+             WHEN 7 THEN 'これはにほんごのテストです'
+             ELSE text END AS t2
+         FROM documents),
+       sc AS (
+         SELECT doc_id, actual,
+           len([x for x in string_split(lower(t2), ' ') if list_contains(
+             ['the','and','of','to','is','that','for','with','you','have'], x)]) AS s_en,
+           len([x for x in string_split(lower(t2), ' ') if list_contains(
+             ['der','die','das','und','ist','nicht','ein','mit','für','ich'], x)]) AS s_de,
+           len([x for x in string_split(lower(t2), ' ') if list_contains(
+             ['le','la','les','et','est','que','pour','dans','je','vous'], x)]) AS s_fr,
+           len([x for x in string_split(lower(t2), ' ') if list_contains(
+             ['el','los','y','es','para','con','una','por','no','se'], x)]) AS s_es,
+           len([x for x in string_split(lower(t2), ' ') if list_contains(
+             ['il','di','che','per','non','sono','della','anche','più','come'], x)]) AS s_it,
+           length(regexp_replace(t2, '\s', '', 'g')) AS c_all,
+           length(regexp_replace(t2, '[^\x{3040}-\x{30ff}]', '', 'g')) AS c_ja,
+           length(regexp_replace(t2, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS c_zh,
+           length(regexp_replace(t2, '[^\x{ac00}-\x{d7af}]', '', 'g')) AS c_ko,
+           length(regexp_replace(t2, '[^\x{0400}-\x{04ff}]', '', 'g')) AS c_ru,
+           length(regexp_replace(t2, '[^\x{0600}-\x{06ff}]', '', 'g')) AS c_ar
+         FROM l0)"""
+
+  private def langIdOracleCase: String =
+    """CASE WHEN c_all > 0 AND c_ja::double / c_all > 0.3 THEN 'ja'
+            WHEN c_all > 0 AND c_zh::double / c_all > 0.3 THEN 'zh'
+            WHEN c_all > 0 AND c_ko::double / c_all > 0.3 THEN 'ko'
+            WHEN c_all > 0 AND c_ru::double / c_all > 0.3 THEN 'ru'
+            WHEN c_all > 0 AND c_ar::double / c_all > 0.3 THEN 'ar'
+            WHEN greatest(s_en, s_de, s_fr, s_es, s_it) < 2 THEN 'unknown'
+            WHEN s_it >= greatest(s_en, s_de, s_fr, s_es) THEN 'it'
+            WHEN s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
+            WHEN s_es >= greatest(s_en, s_de) THEN 'es'
+            WHEN s_en >= s_de THEN 'en'
+            ELSE 'de' END"""
 
   /** Shared dHash oracle prefix: recompute the 9×8 box means of the
     * gradient-PNG fixture ARITHMETICALLY — the pixel formula

@@ -489,6 +489,84 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Perceptual audio hash: decode the REAL PCM-16 sample body (RIFF
+    * chunk walk + LE samples for WAV, FORM/SSND + BE for AIFF — the first
+    * time the sample bodies are read, deliberately: metadata stays
+    * header-only), box-average |channel-0 sample| onto 33 integer-exact
+    * windows (wa = k·n/33 — same boundary rule as [[dHash]]'s grid) and
+    * emit 32 bits env(k) > env(k+1) as a '0'/'1' string. Volume scaling
+    * preserves the hash; local edits flip only the windows they touch.
+    * Every mean is one exact-integer division, so an oracle recomputes
+    * the hash arithmetically from the fixture's sample formula.
+    * Unreadable payloads hash to "". */
+  def audioEnvelopeHash(df: DataFrame): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("ahash", StringType, nullable = false))
+    val payloadIdx = inSchema.fieldIndex("payload")
+    df.mapPartitions { it =>
+      it.map { row =>
+        Row.fromSeq(row.toSeq :+ audioEnvelopeHashOf(row.getAs[Array[Byte]](payloadIdx)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  private def audioEnvelopeHashOf(b: Array[Byte]): String = {
+      var channels = 0; var dataOff = -1; var dataLen = 0; var bigEndian = false
+      if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+        var i = 12
+        while (i + 8 <= b.length) {
+          val id = new String(b, i, 4, "US-ASCII")
+          val sz = le32(b, i + 4)
+          if (id == "fmt " && i + 12 <= b.length) channels = le16(b, i + 10)
+          else if (id == "data") { dataOff = i + 8; dataLen = sz }
+          i += 8 + sz + (sz & 1)
+        }
+      } else if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F') {
+        bigEndian = true
+        var i = 12
+        while (i + 8 <= b.length) {
+          val id = new String(b, i, 4, "US-ASCII")
+          val sz = be32(b, i + 4)
+          if (id == "COMM" && i + 10 <= b.length) channels = be16(b, i + 8)
+          else if (id == "SSND") { dataOff = i + 16; dataLen = sz - 8 }
+          i += 8 + sz + (sz & 1)
+        }
+      }
+      if (dataOff < 0 || channels <= 0) ""
+      else {
+        val blockAlign = channels * 2
+        val n = math.min(dataLen, b.length - dataOff) / blockAlign
+        if (n < 33) ""
+        else {
+          val means = new Array[Double](33)
+          var k = 0
+          while (k < 33) {
+            val fa = k * n / 33; val fb = (k + 1) * n / 33
+            var sum = 0L
+            var f = fa
+            while (f < fb) {
+              val o = dataOff + f * blockAlign
+              val raw = if (bigEndian) be16(b, o) else le16(b, o)
+              val s = if (raw >= 32768) raw - 65536 else raw // signed 16-bit
+              sum += math.abs(s)
+              f += 1
+            }
+            means(k) = if (fb == fa) 0.0 else sum.toDouble / (fb - fa)
+            k += 1
+          }
+          val sb = new java.lang.StringBuilder(32)
+          var k2 = 0
+          while (k2 < 32) {
+            sb.append(if (means(k2) > means(k2 + 1)) '1' else '0')
+            k2 += 1
+          }
+          sb.toString
+        }
+      }
+  }
+
   /** REAL visual feature: a `dim`-bucket grayscale histogram over the
     * decoded raster, normalized to sum 1 — the shape (fixed-dim float
     * vector per payload, one decoder per partition) of an embedding-model

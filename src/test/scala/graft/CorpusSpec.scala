@@ -1814,6 +1814,23 @@ class CorpusSpec extends SparkSpec {
     assert(h2 === h)
   }
 
+  test("audioEnvelopeHash: real WAV/AIFF PCM decode, 32 bits, deterministic") {
+    import graft.corpus.Multimodal
+    // even code-point count -> wav mono; odd -> aiff stereo (geometry rule)
+    val d = Seq((1L, "12345678"), (2L, "123456789")).toDF("doc_id", "text")
+    def run() = Multimodal.audioEnvelopeHash(Multimodal.withAudioPayload(d, "text"))
+      .select("doc_id", "ahash").as[(Long, String)].collect().toMap
+    val h = run()
+    assert(h.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')),
+      s"expected 32-bit hashes, got $h")
+    assert(h === run(), "hash is rerun-deterministic")
+    // garbage payload hashes to empty
+    val g = Multimodal.audioEnvelopeHash(
+      Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload"))
+      .select("ahash").as[String].head()
+    assert(g === "")
+  }
+
   test("markdownStats: hand-counted structure signals") {
     val md = "# Title\n## Sub\n- a\n- b\n1. c\n```\nx = 1;\ny = 2;\nz = 3;\nif (a) { b(); }\n```\n[l](http://x) plain [m](y)\n    indented code\n\tmore"
     val got = Seq(Tuple1(md)).toDF("t")
