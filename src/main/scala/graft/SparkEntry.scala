@@ -1688,6 +1688,29 @@ object SparkEntry {
         isStart = col("role") === "user", sliceSize = 16)
     }),
 
+    // dedup threshold calibration: candidate pairs at a low floor (0.3),
+    // bucketed by exact jaccard decile — the table an engineer reads to
+    // pick the production threshold; bucket compares are on the same
+    // single-division doubles in both engines
+    "q_dedup_sweep" -> ((s, dir) => {
+      // graded-overlap plants: every %4 doc gets a variant holding its
+      // first 30..90% of words, spreading exact jaccard across buckets
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val nw = size(split(col("text"), " "))
+      val keep = (nw * (lit(3) + pmod(col("doc_id"), lit(7))) / 10).cast("int")
+      val variants = d.where(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + lit(200000L)).as("doc_id"),
+          array_join(slice(split(col("text"), " "), lit(1), greatest(keep, lit(3))), " ")
+            .as("text"))
+      val pairs = Dedup.ngramJaccardPairs(d.unionByName(variants),
+        col("doc_id"), col("text"), shingleK = 3, threshold = 0.3)
+      val bucket = when(col("jaccard") >= 0.9, "0.9")
+        .when(col("jaccard") >= 0.8, "0.8").when(col("jaccard") >= 0.7, "0.7")
+        .when(col("jaccard") >= 0.6, "0.6").when(col("jaccard") >= 0.5, "0.5")
+        .when(col("jaccard") >= 0.4, "0.4").otherwise(lit("0.3"))
+      pairs.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // language-ID confusion matrix: the evaluation table for the
     // classifier — planted ground-truth labels vs langId predictions,
     // one combinable (actual, predicted) count
@@ -2731,6 +2754,32 @@ object SparkEntry {
     // oracle is the exact pairwise recompute (recall must be — and is — 1).
     "q_dedup_minhash" -> DOC_JACCARD_05,
     "q_dedup_ngram" -> DOC_JACCARD_05,
+
+    "q_dedup_sweep" ->
+      s"""WITH swbase AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 200000,
+             array_to_string(string_split(text, ' ')[1:greatest(
+               (len(string_split(text, ' ')) * (3 + doc_id % 7)) // 10, 3)], ' ')
+           FROM documents WHERE doc_id % 4 = 0),
+         tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM swbase),
+         sh AS (SELECT doc_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in generate_series(1, len(w) - 2)]) AS s
+                FROM tok WHERE len(w) >= 3)
+         , pr AS (SELECT len(list_intersect(a.s, b.s))::double /
+                    len(list_distinct(list_concat(a.s, b.s)))::double AS jaccard
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         f AS (SELECT CASE WHEN jaccard >= 0.9 THEN '0.9'
+                           WHEN jaccard >= 0.8 THEN '0.8'
+                           WHEN jaccard >= 0.7 THEN '0.7'
+                           WHEN jaccard >= 0.6 THEN '0.6'
+                           WHEN jaccard >= 0.5 THEN '0.5'
+                           WHEN jaccard >= 0.4 THEN '0.4'
+                           ELSE '0.3' END AS bucket
+               FROM pr WHERE jaccard >= 0.3)
+         SELECT bucket, count(*)::bigint AS n_pairs FROM f GROUP BY 1""",
 
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
