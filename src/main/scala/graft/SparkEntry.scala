@@ -1688,6 +1688,14 @@ object SparkEntry {
         isStart = col("role") === "user", sliceSize = 16)
     }),
 
+    // contrastive training triplets: near-dup positives (both directions)
+    // + deterministic md5-bucket negatives — the embedding-model training
+    // set, no cross join anywhere
+    "q_corpus_contrastive" -> ((s, dir) => {
+      Similarity.contrastivePairs(documents(s, dir), col("doc_id"), col("text"),
+        buckets = 64)
+    }),
+
     // dedup threshold calibration: candidate pairs at a low floor (0.3),
     // bucketed by exact jaccard decile — the table an engineer reads to
     // pick the production threshold; bucket compares are on the same
@@ -2754,6 +2762,28 @@ object SparkEntry {
     // oracle is the exact pairwise recompute (recall must be — and is — 1).
     "q_dedup_minhash" -> DOC_JACCARD_05,
     "q_dedup_ngram" -> DOC_JACCARD_05,
+
+    "q_corpus_contrastive" ->
+      s"""$DOC_SHINGLES
+         , pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.s, b.s))::double /
+                        len(list_distinct(list_concat(a.s, b.s)))::double >= 0.5),
+         an AS (SELECT doc_a AS anchor_id, doc_b AS positive_id FROM pr
+                UNION ALL SELECT doc_b, doc_a FROM pr),
+         wb AS (SELECT doc_id AS anchor_id,
+                  ('0x' || substr(md5('nb:' || doc_id), 1, 8))::bigint % 64 AS b
+                FROM documents),
+         reps AS (SELECT b AS nb,
+                    first(anchor_id ORDER BY
+                      ('0x' || substr(md5('nr:' || anchor_id), 1, 8))::bigint,
+                      anchor_id) AS negative_id
+                  FROM wb GROUP BY 1)
+         SELECT a.anchor_id, a.positive_id, r.negative_id
+         FROM an a
+         JOIN wb ON wb.anchor_id = a.anchor_id
+         JOIN reps r ON r.nb =
+           (wb.b + 1 + (('0x' || substr(md5('ns:' || a.anchor_id), 1, 8))::bigint % 63)) % 64""",
 
     "q_dedup_sweep" ->
       s"""WITH swbase AS (

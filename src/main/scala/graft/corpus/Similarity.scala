@@ -626,6 +626,48 @@ object Similarity {
     * store); [[compact]] folds the manifest back to one self-contained
     * version when the small-dir count grows.
     */
+  /** Contrastive training-pair mining — the (anchor, positive, negative)
+    * triplets an embedding model trains on: positives are near-dup pairs
+    * from the viral-safe MinHash-LSH path (both directions, so every
+    * member of a pair anchors once), negatives are drawn DETERMINISTICALLY
+    * without a cross join: every doc hashes into one of `buckets`
+    * md5-buckets, each bucket elects one representative (combinable
+    * min(struct) over a seeded hash), and an anchor takes the
+    * representative of a hash-chosen bucket other than its own — a
+    * pseudo-random other document, rerun/engine-stable, never itself.
+    *
+    * Scale shape: positives ride the LSH shuffle; the bucket table is
+    * `buckets` rows and BROADCASTS; everything else is scan-stage md5
+    * arithmetic. Random-negative quality caveat (standard): a negative
+    * could rarely be a true near-dup of its anchor — filter against the
+    * positive set downstream if that matters for the loss. */
+  def contrastivePairs(
+      docs: DataFrame, id: Column, text: Column,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"need >= 2 negative buckets, got $buckets")
+    def h32(tag: String, c: Column): Column =
+      conv(substring(md5(concat(lit(tag), c.cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+    val pos = Dedup.minhashLsh(docs, id, text)
+    val anchors = pos
+      .select(col("doc_a").as("anchor_id"), col("doc_b").as("positive_id"))
+      .unionByName(pos
+        .select(col("doc_b").as("anchor_id"), col("doc_a").as("positive_id")))
+    val withB = docs.select(id.as("anchor_id"))
+      .withColumn("__b", pmod(h32("nb:", col("anchor_id")), lit(buckets.toLong)))
+    val reps = withB.groupBy(col("__b"))
+      .agg(min(struct(h32("nr:", col("anchor_id")).as("h"),
+        col("anchor_id").as("i"))).as("__r"))
+      .select(col("__b").as("__nb"), col("__r").getField("i").as("negative_id"))
+    anchors
+      .join(withB, Seq("anchor_id"))
+      .withColumn("__nb",
+        pmod(col("__b") + 1L + pmod(h32("ns:", col("anchor_id")),
+          lit((buckets - 1).toLong)), lit(buckets.toLong)))
+      .join(broadcast(reps), Seq("__nb"))
+      .select(col("anchor_id"), col("positive_id"), col("negative_id"))
+  }
+
   object AnnIndexStore {
     import org.apache.hadoop.fs.{FileSystem, Path}
     import org.apache.spark.sql.SparkSession

@@ -1814,6 +1814,22 @@ class CorpusSpec extends SparkSpec {
     assert(h2 === h)
   }
 
+  test("contrastivePairs: both-direction positives, negatives never self, deterministic") {
+    import graft.corpus.Similarity
+    val trip = Similarity.contrastivePairs(docs, col("doc_id"), col("text"), buckets = 16)
+      .as[(Long, Long, Long)].collect()
+    assert(trip.nonEmpty)
+    // every near-dup pair anchors in both directions
+    val anchorPairs = trip.map(t => (t._1, t._2)).toSet
+    assert(anchorPairs.map { case (a, p) => (p, a) }.subsetOf(anchorPairs))
+    // a negative is never the anchor itself
+    assert(trip.forall(t => t._3 != t._1))
+    // deterministic across reruns
+    val trip2 = Similarity.contrastivePairs(docs, col("doc_id"), col("text"), buckets = 16)
+      .as[(Long, Long, Long)].collect()
+    assert(trip2.sorted.toSeq === trip.sorted.toSeq)
+  }
+
   test("audioEnvelopeHash: real WAV/AIFF PCM decode, 32 bits, deterministic") {
     import graft.corpus.Multimodal
     // even code-point count -> wav mono; odd -> aiff stereo (geometry rule)
