@@ -1688,6 +1688,16 @@ object SparkEntry {
         isStart = col("role") === "user", sliceSize = 16)
     }),
 
+    // sentence segmentation + Flesch-Kincaid readability (the edu-quality
+    // band): lookaround-free sentence regex, vowel-group syllable
+    // estimate, grade formula over single exact-integer divisions
+    "q_text_readability" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), TextStats.readability(col("text")).as("__r"))
+        .select(col("doc_id"), col("__r.n_sentences"), col("__r.n_words"),
+          col("__r.n_syllables"), col("__r.fk_grade"))
+    }),
+
     // contrastive training triplets: near-dup positives (both directions)
     // + deterministic md5-bucket negatives — the embedding-model training
     // set, no cross join anywhere
@@ -2762,6 +2772,32 @@ object SparkEntry {
     // oracle is the exact pairwise recompute (recall must be — and is — 1).
     "q_dedup_minhash" -> DOC_JACCARD_05,
     "q_dedup_ngram" -> DOC_JACCARD_05,
+
+    "q_text_readability" ->
+      """WITH r0 AS (SELECT doc_id, text,
+             regexp_extract_all(text, '[^.!?]+[.!?]+', 0) AS term,
+             trim(regexp_extract(text, '([^.!?]+)$', 1)) AS tl
+           FROM documents),
+         r1 AS (SELECT doc_id, text,
+             [x for x in [trim(s) for s in
+               (CASE WHEN tl = '' THEN term ELSE list_append(term, tl) END)]
+              if x <> ''] AS sents,
+             [w for w in string_split_regex(text, '[^A-Za-z'']+') if w <> ''] AS ws
+           FROM r0),
+         r2 AS (SELECT doc_id,
+             len(sents)::bigint AS n_sentences,
+             len(ws)::bigint AS n_words,
+             coalesce(list_sum([greatest(len(regexp_extract_all(lower(w), '[aeiouy]+', 0)), 1)
+                                for w in ws]), 0)::bigint AS n_syllables,
+             greatest(len(sents), 1)::bigint AS ns1
+           FROM r1)
+         SELECT doc_id, n_sentences, n_words, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             0.39::double * (n_words::double / ns1::double)
+             + 11.8::double * (n_syllables::double / n_words::double)
+             - 15.59::double
+           END AS fk_grade
+         FROM r2""",
 
     "q_corpus_contrastive" ->
       s"""$DOC_SHINGLES

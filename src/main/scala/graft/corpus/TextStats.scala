@@ -265,6 +265,45 @@ object TextStats {
       .otherwise(md5(concat(lit("fp:"), text)))
   }
 
+  /** Sentence segmentation, lookaround-free (RE2-portable): a sentence is
+    * a maximal run of non-terminators followed by one-or-more `.!?` —
+    * `regexp_extract_all` of `[^.!?]+[.!?]+` — plus the unterminated tail
+    * as a final sentence. Declared subset: abbreviation periods ("Dr.")
+    * split like sentence ends (a guard needs lookbehind, which RE2 lacks
+    * — the oracle-portability rule wins). Whitespace-trimmed, empties
+    * dropped. */
+  def sentences(text: Column): Column = {
+    val terminated = regexp_extract_all(text, lit("[^.!?]+[.!?]+"), lit(0))
+    val tail = trim(regexp_extract(text, "([^.!?]+)$", 1))
+    val all = when(tail === "", terminated)
+      .otherwise(concat(terminated, array(tail)))
+    filter(transform(all, s => trim(s)), s => s =!= "")
+  }
+
+  /** Flesch–Kincaid grade level + the counts behind it — the readability
+    * band edu-quality filters (FineWeb-Edu-shaped) cut on. Syllables are
+    * estimated as vowel GROUPS per word (the standard cheap estimator,
+    * identical regex both engines); grade = 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59 with every operand a single division
+    * of exact integers. Returns struct(n_sentences, n_words,
+    * n_syllables, fk_grade); texts with no words grade NULL. */
+  def readability(text: Column): Column = {
+    val sents = sentences(text)
+    val nSent = greatest(size(sents), lit(1)).cast("long")
+    val words = filter(split(text, "[^A-Za-z']+"), w => w =!= "")
+    val nWords = size(words).cast("long")
+    val nSyll = aggregate(words, lit(0L), (acc, w) =>
+      acc + greatest(size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))),
+        lit(1)).cast("long"))
+    val grade = lit(0.39) * (nWords.cast("double") / nSent.cast("double")) +
+      lit(11.8) * (nSyll.cast("double") / nWords.cast("double")) - lit(15.59)
+    struct(
+      size(sents).cast("long").as("n_sentences"),
+      nWords.as("n_words"),
+      nSyll.as("n_syllables"),
+      when(nWords > 0, grade).as("fk_grade"))
+  }
+
   /** Markdown / code structure signals — the document-structure features
     * code-and-docs corpus filters key on (heading density, fenced code
     * blocks, list share, link share, and a braces/semicolon/indent

@@ -1814,6 +1814,27 @@ class CorpusSpec extends SparkSpec {
     assert(h2 === h)
   }
 
+  test("readability: hand-counted sentences/syllables and the FK formula") {
+    val d = Seq(
+      (1L, "The cat sat. The dog ran! Did it rain? unterminated tail"),
+      (2L, "Simple. Words."),
+      (3L, "")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        graft.corpus.TextStats.readability(col("text")).as("r"))
+      .select("doc_id", "r.n_sentences", "r.n_words", "r.n_syllables", "r.fk_grade")
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 4 sentences (3 terminated + the unterminated tail), 11 words
+    assert(got(1L)._2 === 4L)
+    assert(got(1L)._3 === 11L)
+    // doc 2: 2 sentences, 2 words, syllables: sim-ple? vowel groups: i,e=2; o=1
+    assert(got(2L)._2 === 2L && got(2L)._3 === 2L && got(2L)._4 === 3L)
+    val g2 = got(2L)._5.get
+    assert(math.abs(g2 - (0.39 * (2.0 / 2.0) + 11.8 * (3.0 / 2.0) - 15.59)) < 1e-12)
+    // empty text: 0 everything, NULL grade
+    assert(got(3L) === ((3L, 0L, 0L, 0L, None)))
+  }
+
   test("contrastivePairs: both-direction positives, negatives never self, deterministic") {
     import graft.corpus.Similarity
     val trip = Similarity.contrastivePairs(docs, col("doc_id"), col("text"), buckets = 16)
