@@ -1688,6 +1688,76 @@ object SparkEntry {
         isStart = col("role") === "user", sliceSize = 16)
     }),
 
+    // the composed web ACQUISITION policy — what a crawler-side pipeline
+    // decides per fetched page: canonical-URL dedup (crawl-variant pairs)
+    // -> per-domain cap among URL keepers -> robots fetch policy ->
+    // meta-robots opt-out; kept = the conjunction. The Spark side runs
+    // the REAL operators (canonicalize/domainCap/Robots/HtmlText); the
+    // oracle is the planted GROUND TRUTH they must recover (each
+    // extraction path separately has its full relational oracle)
+    "q_corpus_webpolicy" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val pageId = col("doc_id") - pmod(col("doc_id"), lit(2))
+      val k2 = pmod(pageId, lit(5))
+      val pr = pmod((pageId / lit(2)).cast("long"), lit(4))
+      val domain = concat(lit("d"), k2.cast("string"), lit(".com"))
+      // page-unique path suffix keeps canonical URLs unique per PAGE, so
+      // the url keepers are exactly the even ids of each crawl pair
+      val path = concat(
+        when(pr === 0, "/private/x").when(pr === 1, "/private/ok/y")
+          .when(pr === 2, "/public/z").otherwise(lit("/other")),
+        lit("/p"), pageId.cast("string"))
+      val url = concat(lit("HTTPS://WWW.D"), k2.cast("string"), lit(".com:443"),
+        path,
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("?utm_source=x&b=2&a=1#frag"))
+          .otherwise(lit("?a=1&b=2")))
+      val meta = when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("<meta name=\"robots\" content=\"index, noai\">"))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          lit("<meta content=\"noindex\" name=\"robots\">"))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          lit("<meta name=\"robots\" content=\"all\">"))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head>"), meta, lit("</head><body><p>"),
+        col("text"), lit("</p></body></html>"))
+
+      val base = d.select(col("doc_id"), col("text"), url.as("__url"),
+        domain.as("__dom"), path.as("__path"), html.as("__html"))
+      // stage 1: canonical-URL keeper
+      val withUrl = graft.corpus.Url
+        .urlDedup(base, col("doc_id"), col("__url"))
+        .withColumnRenamed("is_keeper", "url_keeper")
+      // stage 2: per-domain cap among URL keepers only
+      val capped = graft.corpus.Url.domainCap(
+        withUrl.where(col("url_keeper")), col("doc_id"), col("__url"),
+        length(col("text")).cast("double"), cap = 30)
+        .select(col("doc_id"), col("cap_keeper"))
+      // stage 3: robots fetch policy for graftbot (the q_corpus_robots rules)
+      val doms = d.select(pmod(col("doc_id"), lit(5)).cast("int").as("k")).distinct()
+      val robotsTxt = concat(
+        lit("# graft robots fixture\nUser-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow:\n"),
+        when(pmod(col("k"), lit(2)) === 0,
+          lit("\nUser-agent: graftbot\nUser-agent: otherbot\nDisallow: /\nAllow: /public\n"))
+          .otherwise(lit("")))
+      val rules = graft.corpus.Robots.parse(
+        doms.select(concat(lit("d"), col("k").cast("string"), lit(".com")).as("domain"),
+          robotsTxt.as("txt")), col("domain"), col("txt"))
+      val allowed = graft.corpus.Robots.allowed(
+        withUrl, col("doc_id"), col("__dom"), col("__path"), rules, "graftbot")
+        .select(col("id").as("doc_id"), col("allowed").as("robots_allowed"))
+      // stage 4: meta-robots opt-out + the final conjunction
+      withUrl
+        .join(capped, Seq("doc_id"), "left")
+        .join(allowed, Seq("doc_id"))
+        .withColumn("cap_keeper", coalesce(col("cap_keeper"), lit(false)))
+        .withColumn("opted_out", graft.corpus.HtmlText.optedOut(col("__html")))
+        .withColumn("kept",
+          col("url_keeper") && col("cap_keeper") && col("robots_allowed") &&
+            !col("opted_out"))
+        .select(col("doc_id"), col("url_keeper"), col("cap_keeper"),
+          col("robots_allowed"), col("opted_out"), col("kept"))
+    }),
+
     // sentence segmentation + Flesch-Kincaid readability (the edu-quality
     // band): lookaround-free sentence regex, vowel-group syllable
     // estimate, grade formula over single exact-integer divisions
@@ -2772,6 +2842,33 @@ object SparkEntry {
     // oracle is the exact pairwise recompute (recall must be — and is — 1).
     "q_dedup_minhash" -> DOC_JACCARD_05,
     "q_dedup_ngram" -> DOC_JACCARD_05,
+
+    "q_corpus_webpolicy" ->
+      // the planted GROUND TRUTH the composed operators must recover:
+      // url keepers = even crawl-pair ids (canonical unique per page),
+      // cap = rank among keepers within the domain residue class, robots
+      // decision per the fixture rule groups, opt-out per the meta
+      // residues; each extraction path is separately oracle-proven by
+      // q_corpus_url_dedup / q_corpus_domcap / q_corpus_robots /
+      // q_corpus_optout
+      """WITH b AS (SELECT doc_id, text,
+             (doc_id - doc_id % 2) % 5 AS k2,
+             ((doc_id - doc_id % 2) // 2) % 4 AS pr,
+             doc_id % 4 AS m4,
+             (doc_id % 2 = 0) AS url_keeper
+           FROM documents),
+         cap AS (SELECT doc_id,
+             (row_number() OVER (PARTITION BY k2
+                ORDER BY length(text) DESC, doc_id)) <= 30 AS cap_keeper
+           FROM b WHERE url_keeper),
+         fin AS (SELECT b.doc_id, b.url_keeper,
+             coalesce(cap.cap_keeper, false) AS cap_keeper,
+             CASE WHEN b.k2 % 2 = 0 THEN b.pr = 2 ELSE b.pr <> 0 END AS robots_allowed,
+             b.m4 IN (0, 1) AS opted_out
+           FROM b LEFT JOIN cap USING (doc_id))
+         SELECT doc_id, url_keeper, cap_keeper, robots_allowed, opted_out,
+           url_keeper AND cap_keeper AND robots_allowed AND NOT opted_out AS kept
+         FROM fin""",
 
     "q_text_readability" ->
       """WITH r0 AS (SELECT doc_id, text,
