@@ -208,4 +208,46 @@ class PropertySpec extends SparkSpec {
         t === (x.toLong * y).toString && mx === math.max(x, y).toString, s"x=$x y=$y")
     }
   }
+
+  test("pagerank: rank mass conserved (sum 1) on random digraphs with dangling nodes") {
+    import graft.corpus.WebGraph
+    val edgeGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0, 7), Gen.choose(0, 9))) // dst range > src range → dangling
+      .map(_.filter { case (a, b) => a != b }.distinct)
+    val cases = samples(edgeGen, 8).filter(_.nonEmpty)
+    cases.zipWithIndex.foreach { case (es, i) =>
+      val e = es.map { case (a, b) => (s"n$a", s"n$b") }.toDF("src", "dst")
+      val mass = WebGraph.pagerank(e, iterations = 4)
+        .agg(sum(col("rank"))).head().getDouble(0)
+      assert(math.abs(mass - 1.0) < 1e-9, s"case $i: mass=$mass edges=$es")
+    }
+  }
+
+  test("domainCap: never more than cap keepers in any domain, ranks dense from 1") {
+    import graft.corpus.Url
+    val rows = samples(Gen.zip(Gen.choose(0, 4), Gen.choose(1, 40)), 150)
+      .zipWithIndex.map { case ((d, len), i) => (i.toLong, s"https://www.h$d.com/p", "x" * len) }
+    val df = rows.toDF("doc_id", "url", "text")
+    val got = Url.domainCap(df, col("doc_id"), col("url"),
+        length(col("text")).cast("double"), cap = 7)
+      .select(col("domain"), col("domain_rank"), col("cap_keeper"))
+      .as[(String, Int, Boolean)].collect()
+    got.groupBy(_._1).foreach { case (d, rs) =>
+      assert(rs.count(_._3) === math.min(7, rs.length), s"domain $d")
+      assert(rs.map(_._2).sorted.toSeq === (1 to rs.length).toSeq, s"domain $d ranks")
+    }
+  }
+
+  test("containment: every score in (0,1], self-pairs absent, direction-exact on subsets") {
+    import graft.corpus.Dedup
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val textGen = Gen.listOfN(10, wordGen).map(_.mkString(" "))
+    val texts = samples(textGen, 20).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, col("doc_id"), col("text"),
+        shingleK = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall(p => p._1 != p._2))
+    assert(got.forall(p => p._3 > 0.0 && p._3 <= 1.0))
+  }
 }
