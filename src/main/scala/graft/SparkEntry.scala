@@ -1688,6 +1688,27 @@ object SparkEntry {
         isStart = col("role") === "user", sliceSize = 16)
     }),
 
+    // per-source curation funnel: the attrition table a dataset report
+    // publishes — docs surviving each gate of the composed pipeline,
+    // grouped by language; one combinable aggregate over the audit frame
+    "q_corpus_funnel" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val url = concat(lit("HTTPS://WWW.Example.com:443/Page/"),
+        (col("doc_id") - pmod(col("doc_id"), lit(2))).cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("/?utm_source=x&b=2&a=1#frag"))
+          .otherwise(lit("?a=1&b=2")))
+      val audit = graft.corpus.Curate.curate(d, col("doc_id"), col("text"),
+        url, col("lang"), targetLang = "en", ceCap = 1.13)
+      audit.join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("url_keeper").cast("long")).as("n_url"),
+          sum((col("url_keeper") && col("dedup_keeper")).cast("long")).as("n_dedup"),
+          sum((col("url_keeper") && col("dedup_keeper") && col("quality_pass"))
+            .cast("long")).as("n_quality"),
+          sum(col("kept").cast("long")).as("n_kept"))
+    }),
+
     // the composed web ACQUISITION policy — what a crawler-side pipeline
     // decides per fetched page: canonical-URL dedup (crawl-variant pairs)
     // -> per-domain cap among URL keepers -> robots fetch policy ->
@@ -2843,6 +2864,16 @@ object SparkEntry {
     "q_dedup_minhash" -> DOC_JACCARD_05,
     "q_dedup_ngram" -> DOC_JACCARD_05,
 
+    "q_corpus_funnel" ->
+      s"""SELECT d.lang,
+           count(*)::bigint AS n_docs,
+           sum(c.url_keeper::int)::bigint AS n_url,
+           sum((c.url_keeper AND c.dedup_keeper)::int)::bigint AS n_dedup,
+           sum((c.url_keeper AND c.dedup_keeper AND c.quality_pass)::int)::bigint AS n_quality,
+           sum(c.kept::int)::bigint AS n_kept
+         FROM ($curateOracleSql) c JOIN documents d USING (doc_id)
+         GROUP BY 1""",
+
     "q_corpus_webpolicy" ->
       // the planted GROUND TRUTH the composed operators must recover:
       // url keepers = even crawl-pair ids (canonical unique per page),
@@ -3289,129 +3320,7 @@ object SparkEntry {
            coalesce(array_to_string([bt[i] for i in gi], chr(10)), '') AS text
          FROM b5""",
 
-    "q_corpus_curate" -> {
-      // the composed pipeline's oracle is the composition of the per-stage
-      // oracles: URL canonicalization chain -> keeper min-agg, exact-Jaccard
-      // pairs + recursive-CTE CC over URL KEEPERS ONLY, the char-trigram LM
-      // fragment, the Gopher signal block, the RedactionOrder regex nest,
-      // and splitLabel's hex thresholds replicated bit-for-bit
-      import graft.corpus.{Pii, Sampling}
-      val ws = Seq(0.8, 0.1, 0.1)
-      val cum = ws.map(_ / ws.sum).scanLeft(0.0)(_ + _).tail
-      val (t1, t2) = (Sampling.thresholdHex(cum(0)), Sampling.thresholdHex(cum(1)))
-      s"""WITH RECURSIVE raw AS (SELECT doc_id,
-             'HTTPS://WWW.Example.com:443/Page/' || (doc_id - doc_id % 2) ||
-             CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=x&b=2&a=1#frag'
-                  ELSE '?a=1&b=2' END AS u
-           FROM documents),
-         c0 AS (SELECT doc_id, regexp_replace(u, '#.*$$', '') AS nf FROM raw),
-         c1 AS (SELECT doc_id,
-             lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) AS head,
-             regexp_replace(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
-           FROM c0),
-         c2 AS (SELECT doc_id,
-             regexp_replace(CASE WHEN head LIKE 'https://%' THEN regexp_replace(head, ':443$$', '')
-                                 WHEN head LIKE 'http://%' THEN regexp_replace(head, ':80$$', '')
-                                 ELSE head END, '://www\\.', '://') AS h3,
-             regexp_replace(regexp_replace(rest, '\\?.*$$', ''), '/+$$', '') AS path,
-             regexp_extract(rest, '\\?(.*)$$', 1) AS qs
-           FROM c1),
-         c3 AS (SELECT doc_id,
-             h3 || path || CASE WHEN len(ps) > 0
-                                THEN '?' || array_to_string(ps, '&') ELSE '' END AS canonical_url
-           FROM (SELECT doc_id, h3, path,
-                   list_sort(list_filter(string_split(qs, '&'),
-                     p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z]+|fbclid|gclid|ref)(=|$$)'))) AS ps
-                 FROM c2)),
-         ku AS (SELECT canonical_url, min(doc_id) AS keep FROM c3 GROUP BY 1),
-         uf AS (SELECT c3.doc_id, (c3.doc_id = ku.keep) AS url_keeper
-                FROM c3 JOIN ku USING (canonical_url)),
-         kd AS (SELECT d.doc_id, d.text FROM documents d JOIN uf USING (doc_id)
-                WHERE uf.url_keeper),
-         tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM kd),
-         sh AS (SELECT doc_id,
-                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                 for i in generate_series(1, len(w) - 2)]) AS s
-                FROM tok),
-         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE len(list_intersect(a.s, b.s))::double /
-                      len(list_distinct(list_concat(a.s, b.s)))::double >= 0.5),
-         edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
-                   UNION SELECT doc_b, doc_a FROM pr),
-         walk(id, lab) AS (
-           SELECT doc_id, doc_id FROM kd
-           UNION
-           SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
-         cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id),
-         tg AS (SELECT unnest([substr(text, i, 3)
-                               for i in generate_series(1, length(text) - 2)]) AS gram
-                FROM documents WHERE lang = 'en' AND length(text) >= 3),
-         m3 AS (SELECT gram, count(*)::bigint AS cg FROM tg GROUP BY gram),
-         m2 AS (SELECT substr(gram, 1, 2) AS ctx, sum(cg)::bigint AS cc FROM m3 GROUP BY 1),
-         v AS (SELECT count(DISTINCT substr(gram, 3, 1))::double AS vs FROM m3),
-         sg AS (SELECT doc_id, unnest([substr(text, i, 3)
-                                       for i in generate_series(1, length(text) - 2)]) AS gram
-                FROM documents WHERE length(text) >= 3),
-         j AS (SELECT doc_id,
-                 ln((coalesce(m3.cg, 0) + 0.1) / (coalesce(m2.cc, 0) + 0.1 * v.vs)) AS lp
-               FROM sg LEFT JOIN m3 USING (gram)
-                       LEFT JOIN m2 ON substr(sg.gram, 1, 2) = m2.ctx
-                       CROSS JOIN v),
-         ce AS (SELECT doc_id, -sum(lp) / ln(2.0) / count(*) AS cross_entropy
-                FROM j GROUP BY doc_id),
-         gu AS (SELECT doc_id, text AS t,
-                  regexp_split_to_array(text, '\\s+') AS w,
-                  string_split(text, chr(10)) AS ls
-                FROM documents),
-         gm AS (SELECT doc_id,
-                  len(w)::double AS nw,
-                  coalesce(list_sum([length(x) for x in w]), 0)::double / len(w)::double AS mean_len,
-                  (len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.')))::double
-                    / len(w)::double AS symbol_ratio,
-                  len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'))::double
-                    / len(ls)::double AS bullet_frac,
-                  len(list_filter(ls, l -> l LIKE '%...'))::double / len(ls)::double AS ellipsis_frac,
-                  len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::double
-                    / len(w)::double AS alpha_frac,
-                  len(list_filter([lower(x) for x in w],
-                                  x -> x IN ('the','be','to','of','and','that','have','with')))::bigint AS stop_hits
-                FROM gu),
-         gq AS (SELECT doc_id,
-                  (nw >= 50 AND nw <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0 AND
-                   symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND
-                   alpha_frac >= 0.8 AND stop_hits >= 2) AS pass
-                FROM gm),
-         -- gate input rounded to 6 sig figs (identical formula to the Spark
-         -- side): cross-row double sums diverge by ulps between engines and
-         -- the kept boolean cannot be absorbed by output rounding
-         ce6 AS (SELECT doc_id, cross_entropy,
-                   CASE WHEN cross_entropy = 0 THEN 0.0
-                        ELSE round(cross_entropy / pow(10.0, floor(log10(abs(cross_entropy))) - 5))
-                             * pow(10.0, floor(log10(abs(cross_entropy))) - 5) END AS cer
-                 FROM ce)
-         SELECT d.doc_id,
-           uf.url_keeper,
-           coalesce(d.doc_id = cl.cluster_id, false) AS dedup_keeper,
-           gq.pass AS quality_pass,
-           ce6.cross_entropy,
-           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(d.text,
-             '${Pii.EmailRe}', '<EMAIL>', 'g'),
-             '${Pii.CreditCardRe}', '<CREDIT_CARD>', 'g'),
-             '${Pii.SsnRe}', '<SSN>', 'g'),
-             '${Pii.Ipv4Re}', '<IP>', 'g'),
-             '${Pii.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5,
-           CASE WHEN substr(md5('split:' || coalesce(cl.cluster_id, d.doc_id)), 1, 8) < '$t1' THEN 'train'
-                WHEN substr(md5('split:' || coalesce(cl.cluster_id, d.doc_id)), 1, 8) < '$t2' THEN 'valid'
-                ELSE 'test' END AS split,
-           (uf.url_keeper AND coalesce(d.doc_id = cl.cluster_id, false) AND gq.pass AND
-            coalesce(ce6.cer <= 1.13, false)) AS kept
-         FROM documents d
-           JOIN uf USING (doc_id)
-           LEFT JOIN cl USING (doc_id)
-           LEFT JOIN ce6 USING (doc_id)
-           JOIN gq USING (doc_id)"""
-    },
+    "q_corpus_curate" -> curateOracleSql,
 
     "q_corpus_split" -> {
       // replicate splitLabel's normalization bit-for-bit so the hex
@@ -4376,6 +4285,132 @@ object SparkEntry {
             WHEN s_es >= greatest(s_en, s_de) THEN 'es'
             WHEN s_en >= s_de THEN 'en'
             ELSE 'de' END"""
+
+  /** The composed curation pipeline's oracle (also wrapped by the
+    * per-source funnel aggregate). */
+  private def curateOracleSql: String = {
+        // the composed pipeline's oracle is the composition of the per-stage
+        // oracles: URL canonicalization chain -> keeper min-agg, exact-Jaccard
+        // pairs + recursive-CTE CC over URL KEEPERS ONLY, the char-trigram LM
+        // fragment, the Gopher signal block, the RedactionOrder regex nest,
+        // and splitLabel's hex thresholds replicated bit-for-bit
+        import graft.corpus.{Pii, Sampling}
+        val ws = Seq(0.8, 0.1, 0.1)
+        val cum = ws.map(_ / ws.sum).scanLeft(0.0)(_ + _).tail
+        val (t1, t2) = (Sampling.thresholdHex(cum(0)), Sampling.thresholdHex(cum(1)))
+        s"""WITH RECURSIVE raw AS (SELECT doc_id,
+               'HTTPS://WWW.Example.com:443/Page/' || (doc_id - doc_id % 2) ||
+               CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=x&b=2&a=1#frag'
+                    ELSE '?a=1&b=2' END AS u
+             FROM documents),
+           c0 AS (SELECT doc_id, regexp_replace(u, '#.*$$', '') AS nf FROM raw),
+           c1 AS (SELECT doc_id,
+               lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) AS head,
+               regexp_replace(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
+             FROM c0),
+           c2 AS (SELECT doc_id,
+               regexp_replace(CASE WHEN head LIKE 'https://%' THEN regexp_replace(head, ':443$$', '')
+                                   WHEN head LIKE 'http://%' THEN regexp_replace(head, ':80$$', '')
+                                   ELSE head END, '://www\\.', '://') AS h3,
+               regexp_replace(regexp_replace(rest, '\\?.*$$', ''), '/+$$', '') AS path,
+               regexp_extract(rest, '\\?(.*)$$', 1) AS qs
+             FROM c1),
+           c3 AS (SELECT doc_id,
+               h3 || path || CASE WHEN len(ps) > 0
+                                  THEN '?' || array_to_string(ps, '&') ELSE '' END AS canonical_url
+             FROM (SELECT doc_id, h3, path,
+                     list_sort(list_filter(string_split(qs, '&'),
+                       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z]+|fbclid|gclid|ref)(=|$$)'))) AS ps
+                   FROM c2)),
+           ku AS (SELECT canonical_url, min(doc_id) AS keep FROM c3 GROUP BY 1),
+           uf AS (SELECT c3.doc_id, (c3.doc_id = ku.keep) AS url_keeper
+                  FROM c3 JOIN ku USING (canonical_url)),
+           kd AS (SELECT d.doc_id, d.text FROM documents d JOIN uf USING (doc_id)
+                  WHERE uf.url_keeper),
+           tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM kd),
+           sh AS (SELECT doc_id,
+                    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in generate_series(1, len(w) - 2)]) AS s
+                  FROM tok),
+           pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.s, b.s))::double /
+                        len(list_distinct(list_concat(a.s, b.s)))::double >= 0.5),
+           edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                     UNION SELECT doc_b, doc_a FROM pr),
+           walk(id, lab) AS (
+             SELECT doc_id, doc_id FROM kd
+             UNION
+             SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
+           cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id),
+           tg AS (SELECT unnest([substr(text, i, 3)
+                                 for i in generate_series(1, length(text) - 2)]) AS gram
+                  FROM documents WHERE lang = 'en' AND length(text) >= 3),
+           m3 AS (SELECT gram, count(*)::bigint AS cg FROM tg GROUP BY gram),
+           m2 AS (SELECT substr(gram, 1, 2) AS ctx, sum(cg)::bigint AS cc FROM m3 GROUP BY 1),
+           v AS (SELECT count(DISTINCT substr(gram, 3, 1))::double AS vs FROM m3),
+           sg AS (SELECT doc_id, unnest([substr(text, i, 3)
+                                         for i in generate_series(1, length(text) - 2)]) AS gram
+                  FROM documents WHERE length(text) >= 3),
+           j AS (SELECT doc_id,
+                   ln((coalesce(m3.cg, 0) + 0.1) / (coalesce(m2.cc, 0) + 0.1 * v.vs)) AS lp
+                 FROM sg LEFT JOIN m3 USING (gram)
+                         LEFT JOIN m2 ON substr(sg.gram, 1, 2) = m2.ctx
+                         CROSS JOIN v),
+           ce AS (SELECT doc_id, -sum(lp) / ln(2.0) / count(*) AS cross_entropy
+                  FROM j GROUP BY doc_id),
+           gu AS (SELECT doc_id, text AS t,
+                    regexp_split_to_array(text, '\\s+') AS w,
+                    string_split(text, chr(10)) AS ls
+                  FROM documents),
+           gm AS (SELECT doc_id,
+                    len(w)::double AS nw,
+                    coalesce(list_sum([length(x) for x in w]), 0)::double / len(w)::double AS mean_len,
+                    (len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.')))::double
+                      / len(w)::double AS symbol_ratio,
+                    len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'))::double
+                      / len(ls)::double AS bullet_frac,
+                    len(list_filter(ls, l -> l LIKE '%...'))::double / len(ls)::double AS ellipsis_frac,
+                    len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::double
+                      / len(w)::double AS alpha_frac,
+                    len(list_filter([lower(x) for x in w],
+                                    x -> x IN ('the','be','to','of','and','that','have','with')))::bigint AS stop_hits
+                  FROM gu),
+           gq AS (SELECT doc_id,
+                    (nw >= 50 AND nw <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0 AND
+                     symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND
+                     alpha_frac >= 0.8 AND stop_hits >= 2) AS pass
+                  FROM gm),
+           -- gate input rounded to 6 sig figs (identical formula to the Spark
+           -- side): cross-row double sums diverge by ulps between engines and
+           -- the kept boolean cannot be absorbed by output rounding
+           ce6 AS (SELECT doc_id, cross_entropy,
+                     CASE WHEN cross_entropy = 0 THEN 0.0
+                          ELSE round(cross_entropy / pow(10.0, floor(log10(abs(cross_entropy))) - 5))
+                               * pow(10.0, floor(log10(abs(cross_entropy))) - 5) END AS cer
+                   FROM ce)
+           SELECT d.doc_id,
+             uf.url_keeper,
+             coalesce(d.doc_id = cl.cluster_id, false) AS dedup_keeper,
+             gq.pass AS quality_pass,
+             ce6.cross_entropy,
+             md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(d.text,
+               '${Pii.EmailRe}', '<EMAIL>', 'g'),
+               '${Pii.CreditCardRe}', '<CREDIT_CARD>', 'g'),
+               '${Pii.SsnRe}', '<SSN>', 'g'),
+               '${Pii.Ipv4Re}', '<IP>', 'g'),
+               '${Pii.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5,
+             CASE WHEN substr(md5('split:' || coalesce(cl.cluster_id, d.doc_id)), 1, 8) < '$t1' THEN 'train'
+                  WHEN substr(md5('split:' || coalesce(cl.cluster_id, d.doc_id)), 1, 8) < '$t2' THEN 'valid'
+                  ELSE 'test' END AS split,
+             (uf.url_keeper AND coalesce(d.doc_id = cl.cluster_id, false) AND gq.pass AND
+              coalesce(ce6.cer <= 1.13, false)) AS kept
+           FROM documents d
+             JOIN uf USING (doc_id)
+             LEFT JOIN cl USING (doc_id)
+             LEFT JOIN ce6 USING (doc_id)
+             JOIN gq USING (doc_id)"""
+  }
 
   /** Shared dHash oracle prefix: recompute the 9×8 box means of the
     * gradient-PNG fixture ARITHMETICALLY — the pixel formula
