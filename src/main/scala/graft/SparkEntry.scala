@@ -1688,6 +1688,22 @@ object SparkEntry {
         isStart = col("role") === "user", sliceSize = 16)
     }),
 
+    // BPE first-iteration merge candidates: corpus-wide adjacent
+    // character-pair frequencies (the distributed counting step behind
+    // Bpe.train, whose merge LOOP is spec-verified); deterministic top-20
+    // via TakeOrdered with a lexicographic tiebreak
+    "q_corpus_bpe_pairs" -> ((s, dir) => {
+      val words = documents(s, dir)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .where(length(col("w")) >= 2)
+      words
+        .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => substring(col("w"), i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("pair").asc)
+        .limit(20)
+    }),
+
     // per-source curation funnel: the attrition table a dataset report
     // publishes — docs surviving each gate of the composed pipeline,
     // grouped by language; one combinable aggregate over the audit frame
@@ -2863,6 +2879,16 @@ object SparkEntry {
     // oracle is the exact pairwise recompute (recall must be — and is — 1).
     "q_dedup_minhash" -> DOC_JACCARD_05,
     "q_dedup_ngram" -> DOC_JACCARD_05,
+
+    "q_corpus_bpe_pairs" ->
+      """WITH w0 AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+                     FROM documents),
+         w2 AS (SELECT w FROM w0 WHERE length(w) >= 2),
+         p AS (SELECT unnest([substr(w, i, 2)
+                              for i in generate_series(1, length(w) - 1)]) AS pair
+               FROM w2),
+         c AS (SELECT pair, count(*)::bigint AS freq FROM p GROUP BY 1)
+         SELECT pair, freq FROM c ORDER BY freq DESC, pair LIMIT 20""",
 
     "q_corpus_funnel" ->
       s"""SELECT d.lang,
