@@ -9,7 +9,7 @@ import graft.filters.Filters
 import graft.functions.{GraftFunctions, Templates}
 import graft.model.SyslogNames
 import graft.operators.{Correlation, Skew}
-import graft.parsers.{FieldParsers, GrokStage, PatternDb, Scanners}
+import graft.parsers.{FieldParsers, GrokStage, PatternDb, Scanners, SnmpTrapd}
 import graft.rewrite.Rewrites
 import graft.transcripts.Transcripts
 
@@ -381,6 +381,49 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"),
           col("m")("type").as("rec_type"), col("m")("uid").cast("int").as("uid"),
           col("m")("cmd").as("cmd"), col("m")("res").as("res"))
+    }),
+
+    // snmptrapd output round trip: build SNMPv1 (odd turns) / SNMPv2 (even
+    // turns) trap logs from the clean columns, parse with the real
+    // header+varbind FSM; the oracle recomputes the fields from the base
+    // table. Exercises v1 trap-info detection, the `TYPE:` annotation
+    // strip, MIB-name colon normalization, and the quoted-value decoder.
+    "q_parse_snmptrapd" -> ((s, dir) => {
+      val t = transcripts(s, dir).withColumn("ts", col("ts").cast("timestamp"))
+      val common = concat(
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+        lit(" host-"), col("conv_id"),
+        lit(" [UDP: [10.1.2.3]:"),
+        (lit(33000) + pmod(col("turn_idx"), lit(1000))).cast("string"),
+        lit("->[10.9.9.9]:162]:"))
+      val v2body = concat(
+        lit("\niso.3.6.1.2.1.1.3.0 = Timeticks: (875496867) 101 days, 7:56:08.67\t"),
+        lit("NET-SNMP-MIB::role = STRING: \""), col("role"), lit("\"\t"),
+        lit("netSnmpTool = STRING: "), coalesce(col("tool"), lit("none")),
+        lit("\tiso.3.6.1.4.1.8072.2.3.2.1 = INTEGER: "), col("turn_idx").cast("string"))
+      val v1body = concat(
+        lit(" iso.3.6.1.4.1.8072.2.3."), col("turn_idx").cast("string"),
+        lit("\n\t Enterprise Specific Trap (."), pmod(col("turn_idx"), lit(32)).cast("string"),
+        lit(") Uptime: 18:41:07.83\n"),
+        lit("NET-SNMP-MIB::role = STRING: \""), col("role"), lit("\"\t"),
+        lit("iso.3.6.1.4.1.8072.2.1.1 = INTEGER: "), col("turn_idx").cast("string"))
+      val line = concat(common,
+        when(pmod(col("turn_idx"), lit(2)) === 0, v2body).otherwise(v1body))
+      def fld(k: String) = try_element_at(col("snmp_fields"), lit(k))
+      SnmpTrapd.stage(t.withColumn("trap_line", line), "trap_line")
+        .select(col("conv_id"), col("turn_idx"),
+          fld(".snmp.hostname").as("hostname"),
+          fld(".snmp.transport_info").as("transport"),
+          fld(".snmp.enterprise_oid").as("enterprise_oid"),
+          fld(".snmp.type").as("trap_type"),
+          fld(".snmp.subtype").as("subtype"),
+          fld(".snmp.uptime").as("uptime"),
+          fld(".snmp.NET-SNMP-MIB_role").as("role_vb"),
+          fld(".snmp.netSnmpTool").as("tool_vb"),
+          fld(".snmp.iso.3.6.1.4.1.8072.2.3.2.1").as("gauge_vb"),
+          fld(".snmp.iso.3.6.1.4.1.8072.2.1.1").as("int_vb"),
+          col("snmp_stamp"),
+          col("snmp_program").as("program"))
     }),
 
     "q_parse_xml" -> ((s, dir) => {
@@ -2308,6 +2351,26 @@ object SparkEntry {
     "q_parse_audit" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx, 'EXEC' AS rec_type,
            cast(100 + turn_idx % 89 AS int) AS uid, role AS cmd, 'success' AS res
+         FROM transcripts"""),
+
+    "q_parse_snmptrapd" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+           concat('host-', conv_id) AS hostname,
+           concat('UDP: [10.1.2.3]:', cast(33000 + turn_idx % 1000 AS varchar),
+                  '->[10.9.9.9]:162') AS transport,
+           CASE WHEN turn_idx % 2 = 1
+                THEN concat('iso.3.6.1.4.1.8072.2.3.', cast(turn_idx AS varchar)) END
+             AS enterprise_oid,
+           CASE WHEN turn_idx % 2 = 1 THEN 'Enterprise Specific Trap' END AS trap_type,
+           CASE WHEN turn_idx % 2 = 1 THEN concat('.', cast(turn_idx % 32 AS varchar)) END
+             AS subtype,
+           CASE WHEN turn_idx % 2 = 1 THEN '18:41:07.83' END AS uptime,
+           role AS role_vb,
+           CASE WHEN turn_idx % 2 = 0 THEN coalesce(tool, 'none') END AS tool_vb,
+           CASE WHEN turn_idx % 2 = 0 THEN cast(turn_idx AS varchar) END AS gauge_vb,
+           CASE WHEN turn_idx % 2 = 1 THEN cast(turn_idx AS varchar) END AS int_vb,
+           date_trunc('second', ts) AS snmp_stamp,
+           'snmptrapd' AS program
          FROM transcripts"""),
 
     "q_parse_xml" -> Transcripts.oracle(

@@ -377,6 +377,13 @@ object FilterX {
     * bytes type: repr = lowercase hex (object-string.c:182-191),
     * format_json/dict-store = base64 (filterx-format-json.c:126-152). */
   case object FxBytes extends FxType
+  /** Protobuf-tagged byte sequence — the reference's protobuf type shares
+    * the bytes vtable verbatim (object-string.c:314-320: same marshal /
+    * len / map_to_json / truthy / hex repr); only the TYPE IDENTITY
+    * differs (istype, typecast admission rules object-string.c:269-293).
+    * No schema is attached at this layer — schema-bound decoding lives in
+    * the grpc/otel connector (declared out with the connector zoo). */
+  case object FxProtobuf extends FxType
 
   sealed trait FxVal
   final case class FxScalar(c: Column, t: FxType) extends FxVal
@@ -400,7 +407,7 @@ object FilterX {
     case FxBool            => BooleanType
     case FxNull            => StringType
     case FxDatetime        => TimestampNTZType
-    case FxBytes           => BinaryType
+    case FxBytes | FxProtobuf => BinaryType
   }
 
   // ------------------------------------------------- marshaling helpers
@@ -416,7 +423,7 @@ object FilterX {
     case FxScalar(c, FxBool)            => when(c, "true").otherwise("false")
     case FxScalar(_, FxNull)            => lit("null")
     case FxScalar(c, FxDatetime)        => date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
-    case FxScalar(c, FxBytes)           => lower(hex(c)) // _bytes_repr hex
+    case FxScalar(c, FxBytes | FxProtobuf) => lower(hex(c)) // _bytes_repr hex
     case d: FxDict                      => jsonText(d)
     case l: FxList                      => listRepr(l)
   }
@@ -452,7 +459,7 @@ object FilterX {
     case FxScalar(c, FxBool)            => coalesce(c, lit(false))
     case FxScalar(_, FxNull)            => lit(false)
     case FxScalar(c, FxDatetime)        => c.isNotNull
-    case FxScalar(c, FxBytes)           => coalesce(length(c) > 0, lit(false))
+    case FxScalar(c, FxBytes | FxProtobuf) => coalesce(length(c) > 0, lit(false))
     case FxDict(m)                      => lit(m.nonEmpty)
     case FxList(xs)                     => lit(xs.nonEmpty)
   }
@@ -623,7 +630,20 @@ object FilterX {
     val lt = l match { case FxScalar(_, t) => t; case _ => FxJson }
     val rt = r match { case FxScalar(_, t) => t; case _ => FxJson }
     val numericTypes = Set[FxType](FxInt, FxDouble, FxBool, FxDatetime)
-    if (l.isInstanceOf[FxDict] || l.isInstanceOf[FxList] || lt == FxString)
+    val bytesFamily = Set[FxType](FxBytes, FxProtobuf)
+    if (bytesFamily.contains(lt) || bytesFamily.contains(rt)) {
+      // bytes/protobuf operands compare as raw bytes (expr-comparison.c:76-93
+      // _convert_filterx_object_to_string returns the PAYLOAD, not the hex
+      // repr, then memcmp + length tiebreak). Spark's BinaryType ordering is
+      // exactly unsigned memcmp with length tiebreak; a string operand joins
+      // the comparison via its UTF-8 bytes (the reference marshals it raw).
+      def toBin(v: FxVal): Column = v match {
+        case FxScalar(c, FxBytes | FxProtobuf) => c
+        case other                             => strRepr(other).cast(BinaryType)
+      }
+      applyOp(toBin(l), toBin(r), op)
+    }
+    else if (l.isInstanceOf[FxDict] || l.isInstanceOf[FxList] || lt == FxString)
       applyOp(strRepr(l), strRepr(r), op)
     else if (lt == FxJson)
       if (numericTypes.contains(rt)) cmpNumeric(l, r, op)
@@ -848,14 +868,27 @@ object FilterX {
           }
         case "string"     => FxScalar(strRepr(arg0), FxString)
         // bytes() typecast (object-string.c:236-261 filterx_typecast_bytes):
-        // identity on bytes, string → its UTF-8 bytes, everything else is a
-        // compile error (protobuf needs schema jars — declared out)
+        // identity on bytes, string → its UTF-8 bytes, protobuf → retag as
+        // plain bytes (:255-260); everything else is a compile error
         case "bytes" =>
           arg0 match {
             case b @ FxScalar(_, FxBytes)       => b
+            case FxScalar(c, FxProtobuf)        => FxScalar(c, FxBytes)
             case FxScalar(c, FxString | FxJson) => FxScalar(c.cast(BinaryType), FxBytes)
             case FxScalar(_, t) => sys.error(s"filterx: bytes() cannot cast $t")
             case other => sys.error(s"filterx: bytes() cannot cast ${other.getClass.getSimpleName}")
+          }
+        // protobuf() typecast (object-string.c:269-293
+        // filterx_typecast_protobuf): identity on protobuf, bytes → retag
+        // with the protobuf type identity (the reference attaches NO schema
+        // here — it is a length-delimited byte payload whose producers are
+        // the otel objects), everything else is an error.
+        case "protobuf" =>
+          arg0 match {
+            case p @ FxScalar(_, FxProtobuf) => p
+            case FxScalar(c, FxBytes)        => FxScalar(c, FxProtobuf)
+            case FxScalar(_, t) => sys.error(s"filterx: protobuf() cannot cast $t")
+            case other => sys.error(s"filterx: protobuf() cannot cast ${other.getClass.getSimpleName}")
           }
         // format_json (modules/json/filterx-format-json.c): render ANY value
         // as a JSON literal string — dict/list via the same to_json marshal
@@ -869,7 +902,7 @@ object FilterX {
             case d: FxDict => jsonText(d)
             case l: FxList => jsonText(l)
             case FxScalar(c, FxJson)  => c
-            case FxScalar(c, FxBytes) => concat(lit("\""), base64(c), lit("\""))
+            case FxScalar(c, FxBytes | FxProtobuf) => concat(lit("\""), base64(c), lit("\""))
             case FxScalar(c, FxBool)  => when(c, "true").otherwise("false")
             case FxScalar(c, FxInt)   => c.cast(StringType)
             case FxScalar(_, FxNull)  => lit("null")
@@ -895,7 +928,7 @@ object FilterX {
             case FxString | FxJson => c.try_cast(DoubleType).cast(LongType)
             case FxDatetime        => unix_timestamp(c.cast(TimestampType))
             case FxNull            => lit(null).cast(LongType)
-            case FxBytes           => sys.error("filterx: int() cannot cast bytes")
+            case FxBytes | FxProtobuf => sys.error("filterx: int() cannot cast bytes")
           }
           FxScalar(out, FxInt)
         case "double" =>
@@ -912,7 +945,7 @@ object FilterX {
         case "len" =>
           arg0 match {
             case FxScalar(c, FxString) => FxScalar(length(c).cast(LongType), FxInt)
-            case FxScalar(c, FxBytes)  => FxScalar(length(c).cast(LongType), FxInt)
+            case FxScalar(c, FxBytes | FxProtobuf) => FxScalar(length(c).cast(LongType), FxInt)
             case FxScalar(c, FxJson) =>
               FxScalar(coalesce(
                 json_array_length(c).cast(LongType),
@@ -933,6 +966,7 @@ object FilterX {
             case FxScalar(_, FxNull)     => lit("null")
             case FxScalar(_, FxDatetime) => lit("datetime")
             case FxScalar(_, FxBytes)    => lit("bytes")
+            case FxScalar(_, FxProtobuf) => lit("protobuf")
             case FxDict(_)               => lit("json_object")
             case FxList(_)               => lit("json_array")
             case FxScalar(c, FxJson) =>

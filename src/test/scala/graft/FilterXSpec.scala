@@ -431,6 +431,37 @@ class FilterXSpec extends SparkSpec {
     assertThrows[RuntimeException](FilterX(one, "$x = int(bytes($s));"))
   }
 
+  test("protobuf(): retagged bytes — typecasts, istype, hex repr, base64 json, raw-byte cmp") {
+    // object-string.c:269-293 filterx_typecast_protobuf: identity on
+    // protobuf, bytes → retag; string input is an error (only bytes admits).
+    val out = FilterX(one,
+      """$p = protobuf(bytes($s));
+        |$pp = string(protobuf(protobuf(bytes($s))));
+        |$h = string($p);
+        |$n = len($p);
+        |$t = istype($p, 'protobuf') ? 1 : 0;
+        |$tb = istype($p, 'bytes') ? 1 : 0;
+        |$back = istype(bytes($p), 'bytes') ? 1 : 0;
+        |$fj = format_json($p);
+        |$eq = $p == bytes($s) ? 1 : 0;
+        |$lt = protobuf(bytes('alma')) < protobuf(bytes('almb')) ? 1 : 0;""".stripMargin)
+    val r = out.select("pp", "h", "n", "t", "tb", "back", "fj", "eq", "lt")
+      .as[(String, String, Long, Long, Long, Long, String, Long, Long)].head()
+    assert(r._1 === "616c6d61")  // identity cast, shared _bytes_repr hex
+    assert(r._2 === "616c6d61")
+    assert(r._3 === 4L)          // shared _len: byte length
+    assert(r._4 === 1L)          // type identity IS protobuf...
+    assert(r._5 === 0L)          // ...and NOT bytes (distinct FilterXType)
+    assert(r._6 === 1L)          // bytes(protobuf) retags back (:255-260)
+    val b64 = java.util.Base64.getEncoder.encodeToString("alma".getBytes("UTF-8"))
+    assert(r._7 === "\"" + b64 + "\"") // shared _bytes_map_to_json base64
+    assert(r._8 === 1L)          // type-aware cmp over raw payload bytes
+    assert(r._9 === 1L)          // memcmp ordering (expr-comparison.c:114-124)
+    // string → protobuf is NOT admitted (only bytes is, :281-286)
+    assertThrows[RuntimeException](FilterX(one, "$x = protobuf($s);"))
+    assertThrows[RuntimeException](FilterX(one, "$x = int(protobuf(bytes($s)));"))
+  }
+
   test("format_json: scalars, strings escaped, bytes base64, dict/list") {
     val esc = Seq(("a\"b\\c", 7L)).toDF("s", "i")
     val out = FilterX(esc,
