@@ -1133,6 +1133,18 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("shard_pos"))
     }),
 
+    // takedown propagation: erasure requests (doc_id % 101 = 3 — a handful
+    // of docs) arriving after a 32-shard export; output = the minimal
+    // re-export (surviving rows of ONLY the affected shards, positions
+    // re-ranked). Untouched shards never appear.
+    "q_corpus_retract" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val takedowns = docs.where(pmod(col("doc_id"), lit(101)) === 3)
+        .select(col("doc_id").as("rid"))
+      graft.corpus.Export.retract(docs, col("doc_id"), takedowns, col("rid"), 32)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))
+    }),
+
     // domain-blocklist URL filter: hosts planted per doc_id%4 — two blocked
     // (exact + subdomain), one a LOOK-ALIKE suffix string that must survive
     // ("nottracker.net" is not ".tracker.net"), one clean; the anti-join is
@@ -3202,6 +3214,18 @@ object SparkEntry {
          SELECT doc_id, shard,
            row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)::bigint AS shard_pos
          FROM a""",
+
+    "q_corpus_retract" ->
+      """WITH a AS (SELECT doc_id,
+             (('0x' || substr(md5('shard:' || doc_id), 1, 8))::BIGINT % 32)::int AS shard,
+             ('0x' || substr(md5('order:' || doc_id), 1, 8))::BIGINT AS ok
+           FROM documents),
+         r AS (SELECT doc_id, shard FROM a WHERE doc_id % 101 = 3)
+         SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)::bigint AS shard_pos
+         FROM a
+         WHERE shard IN (SELECT shard FROM r)
+           AND doc_id NOT IN (SELECT doc_id FROM r)""",
 
     "q_corpus_urlfilter" ->
       """WITH u AS (SELECT doc_id,

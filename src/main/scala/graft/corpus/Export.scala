@@ -95,9 +95,51 @@ object Export {
     manifest
   }
 
-  /** Recompute counts + checksums from the written files and compare to
-    * the manifest: (shard, n_docs, checksum, ok). A shard missing from the
-    * data side reports ok=false with null recomputed fields. */
+  /** Takedown / retraction propagation — the compliance pass a published
+    * export needs when erasure requests (GDPR/DMCA takedowns, robots
+    * `noai` opt-outs) arrive AFTER shards were written: compute the
+    * MINIMAL re-export. Because [[shardAssignment]] derives shard and
+    * order keys from each id alone, removing documents never moves a
+    * surviving document to a different shard and never reorders two
+    * survivors — so only the shards that actually CONTAIN a retracted id
+    * need rebuilding, and their rebuilt contents equal a full re-export
+    * of (docs − retracted) restricted to those shards (pinned by the
+    * CorpusSpec equivalence property).
+    *
+    * Scale shape: the retraction list is takedown-sized, so its shard set
+    * and id set both broadcast; corpus-wide work is one scan-stage shard
+    * assignment + a broadcast semi-join (shard) + broadcast anti-join
+    * (id). Only the affected fraction (≤ |retractions|/nShards of the
+    * corpus) flows into the re-ranking window. Untouched shards are never
+    * read, shuffled, or rewritten.
+    *
+    * @return surviving rows of the affected shards with recomputed
+    *         `shard` + `shard_pos` (write with partitionBy("shard") over
+    *         the old shard dirs; recompute manifest rows with the
+    *         [[writeShards]] aggregate)
+    */
+  def retract(
+      docs: DataFrame, id: Column,
+      retracted: DataFrame, retractedId: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val r = retracted.select(retractedId.cast("string").as("__rid")).distinct()
+      .withColumn("shard",
+        pmod(hex32("shard:", col("__rid")), lit(nShards.toLong)).cast("int"))
+    val affected = r.select(col("shard")).distinct()
+    docs
+      .withColumns(Map(
+        "shard" -> pmod(hex32("shard:", id), lit(nShards.toLong)).cast("int"),
+        "__ok" -> hex32("order:", id)))
+      .join(broadcast(affected), Seq("shard"), "left_semi")
+      .join(broadcast(r.select(col("__rid"))),
+        id.cast("string") === col("__rid"), "left_anti")
+      .withColumn("shard_pos",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("__ok").asc, id.asc)).cast("long"))
+      .drop("__ok")
+  }
+
   /** Corpus snapshot diff — the change report between two dataset
     * versions an iterative corpus build publishes with each release:
     * per doc id, `added` (new only), `removed` (old only), `changed`
@@ -122,6 +164,9 @@ object Export {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Recompute counts + checksums from the written files and compare to
+    * the manifest: (shard, n_docs, checksum, ok). A shard missing from the
+    * data side reports ok=false with null recomputed fields. */
   def verifyShards(spark: SparkSession, id: Column, outDir: String): DataFrame = {
     val manifest = spark.read.parquet(s"$outDir/_manifest")
     val actual = spark.read.parquet(s"$outDir/data")

@@ -1280,6 +1280,43 @@ class CorpusSpec extends SparkSpec {
     assert(!after(3) && Seq(0, 1, 2).forall(after))
   }
 
+  test("retract: minimal re-export equals full re-export restricted to affected shards") {
+    import graft.corpus.Export
+    val docs = spark.read.parquet(sfUnit + "/documents.parquet")
+    val takedowns = docs.where(pmod(col("doc_id"), lit(37)) === 5)
+      .select(col("doc_id").as("rid"))
+    val got = Export.retract(docs, col("doc_id"), takedowns, col("rid"), 16)
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+      .as[(Long, Int, Long)].collect().toSet
+
+    // ground truth: reassign the FULL surviving corpus, keep affected shards
+    val ridSet = takedowns.as[Long].collect().toSet
+    val full = Export.shardAssignment(
+        docs.where(!col("doc_id").isin(ridSet.toSeq: _*)), col("doc_id"), 16)
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+      .as[(Long, Int, Long)].collect()
+    val affectedShards = Export.shardAssignment(
+        docs.where(col("doc_id").isin(ridSet.toSeq: _*)), col("doc_id"), 16)
+      .select(col("shard")).as[Int].collect().toSet
+    val expected = full.filter(r => affectedShards.contains(r._2)).toSet
+    assert(got === expected)
+
+    // minimality: untouched shards never appear, retracted ids are gone
+    assert(got.map(_._2).subsetOf(affectedShards))
+    assert(got.map(_._1).intersect(ridSet).isEmpty)
+    // within each rebuilt shard, positions are a clean 1..n re-rank
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted === (1L to rows.size).toSeq)
+    }
+
+    // the corpus side joins the takedown set by BROADCAST — no corpus-wide
+    // shuffle beyond the affected-shard re-rank window
+    val plan = Export.retract(docs, col("doc_id"), takedowns, col("rid"), 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("jsonl export: escaped lines, shard manifest agrees, rerun byte-identical") {
     import graft.corpus.Export
     val docs = Seq(
