@@ -1174,6 +1174,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("mix_rate"), col("mix_keep"))
     }),
 
+    // DoReMi exponentiated-gradient step over the source enum: synthetic
+    // per-doc excess-loss signal (log-based so no source MEAN can cancel
+    // to exactly zero — a zero-mean source's residual is engine noise at
+    // 1e-17, which 6-sig-fig rounding cannot absorb; negatives exercise
+    // the zero clip), uniform prior — one combinable aggregate + driver
+    // arithmetic, weights sum to 1
+    "q_corpus_doremi" -> ((s, dir) => {
+      graft.corpus.Sampling.doremiStep(
+        documents(s, dir), col("source"),
+        log((pmod(col("doc_id"), lit(13)) + lit(1)).cast("double")) / lit(2.0) - lit(0.86),
+        eta = 1.0, smoothing = 0.01)
+    }),
+
     // token-budget epoch up-sampling (LLaMA-style mixture stated in
     // tokens): the plan computes per-lang epochs from the measured token
     // mass, every doc emits floor(e) copies + a deterministic md5-decided
@@ -3237,6 +3250,17 @@ object SparkEntry {
          SELECT doc_id, h AS url_host FROM u
          WHERE NOT (h = 'tracker.net' OR h LIKE '%.tracker.net'
                  OR h = 'bad.example' OR h LIKE '%.bad.example')""",
+
+    "q_corpus_doremi" ->
+      """WITH s AS (SELECT source, count(*)::bigint AS n_docs,
+             avg(ln((doc_id % 13) + 1.0) / 2 - 0.86) AS mean_excess
+           FROM documents GROUP BY source),
+         e AS (SELECT source, n_docs, mean_excess,
+             (1.0 / (SELECT count(*) FROM s)) * exp(1.0 * greatest(mean_excess, 0.0)) AS un
+           FROM s)
+         SELECT source, n_docs, mean_excess,
+           0.99 * un / (SELECT sum(un) FROM e) + 0.01 / (SELECT count(*) FROM e) AS weight
+         FROM e""",
 
     "q_corpus_mixture" ->
       // replicate temperatureMixture's arithmetic: q_s ∝ (n_s/N)^(1/τ),

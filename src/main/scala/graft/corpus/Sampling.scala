@@ -524,4 +524,53 @@ object Sampling {
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
+
+  /** DoReMi-shaped domain-weight update (Xie et al. 2023,
+    * arXiv:2305.10429, Algorithm 1 — one exponentiated-gradient step of
+    * the Group-DRO inner loop): given a per-document EXCESS-LOSS signal
+    * (proxy-model loss minus reference-model loss, or any
+    * headroom-per-doc score), each domain's mean excess clipped at zero
+    * is its gradient λ_s, the prior weights move multiplicatively
+    * w'_s ∝ w_s·exp(η·λ_s), and the normalized result is smoothed with
+    * uniform mass (1−c)·ŵ_s + c/k — the paper's update verbatim. Run it
+    * once per proxy-training round; the fixed point concentrates weight
+    * on domains the model still finds hard.
+    *
+    * Same scale contract as [[temperatureMixture]]: ONE combinable
+    * per-domain aggregate over the corpus (count + mean — the excess
+    * column itself may come from the broadcast-scored perplexity stage,
+    * which never shuffles the corpus), then driver arithmetic over the
+    * bounded domain enum. Mean excesses are cross-row double sums — the
+    * engines associate them differently, so outputs carry the usual
+    * 6-sig-fig parity contract and nothing here gates a boolean.
+    *
+    * @param prior per-domain starting weights; domains absent from the
+    *              map start uniform at 1/k
+    * @return (source, n_docs, mean_excess, weight) — weights sum to 1
+    */
+  def doremiStep(
+      df: DataFrame, source: Column, excess: Column,
+      eta: Double = 1.0, smoothing: Double = 0.01,
+      prior: Map[String, Double] = Map.empty): DataFrame = {
+    require(eta > 0.0, s"eta must be > 0, got $eta")
+    require(smoothing >= 0.0 && smoothing < 1.0,
+      s"smoothing must be in [0,1), got $smoothing")
+    val spark = df.sparkSession
+    val stats = df.groupBy(source.cast("string").as("__src"))
+      .agg(count(lit(1)).as("__n"), avg(excess.cast("double")).as("__m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1) // deterministic summation order for the driver Σ
+    val k = stats.length
+    require(k > 0, "doremiStep over an empty corpus")
+    val unnorm = stats.map { case (s, _, m) =>
+      s -> prior.getOrElse(s, 1.0 / k) * math.exp(eta * math.max(0.0, m))
+    }
+    val z = unnorm.map(_._2).sum
+    val weight = unnorm.map { case (s, w) =>
+      s -> ((1.0 - smoothing) * w / z + smoothing / k)
+    }.toMap
+    import spark.implicits._
+    stats.toSeq.map { case (s, n, m) => (s, n, m, weight(s)) }
+      .toDF("source", "n_docs", "mean_excess", "weight")
+  }
 }

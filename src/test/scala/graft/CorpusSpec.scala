@@ -1431,6 +1431,48 @@ class CorpusSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "residual must ride the hash join")
   }
 
+  test("doremi: EG step up-weights high-excess domains, clips negatives, honors prior") {
+    import graft.corpus.Sampling
+    // domain a: mean excess 2.0, b: 0.5, c: -1.0 (clips to 0)
+    val docs = Seq(
+      (1L, "a", 1.0), (2L, "a", 3.0),
+      (3L, "b", 0.5), (4L, "b", 0.5),
+      (5L, "c", -1.0), (6L, "c", -1.0)).toDF("doc_id", "src", "excess")
+    val out = Sampling.doremiStep(docs, col("src"), col("excess"),
+        eta = 1.0, smoothing = 0.1)
+      .select(col("source"), col("n_docs"), col("mean_excess"), col("weight"))
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+
+    // hand-computed: uniform prior 1/3; un = exp(λ)/3 for λ = (2.0, 0.5, 0)
+    val un = Seq(math.exp(2.0), math.exp(0.5), math.exp(0.0)).map(_ / 3.0)
+    val z = un.sum
+    val exp = un.map(u => 0.9 * u / z + 0.1 / 3.0)
+    out.zip(exp).foreach { case ((_, _, _, w), e) => assert(math.abs(w - e) < 1e-12) }
+    assert(out.map(_._2).toSeq === Seq(2L, 2L, 2L))
+    assert(math.abs(out(0)._3 - 2.0) < 1e-12 && math.abs(out(2)._3 + 1.0) < 1e-12)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12, "weights sum to 1")
+    assert(out(0)._4 > out(1)._4 && out(1)._4 > out(2)._4, "ordered by excess")
+
+    // a prior reweights multiplicatively: doubling a's prior doubles its
+    // unnormalized mass relative to the uniform run
+    val withPrior = Sampling.doremiStep(docs, col("src"), col("excess"),
+        eta = 1.0, smoothing = 0.0,
+        prior = Map("a" -> 2.0 / 3.0, "b" -> 1.0 / 6.0, "c" -> 1.0 / 6.0))
+      .select(col("source"), col("weight")).as[(String, Double)].collect().toMap
+    val unP = Seq(2.0 / 3.0 * math.exp(2.0), 1.0 / 6.0 * math.exp(0.5), 1.0 / 6.0)
+    val zP = unP.sum
+    assert(math.abs(withPrior("a") - unP(0) / zP) < 1e-12)
+    assert(math.abs(withPrior("c") - unP(2) / zP) < 1e-12)
+
+    // zero excess everywhere fixes the prior (smoothing off): the update
+    // is a no-op at the optimum
+    val flat = Sampling.doremiStep(
+        docs.withColumn("excess", lit(0.0)), col("src"), col("excess"),
+        eta = 1.0, smoothing = 0.0)
+      .select(col("weight")).as[Double].collect()
+    assert(flat.forall(w => math.abs(w - 1.0 / 3.0) < 1e-12))
+  }
+
   test("mixture: temperature flattens source shares; keep-all rates keep all") {
     import graft.corpus.Sampling
     val docs = ((1 to 80).map(i => (i.toLong, "big")) ++
