@@ -55,7 +55,12 @@ object Bench {
     // agg over every transcript turn), snapshot diff (id-keyed full
     // outer). q_web_links/q_corpus_exemplars/q_corpus_domcap absent:
     // strict subsets of the anchor/exemplar/datasheet costs already here.
-    "q_web_anchors", "q_web_pagerank", "q_sft_masked", "q_corpus_diff")
+    "q_web_anchors", "q_web_pagerank", "q_sft_masked", "q_corpus_diff",
+    // round-5 closing additions: snmptrapd parse (header FSM + varbind
+    // kv-scan over every transcript turn), takedown propagation (broadcast
+    // semi/anti joins + affected-shard re-rank), DoReMi step (one
+    // combinable per-domain aggregate + driver EG update)
+    "q_parse_snmptrapd", "q_corpus_retract", "q_corpus_doremi")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -1772,6 +1772,19 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // WordPiece trainer scoring (first iteration over the full corpus):
+    // likelihood score freq/(count(l)·count(r)) per adjacent symbol pair,
+    // ##-prefixed continuations — ranking DIFFERS from raw pair frequency
+    // (the q_corpus_bpe_pairs criterion); the score is one IEEE division
+    // of exact ints, so the top-k order is engine-stable without rounding
+    "q_corpus_wordpiece" -> ((s, dir) => {
+      val words = documents(s, dir)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      graft.corpus.WordPiece.pairScores(words, col("w"))
+        .orderBy(col("score").desc, col("left_sym").asc, col("right_sym").asc)
+        .limit(20)
+    }),
+
     // per-source curation funnel: the attrition table a dataset report
     // publishes — docs surviving each gate of the composed pipeline,
     // grouped by language; one combinable aggregate over the audit frame
@@ -2977,6 +2990,27 @@ object SparkEntry {
                FROM w2),
          c AS (SELECT pair, count(*)::bigint AS freq FROM p GROUP BY 1)
          SELECT pair, freq FROM c ORDER BY freq DESC, pair LIMIT 20""",
+
+    "q_corpus_wordpiece" ->
+      """WITH w0 AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+                     FROM documents),
+         w2 AS (SELECT w FROM w0 WHERE length(w) >= 2),
+         sy AS (SELECT CASE WHEN i = 1 THEN substr(w, 1, 1)
+                            ELSE '##' || substr(w, i, 1) END AS sym
+                FROM (SELECT w, unnest(generate_series(1, length(w))) AS i FROM w2)),
+         sc AS (SELECT sym, count(*)::bigint AS c FROM sy GROUP BY 1),
+         p AS (SELECT CASE WHEN i = 1 THEN substr(w, 1, 1)
+                           ELSE '##' || substr(w, i, 1) END AS left_sym,
+                      '##' || substr(w, i + 1, 1) AS right_sym
+               FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i FROM w2)),
+         pc AS (SELECT left_sym, right_sym, count(*)::bigint AS freq
+                FROM p GROUP BY 1, 2)
+         SELECT pc.left_sym, pc.right_sym, pc.freq,
+           pc.freq / (ca.c * cb.c * 1.0) AS score
+         FROM pc
+         JOIN sc ca ON ca.sym = pc.left_sym
+         JOIN sc cb ON cb.sym = pc.right_sym
+         ORDER BY score DESC, pc.left_sym, pc.right_sym LIMIT 20""",
 
     "q_corpus_funnel" ->
       s"""SELECT d.lang,

@@ -1343,6 +1343,61 @@ class CorpusSpec extends SparkSpec {
     assert(lines2.toSeq === lines.toSeq)
   }
 
+  test("wordpiece: likelihood-scored merges, greedy longest-match apply, UNK collapse") {
+    import graft.corpus.WordPiece
+    // hand-worked multiset: ab×6 ad×2 cb×2
+    //   counts a:8 c:2 ##b:8 ##d:2; pairs (a,##b):6 (a,##d):2 (c,##b):2
+    //   scores 6/64 < 2/16 = 2/16 — the FREQUENT pair loses to the
+    //   likelihood score; the tie breaks lexicographically to (a,##d)
+    //   iter2: (a,##b) 6/48 ties (c,##b) 2/16 → (a,##b)
+    val corpus = Seq((("ab " * 6) + ("ad " * 2) + ("cb " * 2)).trim).toDF("text")
+    val model = WordPiece.train(corpus, col("text"), numMerges = 2)
+    assert(model.merges === Seq("a" -> "##d", "a" -> "##b"))
+    assert(model.vocab === Set("a", "c", "##b", "##d", "ad", "ab"))
+
+    // greedy longest-match-first; continuation pieces carry ##; a word
+    // with an unmatchable position collapses WHOLE to [UNK] (never
+    // partial pieces + UNK — BERT WordpieceTokenizer semantics)
+    def enc(w: String) = WordPiece.encodeWord(w, model).toSeq
+    assert(enc("adb") === Seq("ad", "##b"))
+    assert(enc("abd") === Seq("ab", "##d"))
+    assert(enc("ab") === Seq("ab"))
+    assert(enc("ba") === Seq(WordPiece.Unk)) // bare 'b' is not in the alphabet
+    assert(enc("cab") === Seq(WordPiece.Unk)) // '##a' never occurs → whole-word UNK
+
+    // the scan-stage expression agrees with the driver encode
+    val toks = Seq(("adb ab cab", 1)).toDF("text", "i")
+      .select(WordPiece.encode(col("text"), model)).as[Seq[String]].head()
+    assert(toks === Seq("ad", "##b", "ab", "[UNK]"))
+
+    // pairScores (the oracle face) reproduces the trainer's first
+    // iteration on a real corpus slice
+    val docs = spark.read.parquet(sfUnit + "/documents.parquet").limit(50)
+    val words = docs.select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .where(length(col("w")) >= 2)
+    val got = WordPiece.pairScores(words, col("w"))
+      .select(col("left_sym"), col("right_sym"), col("freq"), col("score"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // driver recompute over the full word-instance table
+    val local = words.as[String].collect()
+    val sc = scala.collection.mutable.HashMap.empty[String, Long]
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    for (w <- local) {
+      val sy = WordPiece.symbols(w)
+      sy.foreach(s => sc.update(s, sc.getOrElse(s, 0L) + 1))
+      sy.sliding(2).foreach {
+        case Array(x, y) => pc.update((x, y), pc.getOrElse((x, y), 0L) + 1)
+        case _ =>
+      }
+    }
+    assert(got.keySet === pc.keySet)
+    got.foreach { case (k, (f, s)) =>
+      assert(f === pc(k))
+      assert(s === pc(k).toDouble / (sc(k._1).toDouble * sc(k._2).toDouble))
+    }
+  }
+
   test("bpe: trained merges match the hand-derived greedy sequence; encode applies by rank") {
     import graft.corpus.Bpe
     // Sennrich's worked multiset: low×5 lower×2 newest×6 widest×3
