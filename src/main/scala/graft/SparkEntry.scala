@@ -1399,6 +1399,20 @@ object SparkEntry {
         d.getField("n_cc_luhn").as("n_cc_luhn"))
     }),
 
+    // consistent pseudonymization: the same address/IP (emails
+    // case-insensitive) maps to the same md5-derived stand-in within and
+    // across documents — coreference preserved where redaction erases it;
+    // fixture plants a per-doc email + shared email + per-doc IP + shared IP
+    "q_pii_pseudonym" -> ((s, dir) => {
+      val t2 = concat(col("text"),
+        lit(" from User"), col("doc_id").cast("string"),
+        lit("@Example.COM and ops@shared.org at 192.168."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7 or 8.8.8.8"))
+      documents(s, dir).select(col("doc_id"),
+        graft.corpus.Pii.pseudonymize(t2).as("pseudo"))
+    }),
+
     // composite Gopher quality rules (non-repetition subset): planted
     // variants exercise the short-doc / bullet-line / ellipsis-line gates
     // in BOTH engines; all signals are scan-stage builtins
@@ -3691,6 +3705,37 @@ object SparkEntry {
            len(list_filter(regexp_extract_all(t, '${Pii.CreditCardRe}'),
                            c -> ${luhnSql("c")}))::bigint AS n_cc_luhn
          FROM base"""
+    },
+
+    "q_pii_pseudonym" -> {
+      import graft.corpus.Pii
+      // replicate replaceEach: split on the regex (trailing empties kept
+      // by both engines), extract matches, stitch part[i] + pseudo(m[i])
+      s"""WITH base AS (SELECT doc_id, text ||
+             ' from User' || doc_id || '@Example.COM and ops@shared.org at 192.168.' ||
+             (doc_id % 256) || '.7 or 8.8.8.8' AS t
+           FROM documents),
+         p1 AS (SELECT doc_id, string_split_regex(t, '${Pii.EmailRe}') AS parts,
+                  regexp_extract_all(t, '${Pii.EmailRe}') AS ms
+                FROM base),
+         r1 AS (SELECT doc_id, array_to_string([parts[i] ||
+                  (CASE WHEN i <= len(ms)
+                        THEN 'user-' || substr(md5(lower(ms[i])), 1, 8) || '@example.com'
+                        ELSE '' END)
+                  for i in generate_series(1, len(parts))], '') AS t
+                FROM p1),
+         p2 AS (SELECT doc_id, string_split_regex(t, '${Pii.Ipv4Re}') AS parts,
+                  regexp_extract_all(t, '${Pii.Ipv4Re}') AS ms
+                FROM r1),
+         r2 AS (SELECT doc_id, array_to_string([parts[i] ||
+                  (CASE WHEN i <= len(ms)
+                        THEN '10.' || ('0x' || substr(md5(ms[i]), 1, 2))::int ||
+                             '.' || ('0x' || substr(md5(ms[i]), 3, 2))::int ||
+                             '.' || ('0x' || substr(md5(ms[i]), 5, 2))::int
+                        ELSE '' END)
+                  for i in generate_series(1, len(parts))], '') AS t
+                FROM p2)
+         SELECT doc_id, t AS pseudo FROM r2"""
     },
 
     "q_text_gopher" ->

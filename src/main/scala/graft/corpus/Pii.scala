@@ -87,4 +87,50 @@ object Pii {
   /** All-category placeholder redaction in the fixed [[RedactionOrder]]. */
   def redact(text: Column): Column =
     RedactionOrder.foldLeft(text) { case (t, (re, ph)) => regexp_replace(t, re, ph) }
+
+  // ------------------------------------------------ pseudonymization
+
+  /** Rebuild `text` with every match of `re` replaced by `pseudo(match)`.
+    * `regexp_replace` cannot compute a function of the match, so the text
+    * splits on the regex (trailing empties kept — both engines agree),
+    * the matches extract in order, and a transform+join stitches
+    * part[i] + pseudo(match[i]) back together. Scan-stage builtins; the
+    * regex must not match the empty string (every [[Pii]] pattern is
+    * non-empty by construction).
+    */
+  private def replaceEach(text: Column, re: String, pseudo: Column => Column): Column = {
+    val parts = split(text, re, -1)
+    val ms = regexp_extract_all(text, lit(re), lit(0))
+    array_join(transform(sequence(lit(1), size(parts)), i =>
+      concat(element_at(parts, i),
+        when(i <= size(ms), pseudo(try_element_at(ms, i))).otherwise(lit("")))), "")
+  }
+
+  /** Deterministic email pseudonym: `user-<md5₈ of the lowercased
+    * address>@example.com` — the SAME address (case-insensitive) maps to
+    * the SAME pseudonym everywhere in the corpus. */
+  def pseudoEmail(m: Column): Column =
+    concat(lit("user-"), substring(md5(lower(m)), 1, 8), lit("@example.com"))
+
+  /** Deterministic IPv4 pseudonym inside 10/8: `10.b1.b2.b3` from the
+    * first three md5 bytes of the literal address. */
+  def pseudoIpv4(m: Column): Column = {
+    def b(i: Int) = conv(substring(md5(m), 2 * i + 1, 2), 16, 10)
+    concat(lit("10."), b(0), lit("."), b(1), lit("."), b(2))
+  }
+
+  /** Consistent pseudonymization — the privacy scrub that PRESERVES
+    * coreference and distributional structure where [[redact]] erases it:
+    * every occurrence of the same email / IPv4, within and ACROSS
+    * documents, maps to the same content-derived stand-in ("alice mailed
+    * bob, then alice replied" keeps its two actors; per-host log volumes
+    * keep their shape). The identity itself is gone — pseudonyms live in
+    * reserved namespaces (example.com, 10/8) and derive via md5, which is
+    * exactly as reversible as the corpus-wide salt-free hash everything
+    * else here uses (documented trade-off vs [[redact]]: use redact when
+    * linkability itself is the risk). Emails first, then IPs; an email
+    * pseudonym contains no dotted digit quad, so the second pass never
+    * touches the first's output. */
+  def pseudonymize(text: Column): Column =
+    replaceEach(replaceEach(text, EmailRe, pseudoEmail), Ipv4Re, pseudoIpv4)
 }

@@ -608,6 +608,33 @@ class CorpusSpec extends SparkSpec {
     assert(survivors.size === 400) // nothing else was near-identical at 0.999
   }
 
+  test("pii pseudonymize: consistent across docs, case-insensitive emails, structure kept") {
+    import graft.corpus.Pii
+    val rows = Seq(
+      (1L, "Alice@X.com wrote to bob@y.org from 1.2.3.4"),
+      (2L, "reply from alice@x.com via 1.2.3.4 and 8.8.8.8"),
+      (3L, "no pii here at all")).toDF("id", "t")
+    val out = rows.select(col("id"), Pii.pseudonymize(col("t")).as("p"))
+      .as[(Long, String)].collect().sortBy(_._1).map(_._2)
+
+    // same email (case-insensitive) and same IP → same pseudonym across rows
+    val alice1 = "user-[0-9a-f]{8}@example\\.com".r.findAllIn(out(0)).toSeq
+    val alice2 = "user-[0-9a-f]{8}@example\\.com".r.findAllIn(out(1)).toSeq
+    assert(alice1.length === 2 && alice2.length === 1)
+    assert(alice1.head === alice2.head, "Alice@X.com ≡ alice@x.com corpus-wide")
+    assert(alice1(1) !== alice1.head, "bob gets a different pseudonym")
+    val ip1 = "10\\.[0-9]+\\.[0-9]+\\.[0-9]+".r.findAllIn(out(0)).toSeq
+    val ip2 = "10\\.[0-9]+\\.[0-9]+\\.[0-9]+".r.findAllIn(out(1)).toSeq
+    assert(ip1.length === 1 && ip2.length === 2)
+    assert(ip2.contains(ip1.head), "1.2.3.4 maps identically in both docs")
+    assert(ip2.distinct.length === 2, "8.8.8.8 maps elsewhere")
+
+    // the surrounding text survives verbatim (the first email sits at
+    // position 0, so the rebuilt row STARTS with its pseudonym)
+    assert(out(0) === s"${alice1.head} wrote to ${alice1(1)} from ${ip1.head}")
+    assert(out(2) === "no pii here at all")
+  }
+
   test("pii: luhn validation, redaction order, detect counts") {
     import graft.corpus.Pii
     def luhn(s: String): Boolean =
