@@ -1786,6 +1786,27 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // fill-in-the-middle objective prep: md5-gated ~50% of docs reorder to
+    // the PSM layout with content-derived char cut points; the rest pass
+    // through — pure scan-stage string arithmetic
+    "q_corpus_fim" -> ((s, dir) => {
+      documents(s, dir).select(col("doc_id"),
+        graft.corpus.Objectives.fim(col("text"), col("doc_id"), rate = 0.5)
+          .as("fim_text"))
+    }),
+
+    // T5 span corruption: aligned 3-word blocks mask at 15% with
+    // sequential <extra_id_k> sentinels; input/target/n_masked from ONE
+    // aggregate fold per row
+    "q_corpus_spancorrupt" -> ((s, dir) => {
+      val sc = graft.corpus.Objectives.spanCorrupt(
+        col("text"), col("doc_id"), blockWords = 3, maskRate = 0.15)
+      documents(s, dir).select(col("doc_id"),
+        sc.getField("input").as("t5_input"),
+        sc.getField("target").as("t5_target"),
+        sc.getField("n_masked").as("n_masked"))
+    }),
+
     // WordPiece trainer scoring (first iteration over the full corpus):
     // likelihood score freq/(count(l)·count(r)) per adjacent symbol pair,
     // ##-prefixed continuations — ranking DIFFERS from raw pair frequency
@@ -3004,6 +3025,49 @@ object SparkEntry {
                FROM w2),
          c AS (SELECT pair, count(*)::bigint AS freq FROM p GROUP BY 1)
          SELECT pair, freq FROM c ORDER BY freq DESC, pair LIMIT 20""",
+
+    "q_corpus_fim" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS n,
+             ('0x' || substr(md5('fima:' || doc_id), 1, 8))::BIGINT % (length(text) + 1) AS a,
+             ('0x' || substr(md5('fimb:' || doc_id), 1, 8))::BIGINT % (length(text) + 1) AS bb,
+             substr(md5('fim:' || doc_id), 1, 8) < '80000000' AS g
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN g AND n >= 2 THEN
+             '<fim_prefix>' || substr(text, 1, least(a, bb)::int) ||
+             '<fim_suffix>' || substr(text, greatest(a, bb)::int + 1,
+                                      n - greatest(a, bb)::int) ||
+             '<fim_middle>' || substr(text, least(a, bb)::int + 1,
+                                      (greatest(a, bb) - least(a, bb))::int)
+           ELSE text END AS fim_text
+         FROM b""",
+
+    "q_corpus_spancorrupt" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w,
+             greatest(cast(ceil(len(string_split(text, ' ')) / 3.0) AS int), 1) AS nb
+           FROM documents),
+         f AS (SELECT doc_id, w, nb,
+             [substr(md5('span:' || doc_id || ':' || j), 1, 8) < '26666666'
+              for j in generate_series(0, nb - 1)] AS flags
+           FROM b),
+         k AS (SELECT doc_id, w, nb, flags,
+             [coalesce(list_sum([flags[m + 1]::int for m in generate_series(0, j - 1)]), 0)
+              for j in generate_series(0, nb - 1)] AS ks,
+             coalesce(list_sum([fl::int for fl in flags]), 0) AS kk
+           FROM f)
+         SELECT doc_id,
+           array_to_string([CASE WHEN flags[j + 1]
+               THEN '<extra_id_' || ks[j + 1] || '>'
+               ELSE array_to_string(w[j * 3 + 1 : j * 3 + 3], ' ') END
+             for j in generate_series(0, nb - 1)], ' ') AS t5_input,
+           CASE WHEN kk > 0
+             THEN array_to_string(['<extra_id_' || ks[j + 1] || '> ' ||
+                    array_to_string(w[j * 3 + 1 : j * 3 + 3], ' ')
+                  for j in generate_series(0, nb - 1) if flags[j + 1]], ' ') ||
+                  ' <extra_id_' || kk || '>'
+             ELSE '' END AS t5_target,
+           kk::bigint AS n_masked
+         FROM k""",
 
     "q_corpus_wordpiece" ->
       """WITH w0 AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w

@@ -608,6 +608,55 @@ class CorpusSpec extends SparkSpec {
     assert(survivors.size === 400) // nothing else was near-identical at 0.999
   }
 
+  test("objectives: FIM reassembles to the original; span corruption round-trips via sentinels") {
+    import graft.corpus.Objectives
+    val docs = spark.read.parquet(sfUnit + "/documents.parquet").limit(100)
+
+    // FIM: ~half the docs transform; prefix+middle+suffix is a permutation
+    // of the original, recoverable by marker slicing
+    val fim = docs.select(col("text"),
+        Objectives.fim(col("text"), col("doc_id"), 0.5).as("f"))
+      .as[(String, String)].collect()
+    val changed = fim.filter(r => r._2 != r._1)
+    assert(changed.nonEmpty && changed.length < fim.length,
+      s"gate splits the corpus (got ${changed.length}/${fim.length})")
+    changed.foreach { case (t, f) =>
+      assert(f.startsWith("<fim_prefix>"))
+      val iSuf = f.indexOf("<fim_suffix>")
+      val iMid = f.indexOf("<fim_middle>")
+      assert(iSuf > 0 && iMid > iSuf)
+      val pre = f.substring("<fim_prefix>".length, iSuf)
+      val suf = f.substring(iSuf + "<fim_suffix>".length, iMid)
+      val mid = f.substring(iMid + "<fim_middle>".length)
+      assert(pre + mid + suf === t, "PSM segments reassemble the document")
+    }
+
+    // span corruption: substituting each target span back at its input
+    // sentinel reproduces the document verbatim
+    val sc = Objectives.spanCorrupt(col("text"), col("doc_id"), 3, 0.3)
+    val rows = docs.select(col("text"), sc.getField("input"),
+        sc.getField("target"), sc.getField("n_masked"))
+      .as[(String, String, String, Long)].collect()
+    assert(rows.exists(_._4 > 0) && rows.forall(_._4 >= 0))
+    rows.foreach { case (t, inp, tgt, k) =>
+      val sentsIn = "<extra_id_[0-9]+>".r.findAllIn(inp).toSeq
+      assert(sentsIn.length === k,
+        "input carries exactly one sentinel per masked block")
+      assert(sentsIn === (0 until k.toInt).map(i => s"<extra_id_$i>"),
+        "sentinels are sequential in document order")
+      if (k === 0) assert(tgt === "" && inp === t)
+      else {
+        assert(tgt.endsWith(s"<extra_id_$k>"), "target closes with the final sentinel")
+        val spans = tgt.split("<extra_id_[0-9]+>", -1).toSeq
+          .slice(1, k.toInt + 1).map(s => s.stripPrefix(" ").stripSuffix(" "))
+        val rebuilt = (0 until k.toInt).foldLeft(inp) { (acc, i) =>
+          acc.replace(s"<extra_id_$i>", spans(i))
+        }
+        assert(rebuilt === t, "sentinel substitution reproduces the document")
+      }
+    }
+  }
+
   test("pii pseudonymize: consistent across docs, case-insensitive emails, structure kept") {
     import graft.corpus.Pii
     val rows = Seq(
