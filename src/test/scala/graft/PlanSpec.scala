@@ -223,6 +223,41 @@ class PlanSpec extends SparkSpec {
       s"tf-idf shuffles: tf, df, join sides, window only — saw ${keyShuffles(kw)}:\n$kw")
   }
 
+  test("round-5 closing additions keep their scale shapes") {
+    def keyShuffles(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).length
+    // objective prep + pseudonymization: pure per-row projections — zero
+    // key shuffles at any corpus size
+    for (q <- Seq("q_corpus_fim", "q_corpus_spancorrupt", "q_pii_pseudonym")) {
+      val p = planOf(q)
+      assert(keyShuffles(p) === 0, s"$q must not key-shuffle:\n$p")
+    }
+    // snmptrapd: an InternalRow scan stage (the grok precedent); the
+    // visible plan adds no key shuffle above it
+    val sn = planOf("q_parse_snmptrapd")
+    assert(sn.contains("Scan ExistingRDD"),
+      s"snmptrapd parse should be an InternalRow stage:\n$sn")
+    assert(keyShuffles(sn) === 0,
+      s"no key shuffle above the parse stage, saw ${keyShuffles(sn)}:\n$sn")
+    // WordPiece scoring: the alphabet-sized symbol counts BROADCAST onto
+    // the pair counts; key shuffles are the two count aggregates + the
+    // top-k sort boundary, never a corpus-keyed join
+    val wp = planOf("q_corpus_wordpiece")
+    assert(wp.contains("BroadcastHashJoin"),
+      s"symbol counts must broadcast onto pair counts:\n$wp")
+    assert(!wp.contains("SortMergeJoin"),
+      s"no sort-merge of alphabet-sized sides:\n$wp")
+    // retraction: broadcast semi+anti joins, one re-rank window — the
+    // corpus-keyed shuffles are the window alone
+    val rt = planOf("q_corpus_retract")
+    assert(rt.contains("BroadcastHashJoin"),
+      s"takedown set must broadcast:\n$rt")
+    // corpus-keyed shuffle = the shard re-rank window alone; the other two
+    // exchanges are the takedown-list-sized distinct()s (id set + affected
+    // shard set), which stay retraction-sized at any corpus size
+    assert(keyShuffles(rt) <= 3 && "Window".r.findAllIn(rt).length === 1,
+      s"retract = 1 window + 2 takedown-sized distincts, saw ${keyShuffles(rt)}:\n$rt")
+  }
+
   test("query-side filter pushes down into the parquet scan") {
     // q_embed_topk's query set is `vec_id < 5` — that predicate must reach
     // the embeddings scan as a pushed filter, not run post-scan only.
