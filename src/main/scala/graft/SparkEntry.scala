@@ -1015,6 +1015,29 @@ object SparkEntry {
         shingleK = 3, threshold = 0.5)
     }),
 
+    // conversation-level near-dup (cross-tier: transcripts × dedup) — the
+    // multi-turn analog of document dedup: each conversation renders to
+    // its turn texts in stable (conv_id, turn_idx) order, an md5-gated 25%
+    // subset gets a planted near-clone (last turn line dropped), and the
+    // EXACT prefix-filter pair API returns every pair at Jaccard ≥ 0.5
+    // (exact, so no LSH-recall flake at the threshold boundary)
+    "q_conv_dedup" -> ((s, dir) => {
+      val conv = transcripts(s, dir)
+        .groupBy(col("conv_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+            x => x.getField("text")), "\n").as("conv_text"))
+        .where(substring(md5(concat(lit("convsel:"), col("conv_id"))), 1, 8)
+          < lit("40000000"))
+      val lines = split(col("conv_text"), "\n")
+      val clones = conv
+        .where(size(lines) >= 4)
+        .select(concat(lit("c:"), col("conv_id")).as("conv_id"),
+          array_join(slice(lines, lit(1), size(lines) - 1), "\n").as("conv_text"))
+      Dedup.ngramJaccardPairs(conv.unionByName(clones),
+        col("conv_id"), col("conv_text"), shingleK = 3, threshold = 0.5)
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhash(documents(s, dir), col("doc_id"), col("text"), bits = 16)
     }),
@@ -3015,6 +3038,28 @@ object SparkEntry {
     // oracle is the exact pairwise recompute (recall must be — and is — 1).
     "q_dedup_minhash" -> DOC_JACCARD_05,
     "q_dedup_ngram" -> DOC_JACCARD_05,
+
+    "q_conv_dedup" -> Transcripts.oracle(
+      """, conv AS (SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS t
+                    FROM transcripts GROUP BY conv_id),
+         sel AS (SELECT conv_id, t FROM conv
+                 WHERE substr(md5('convsel:' || conv_id), 1, 8) < '40000000'),
+         cl AS (SELECT 'c:' || conv_id AS conv_id,
+                  array_to_string(
+                    (string_split(t, chr(10)))[1:len(string_split(t, chr(10))) - 1],
+                    chr(10)) AS t
+                FROM sel WHERE len(string_split(t, chr(10))) >= 4),
+         allc AS (SELECT conv_id, t FROM sel UNION ALL SELECT conv_id, t FROM cl),
+         tok AS (SELECT conv_id, string_split(t, ' ') AS w FROM allc),
+         sh AS (SELECT conv_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in generate_series(1, len(w) - 2)]) AS s
+                FROM tok),
+         pr AS (SELECT a.conv_id AS doc_a, b.conv_id AS doc_b,
+                  len(list_intersect(a.s, b.s))::double /
+                  len(list_distinct(list_concat(a.s, b.s)))::double AS jaccard
+                FROM sh a JOIN sh b ON a.conv_id < b.conv_id)
+         SELECT doc_a, doc_b, jaccard FROM pr WHERE jaccard >= 0.5"""),
 
     "q_corpus_bpe_pairs" ->
       """WITH w0 AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
