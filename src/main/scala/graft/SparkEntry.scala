@@ -997,6 +997,24 @@ object SparkEntry {
       Dedup.exact(documents(s, dir), col("doc_id"), col("text"))
     }),
 
+    // cross-source subtraction: the reference corpus plants exact copies
+    // (doc_id%10=3, verbatim text) and near copies (doc_id%10=7, first 75%
+    // of words); verdicts are exact-computation booleans on both engines —
+    // content-hash membership + representative-collapsed PPJoin Jaccard
+    "q_dedup_subtract" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val w = split(col("text"), " ")
+      val refs = d.where(pmod(col("doc_id"), lit(10)) === 3)
+        .select(col("text").as("rt"))
+        .unionByName(d.where(pmod(col("doc_id"), lit(10)) === 7)
+          .select(array_join(
+            slice(w, lit(1),
+              greatest(floor(size(w) * lit(3) / lit(4)).cast("int"), lit(1))),
+            " ").as("rt")))
+      Dedup.subtract(d, col("doc_id"), col("text"), refs, col("rt"))
+        .select(col("doc_id"), col("sub_exact"), col("sub_near"), col("kept"))
+    }),
+
     // Fixture similarity floor (measured): every Jaccard-qualifying pair in
     // the sf fixtures sits at j >= 0.889, far above the 0.5 threshold. With
     // 16 hashes in 8 bands of 2, P(miss) = (1 - j^2)^8 <= (0.21)^8 ~ 4e-6
@@ -3033,6 +3051,35 @@ object SparkEntry {
       """SELECT sha256(lower(trim(text))) AS content_hash, min(doc_id) AS keep_id,
            cast(count(*) AS bigint) AS n_copies
          FROM documents GROUP BY 1""",
+
+    "q_dedup_subtract" ->
+      """WITH w0 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         ref0 AS (SELECT text AS rt FROM documents WHERE doc_id % 10 = 3
+                  UNION ALL
+                  SELECT array_to_string(w[1:greatest((len(w) * 3) // 4, 1)], ' ') AS rt
+                  FROM w0 WHERE doc_id % 10 = 7),
+         refh AS (SELECT DISTINCT sha256(lower(trim(rt))) AS ch FROM ref0),
+         crep AS (SELECT sha256(lower(trim(text))) AS ch, min(text) AS t
+                  FROM documents GROUP BY 1),
+         rrep AS (SELECT sha256(lower(trim(rt))) AS ch, min(rt) AS t
+                  FROM ref0 GROUP BY 1),
+         csh AS (SELECT ch, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in generate_series(1, len(w) - 2)]) AS s
+                 FROM (SELECT ch, string_split(t, ' ') AS w FROM crep)),
+         rsh AS (SELECT ch, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in generate_series(1, len(w) - 2)]) AS s
+                 FROM (SELECT ch, string_split(t, ' ') AS w FROM rrep)),
+         nearch AS (SELECT DISTINCT c.ch FROM csh c, rsh r
+                    WHERE len(c.s) > 0 AND len(r.s) > 0
+                      AND len(list_intersect(c.s, r.s))::double /
+                          len(list_distinct(list_concat(c.s, r.s)))::double >= 0.5)
+         SELECT d.doc_id,
+           (h.ch IS NOT NULL) AS sub_exact,
+           (n.ch IS NOT NULL) AS sub_near,
+           (h.ch IS NULL AND n.ch IS NULL) AS kept
+         FROM (SELECT doc_id, sha256(lower(trim(text))) AS ch FROM documents) d
+         LEFT JOIN refh h ON d.ch = h.ch
+         LEFT JOIN nearch n ON d.ch = n.ch""",
 
     // LSH is candidate generation; semantics = the Jaccard threshold, so the
     // oracle is the exact pairwise recompute (recall must be — and is — 1).

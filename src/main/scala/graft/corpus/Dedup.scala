@@ -200,6 +200,77 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** Cross-source SUBTRACTION dedup — remove from `docs` everything that
+    * already exists in a REFERENCE corpus, exactly or nearly: subtract the
+    * curated source from the crawl so the mixture cannot double-count it,
+    * subtract a withdrawn/licensed collection from an open one, subtract
+    * last release's corpus from a new crawl. Per-document verdict flags:
+    *  - `sub_exact`: [[contentHash]] membership in the reference
+    *  - `sub_near`: word-shingle Jaccard ≥ `threshold` against ANY
+    *    reference document (exact PPJoin prefix-filter candidates +
+    *    exact verify — recall 1 at the threshold, no LSH flake; an exact
+    *    match is Jaccard 1, so `sub_near` ⊇ `sub_exact` for shingled docs)
+    *  - `kept`: neither
+    *
+    * Viral-safe by construction (the corpusEdges discipline): BOTH sides
+    * collapse to one representative per distinct content (deterministic
+    * `min(text)`) before shingling, so a 10⁸-copy page on either side is
+    * ONE row in the candidate join; verdicts propagate back to documents
+    * through a content-hash-keyed join — linear in each corpus.
+    *
+    * Scale shape: one hash semi-join on content hash (exact), prefix
+    * postings of (shingle-md5, content-hash) for candidates, per-candidate
+    * verify over representative shingle sets, two content-keyed flag
+    * joins. Texts never shuffle beyond the representative collapse.
+    */
+  def subtract(
+      docs: DataFrame, id: Column, text: Column,
+      ref: DataFrame, refText: Column,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val base = docs.withColumn("__ch", contentHash(text))
+    val refH = ref.select(contentHash(refText).as("__ch")).distinct()
+    // representatives: one deterministic text per distinct content
+    val repD = base.select(col("__ch"), text.as("__t"))
+      .groupBy("__ch").agg(min(col("__t")).as("__t"))
+    val repR = ref.select(contentHash(refText).as("__ch"), refText.as("__t"))
+      .groupBy("__ch").agg(min(col("__t")).as("__t"))
+    def shTable(rep: DataFrame) = rep
+      .filter(size(split(col("__t"), " ")) >= shingleK)
+      .select(col("__ch").as("doc_id"), shingles(col("__t"), shingleK).as("sh"))
+    def prefixPosting(sh: DataFrame) = {
+      val ordered = transform(
+        array_sort(transform(col("sh"),
+          s => struct(md5(concat(lit("ord:"), s)).as("h"), s.as("s")))),
+        x => x("s"))
+      val prefixLen = (size(col("sh")) - ceil(size(col("sh")) * threshold) + 1).cast("int")
+      sh.select(col("doc_id"), explode(slice(ordered, lit(1), prefixLen)).as("shingle"))
+    }
+    val shD = shTable(repD)
+    val shR = shTable(repR)
+    val cand = prefixPosting(shD).select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(prefixPosting(shR).select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("shingle"))
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+    // verify against each SIDE's own shingle table (a content present in
+    // both corpora keys the same hash but may normalize-differ in case —
+    // the sides must not share representatives)
+    val nearCh = cand
+      .join(shD.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(shR.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("doc_a").as("__nch")).distinct()
+    base
+      .join(refH.withColumn("__ex", lit(true)), Seq("__ch"), "left")
+      .join(nearCh.withColumn("__nr", lit(true)),
+        col("__ch") === col("__nch"), "left")
+      .withColumns(Map(
+        "sub_exact" -> coalesce(col("__ex"), lit(false)),
+        "sub_near" -> coalesce(col("__nr"), lit(false)),
+        "kept" -> !(coalesce(col("__ex"), lit(false)) ||
+          coalesce(col("__nr"), lit(false)))))
+      .drop("__ch", "__ex", "__nch", "__nr")
+  }
+
   /** Directed containment pairs — C(a→b) = |A∩B| / |A| over word
     * k-shingle sets: the ASYMMETRIC overlap Jaccard misses (a short quote
     * page fully contained in a long aggregator scores J ≈ |A|/|B| ≈ 0 but

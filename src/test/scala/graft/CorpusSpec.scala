@@ -1356,6 +1356,31 @@ class CorpusSpec extends SparkSpec {
     assert(!after(3) && Seq(0, 1, 2).forall(after))
   }
 
+  test("subtract: exact + near cross-source verdicts; case-variants share one representative") {
+    import graft.corpus.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "ALPHA beta gamma delta epsilon zeta eta theta"), // same contentHash as 1
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "completely different words nothing shared here at all"),
+      (5L, "short")).toDF("doc_id", "text")
+    val ref = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta", // exact copy of 1 (and 2 normalized)
+      "one two three four five six seven eight"        // 8/10-word prefix of 3 → J = 6/8
+    ).toDF("rt")
+    val out = Dedup.subtract(docs, col("doc_id"), col("text"), ref, col("rt"))
+      .select(col("doc_id"), col("sub_exact"), col("sub_near"), col("kept"))
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, true, true, false)))
+    // doc 2 keys the same content hash (lower∘trim) → exact; its near
+    // verdict rides the deterministic min-text representative ("ALPHA…"
+    // sorts first), whose shingles still hit J = 5/7 vs the reference
+    assert(out(1) === ((2L, true, true, false)))
+    assert(out(2) === ((3L, false, true, false))) // near only: J = 0.75
+    assert(out(3) === ((4L, false, false, true)))
+    assert(out(4) === ((5L, false, false, true))) // 1 word → no shingles → kept
+  }
+
   test("retract: minimal re-export equals full re-export restricted to affected shards") {
     import graft.corpus.Export
     val docs = spark.read.parquet(sfUnit + "/documents.parquet")
