@@ -60,7 +60,11 @@ object Bench {
     // kv-scan over every transcript turn), takedown propagation (broadcast
     // semi/anti joins + affected-shard re-rank), DoReMi step (one
     // combinable per-domain aggregate + driver EG update)
-    "q_parse_snmptrapd", "q_corpus_retract", "q_corpus_doremi")
+    "q_parse_snmptrapd", "q_corpus_retract", "q_corpus_doremi",
+    // cross-source subtraction (rep-collapsed posting join) and the
+    // transcript-tier conversation near-dup (stable-order rendering +
+    // exact prefix-filter pairs)
+    "q_dedup_subtract", "q_conv_dedup")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
