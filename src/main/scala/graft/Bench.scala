@@ -61,10 +61,14 @@ object Bench {
     // semi/anti joins + affected-shard re-rank), DoReMi step (one
     // combinable per-domain aggregate + driver EG update)
     "q_parse_snmptrapd", "q_corpus_retract", "q_corpus_doremi",
-    // cross-source subtraction (rep-collapsed posting join) and the
-    // transcript-tier conversation near-dup (stable-order rendering +
-    // exact prefix-filter pairs)
-    "q_dedup_subtract", "q_conv_dedup")
+    // cross-source subtraction (rep-collapsed posting join). q_conv_dedup
+    // is deliberately absent: the exact PAIR API over ~6k long multi-turn
+    // texts at sf0.1 is the documented quadratic-pair regime (26-49 s —
+    // natural conversations share phrasing, so prefix postings collide);
+    // its correctness gate runs at sf0.01 where the exact-verify cost is
+    // bounded, and the scalable clustering path for conversations is the
+    // same corpusEdges/LSH route the document tier benches.
+    "q_dedup_subtract")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
